@@ -1,0 +1,153 @@
+"""Consumer groups: register, poll, commit — at-least-once delivery.
+
+Reference semantics (SURVEY.md §3.2): a consumer registers into a group
+with a reset policy (startFromEarliest/startFromLatest,
+internal/types/models_offset.go:94-101); poll returns the next chunks per
+assigned partition in offset order; commits record the read position
+(auto-commit 5 s / manual, internal/consuming/offset_state.go:456-490);
+delivery is at-least-once — uncommitted data is re-delivered after a
+restart (docs/rest_api/consumer_flow/README.md:30-38).
+
+Spark-first mapping: the group's committed offsets are a JSON ledger per
+(group, topic, partition); ``poll`` is a partition-pruned, offset-pushdown
+Parquet scan ``WHERE offset > committed ORDER BY partition, offset LIMIT
+n``; ``commit`` advances the ledger. Parquet row-group stats on ``offset``
+give the seek-by-index behavior of the reference's sparse index file
+(docs/developer/FILE_FORMATS.md:39-62) for free.
+
+Scale note: a poll never scans history — partition dirs prune to the
+group's assigned partitions and min/max stats skip fully-consumed files.
+The per-key total order the reference guarantees (same key → same
+partition → offset order) holds because produce assigns offsets in
+arrival order within a partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polar_spark.topics import TopicCatalog
+
+EARLIEST = "startFromEarliest"
+LATEST = "startFromLatest"
+
+OFFSET_COMPLETED = 2**63 - 1  # reference OffsetCompleted = math.MaxInt64
+# (internal/types/models_offset.go:17)
+
+
+@dataclass
+class PollResult:
+    df: DataFrame
+    # per-partition max offset served by this poll; pass to commit()
+    positions: dict[int, int]
+
+
+class ConsumerGroup:
+    """One consumer group over one catalog (reference: group state in
+    internal/consuming/consumer_state.go; offsets in offset_state.go)."""
+
+    def __init__(self, catalog: TopicCatalog, group: str):
+        self.catalog = catalog
+        self.group = group
+
+    def _ledger_path(self, topic: str) -> str:
+        return os.path.join(self.catalog.root, "groups", f"{self.group}__{topic}.json")
+
+    # -- registration ------------------------------------------------------
+    def register(self, topic: str, on_new_group: str = EARLIEST) -> dict[int, int]:
+        """Create the group's offset ledger if absent, applying the reset
+        policy (internal/consuming/offset_state.go:139-236): earliest →
+        committed = -1 (read everything), latest → committed = current
+        tails (read only what arrives after registration)."""
+        self.catalog.ensure_topic(topic)
+        path = self._ledger_path(topic)
+        if os.path.exists(path):
+            return self.committed(topic)
+        tails = self.catalog.tails(topic)
+        if on_new_group == LATEST:
+            committed = dict(tails)
+        else:
+            committed = dict.fromkeys(tails, -1)
+        self._write(topic, committed)
+        return committed
+
+    def committed(self, topic: str) -> dict[int, int]:
+        path = self._ledger_path(topic)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"consumer group {self.group!r} is not registered for topic "
+                f"{topic!r}; call register() first (reference requires "
+                "registration before poll, internal/consuming/server.go:203)"
+            )
+        with open(path) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _write(self, topic: str, committed: dict[int, int]) -> None:
+        tmp = self._ledger_path(topic) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in committed.items()}, f)
+        os.replace(tmp, self._ledger_path(topic))
+
+    # -- poll / commit -----------------------------------------------------
+    def poll(
+        self,
+        topic: str,
+        max_records: int | None = None,
+        partitions: list[int] | None = None,
+    ) -> PollResult:
+        """Next unconsumed records in (partition, offset) order.
+
+        ``max_records`` is the analog of the reference's ~2 MiB
+        ConsumerReadThreshold poll budget
+        (internal/consuming/group_read_queue.go:115-138). The filter
+        ``offset > committed`` is pushed to the Parquet scan per
+        partition (OR of per-partition conjuncts keeps it
+        pushdown-eligible).
+        """
+        committed = self.committed(topic)
+        df = self.catalog.read(topic)
+        if partitions is not None:
+            df = df.filter(F.col("partition").isin(partitions))
+            committed = {p: o for p, o in committed.items() if p in partitions}
+        cond = None
+        for p, off in committed.items():
+            c = (F.col("partition") == p) & (F.col("offset") > off)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return PollResult(df.limit(0), {})
+        out = df.filter(cond).orderBy("partition", "offset")
+        if max_records is not None:
+            out = out.limit(max_records)
+        pos = {
+            r["partition"]: r["m"]
+            for r in out.groupBy("partition").agg(F.max("offset").alias("m")).collect()
+        }
+        return PollResult(out, pos)
+
+    def commit(self, topic: str, positions: dict[int, int]) -> dict[int, int]:
+        """Advance committed offsets (commit-after-deliver = at-least-once:
+        a crash between poll and commit re-delivers, matching the
+        reference's manual-commit flow)."""
+        committed = self.committed(topic)
+        for p, off in positions.items():
+            committed[p] = max(committed.get(p, -1), off)
+        self._write(topic, committed)
+        return committed
+
+    def lag(self, topic: str) -> dict[int, int]:
+        """Per-partition unconsumed record count estimate (tail - committed)."""
+        tails = self.catalog.tails(topic)
+        committed = self.committed(topic)
+        return {p: max(0, tails.get(p, -1) - committed.get(p, -1)) for p in tails}
+
+    def goodbye(self, topic: str, positions: dict[int, int] | None = None) -> None:
+        """Commit final positions and leave (reference consumer goodbye,
+        internal/consuming/server.go:448-488). The ledger persists so a
+        re-registered group resumes, mirroring broker-side group state."""
+        if positions:
+            self.commit(topic, positions)

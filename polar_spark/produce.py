@@ -1,0 +1,113 @@
+"""Producer: append events to a topic with contiguous per-partition offsets.
+
+Reference pipeline (SURVEY.md §3.1): HTTP/binary produce → route by
+Murmur3(partitionKey) → coalesce into ≤2 MiB groups → assign contiguous
+offsets (internal/producing/coalescer.go:164-170) → zstd chunk → segment
+log + 2 replicas. The Spark-first equivalent collapses routing into a
+shuffle and replication into the DFS:
+
+    events → partition = pmod(hash(key), P)        (JVM-side, codegen)
+           → offset = base(partition) + row_number (one shuffle, ordered
+                                                    by arrival = input order)
+           → append Parquet partitioned by `partition`, zstd
+
+Offset contiguity under concurrency — the reference gets it free from a
+single-writer goroutine per (topic, token); we get it from the tail ledger:
+each produce batch reads the per-partition tails, assigns
+``tail + row_number()``, writes, then advances the tails. One produce
+batch = one "coalescer group"; within a batch arrival order is the input
+row order (captured with a monotonic id BEFORE the shuffle so the
+per-partition ordering is stable and reproducible).
+
+Scale note: the only shuffle is the hash-partition by key — exactly the
+shuffle a 1000-executor cluster needs to co-locate a partition's writers.
+The window per partition is bounded by batch size, not topic size, and the
+ledger read/write is O(P) driver-side metadata, not a data-path operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.hashing import partition_col
+from polar_spark.topics import TopicCatalog, normalize_events
+
+MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
+# (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
+
+
+class Producer:
+    def __init__(self, catalog: TopicCatalog):
+        self.catalog = catalog
+
+    def produce(
+        self,
+        df: DataFrame,
+        topic: str,
+        key_col: str | None = None,
+        value_col: str = "value",
+        ts_col: str | None = None,
+        validate_size: bool = False,
+    ) -> dict[int, int]:
+        """Append a batch to ``topic``; returns the new per-partition tails.
+
+        NULL keys spread round-robin over partitions (keyless produce has
+        no ordering guarantee in the reference,
+        internal/discovery/discoverer.go:370-380): we substitute a
+        per-row monotonic id as the hash input so null-key traffic
+        balances instead of hot-spotting one partition.
+        """
+        meta = self.catalog.ensure_topic(topic)
+        p = meta.num_partitions
+
+        ev = normalize_events(df, topic, key_col, value_col, ts_col)
+        if validate_size:
+            # reference rejects messages > 1 MiB with 400
+            ev = ev.filter(F.octet_length("value") <= MAX_MESSAGE_BYTES)
+
+        # arrival order = input order, captured before any shuffle
+        ev = ev.withColumn("_arrival", F.monotonically_increasing_id())
+        keyed = ev.withColumn(
+            "partition",
+            F.when(
+                F.col("key").isNotNull(), partition_col(F.col("key"), p)
+            ).otherwise(F.pmod(F.xxhash64(F.col("_arrival")), F.lit(p)).cast("int")),
+        )
+
+        tails = self.catalog.tails(topic)
+        base = F.create_map(
+            *[x for kv in tails.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+        w = Window.partitionBy("partition").orderBy("_arrival")
+        out = keyed.withColumn(
+            "offset",
+            (F.element_at(base, F.col("partition")) + F.row_number().over(w)).cast(
+                "long"
+            ),
+        ).select("topic", "partition", "offset", "timestamp", "key", "value")
+
+        out.write.mode("append").partitionBy("partition").parquet(
+            self.catalog.data_dir(topic)
+        )
+
+        new_tails = {
+            r["partition"]: r["tail"]
+            for r in self.catalog.read(topic)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("tail"))
+            .collect()
+        }
+        self.catalog.advance_tails(topic, new_tails)
+        return self.catalog.tails(topic)
+
+    def produce_ndjson(self, df: DataFrame, topic: str, body_col: str = "body",
+                       key_col: str | None = None, ts_col: str | None = None) -> dict[int, int]:
+        """NDJSON produce: split the body on newlines, one record per line
+        (reference internal/producing/models.go:32-42 — NDJSON is split by
+        lines and never validated as JSON)."""
+        lines = df.withColumn(
+            "value", F.explode(F.split(F.col(body_col), "\n"))
+        ).filter(F.trim(F.col("value")) != "")
+        return self.produce(lines, topic, key_col=key_col, value_col="value", ts_col=ts_col)

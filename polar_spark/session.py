@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to
+survive a 1000-executor cluster at 100 TB: AQE on (runtime coalescing +
+skew-join handling), zstd parquet (reference compresses chunks with zstd,
+internal/producing/coalescer.go:49), UTC session timezone (oracle
+comparability), Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "polar_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count for local
+    masters; on a real cluster leave it unset and let AQE coalesce from a
+    high initial number.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus if master.startswith("local") else 512
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # driver testdata is written with TIMESTAMP(NANOS); read as long and
+        # convert via sources.tables.load_table (Spark has no ns timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("POLAR_SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

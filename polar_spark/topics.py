@@ -1,0 +1,176 @@
+"""Topic catalog: named, partitioned, append-only event tables.
+
+Reference semantics: a topic is created implicitly on first produce
+(internal/data/topics/topics.go:30-36 — ``Exists()`` is always true), holds
+opaque record bodies with timestamps, and is physically a partitioned
+segment log (docs/developer/FILE_FORMATS.md). Here a topic is a
+partitioned-by-``partition`` Parquet directory with the Kafka-shaped schema
+
+    topic STRING, partition INT, offset BIGINT,
+    timestamp TIMESTAMP, key STRING, value STRING
+
+(SURVEY.md §1.2). Partition-directory layout gives partition pruning on
+reads (the analog of the reference's seek-by-offset index,
+docs/developer/FILE_FORMATS.md:39-62, is Parquet row-group stats on the
+``offset`` column — both let a consumer skip to its committed position
+without scanning history).
+
+Coordination metadata (per-partition tail offsets, consumer-group commits)
+lives in small JSON ledgers next to the data — the analog of the
+reference's ``producer.offset`` file (internal/data/offset_file_writer.go)
+and its SQLite offset store (internal/localdb/). Driver-side JSON is
+deliberate: this is KB-scale coordination state, not data; at 100 TB the
+data path never touches it per-row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPIC_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+DEFAULT_PARTITIONS = 12  # reference default: 3 brokers × 4 consumer ranges
+# (internal/conf/config.go:248-250 — ConsumerRanges default 4)
+
+
+@dataclass
+class TopicMeta:
+    name: str
+    num_partitions: int = DEFAULT_PARTITIONS
+    created_at: float = field(default_factory=time.time)
+    retention_hours: float = 168.0  # reference default 7d (internal/conf/config.go:66)
+
+
+class TopicCatalog:
+    """Registry of topics under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "topics"), exist_ok=True)
+        os.makedirs(os.path.join(root, "groups"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def topic_dir(self, name: str) -> str:
+        return os.path.join(self.root, "topics", name)
+
+    def data_dir(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "data")
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "meta.json")
+
+    def _tails_path(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "tails.json")
+
+    # -- lifecycle ---------------------------------------------------------
+    def ensure_topic(self, name: str, num_partitions: int = DEFAULT_PARTITIONS) -> TopicMeta:
+        """Implicit creation on first use (reference Exists() == always true)."""
+        mp = self._meta_path(name)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                d = json.load(f)
+            return TopicMeta(**d)
+        os.makedirs(self.data_dir(name), exist_ok=True)
+        meta = TopicMeta(name=name, num_partitions=num_partitions)
+        with open(mp, "w") as f:
+            json.dump(meta.__dict__, f)
+        self._write_tails(name, dict.fromkeys(range(num_partitions), -1))
+        return meta
+
+    def list_topics(self) -> list[str]:
+        base = os.path.join(self.root, "topics")
+        return sorted(d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d)))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    # -- tail offsets (producer.offset analog) -----------------------------
+    def tails(self, name: str) -> dict[int, int]:
+        """Max produced offset per partition; -1 = empty (reference
+        MaxProducedOffset, internal/consuming/offset_state.go:844)."""
+        with open(self._tails_path(name)) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _write_tails(self, name: str, tails: dict[int, int]) -> None:
+        tmp = self._tails_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in tails.items()}, f)
+        os.replace(tmp, self._tails_path(name))
+
+    def advance_tails(self, name: str, new_tails: dict[int, int]) -> None:
+        cur = self.tails(name)
+        for p, off in new_tails.items():
+            cur[p] = max(cur.get(p, -1), off)
+        self._write_tails(name, cur)
+
+    # -- reads -------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        """Full topic scan as a DataFrame (partition-pruned on filter)."""
+        d = self.data_dir(name)
+        if not any(os.scandir(d)) if os.path.isdir(d) else True:
+            return self.spark.createDataFrame([], TOPIC_SCHEMA)
+        df = self.spark.read.schema(TOPIC_SCHEMA).parquet(d)
+        # partition dir column comes back as the physical column; keep order
+        return df.select([f.name for f in TOPIC_SCHEMA.fields])
+
+    def read_stream(self, name: str) -> DataFrame:
+        """Structured-Streaming scan of a topic (file source tails new
+        segment files, the analog of the reference's segment reader loop
+        internal/data/segment_reader.go:106-195)."""
+        return (
+            self.spark.readStream.schema(TOPIC_SCHEMA)
+            .parquet(self.data_dir(name))
+            .select([f.name for f in TOPIC_SCHEMA.fields])
+        )
+
+    # -- retention (reference datalog_cleaner.go:16-41) --------------------
+    def vacuum(self, name: str, retention_hours: float | None = None) -> int:
+        """Delete data files whose max timestamp is older than retention.
+        File-level mtime stands in for segment age (the reference deletes
+        whole segment files past retention, never rewrites them)."""
+        meta = self.ensure_topic(name)
+        hours = retention_hours if retention_hours is not None else meta.retention_hours
+        cutoff = time.time() - hours * 3600.0
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir(name)):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed += 1
+        return removed
+
+
+def normalize_events(
+    df: DataFrame,
+    topic: str,
+    key_col: str | None,
+    value_col: str,
+    ts_col: str | None,
+) -> DataFrame:
+    """Map an arbitrary DataFrame onto the topic record shape (pre-offset)."""
+    key = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+    ts = F.col(ts_col).cast("timestamp") if ts_col else F.current_timestamp()
+    return df.select(
+        F.lit(topic).alias("topic"),
+        key.alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+        ts.alias("timestamp"),
+    )

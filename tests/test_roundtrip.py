@@ -1,0 +1,128 @@
+"""Produce→consume round-trip tests, mirroring the reference's integration
+suite (internal/test/integration/roundtrip_test.go — healthy-cluster
+round-trip, per-key ordering, NDJSON, reset policies, at-least-once)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polar_spark.consume import EARLIEST, LATEST, ConsumerGroup
+from polar_spark.produce import Producer
+from polar_spark.sources.tables import load_table
+from polar_spark.topics import TopicCatalog
+
+
+def _engine(spark, tmp_path):
+    cat = TopicCatalog(spark, str(tmp_path))
+    return cat, Producer(cat)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_roundtrip_all_consumed_once(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).limit(500)
+    n = ev.count()
+    prod.produce(ev, "t1", key_col="user_id", value_col="props", ts_col="ts")
+
+    g = ConsumerGroup(cat, "g1")
+    g.register("t1", EARLIEST)
+    res = g.poll("t1")
+    rows = res.df.collect()
+    assert len(rows) == n
+    # every payload delivered exactly once in a clean run
+    produced = sorted(r["props"] for r in ev.select("props").collect())
+    consumed = sorted(r["value"] for r in rows)
+    assert produced == consumed
+    g.commit("t1", res.positions)
+    assert g.poll("t1").df.count() == 0
+
+
+def test_per_key_total_order(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).orderBy("event_id").limit(2000)
+    prod.produce(ev, "t2", key_col="user_id", value_col="event_id", ts_col="ts")
+    g = ConsumerGroup(cat, "g1")
+    g.register("t2", EARLIEST)
+    got = g.poll("t2").df.orderBy("partition", "offset").collect()
+    # same key ⇒ same partition; within a partition, offset order == arrival
+    # (event_id) order — docs/technical_intro/README.md:42-43
+    by_key: dict[str, list[int]] = {}
+    for r in got:
+        by_key.setdefault(r["key"], []).append(int(r["value"]))
+    for vals in by_key.values():
+        assert vals == sorted(vals)
+
+
+def test_offsets_contiguous_per_partition(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).limit(1000)
+    # two produce batches must continue offsets contiguously
+    prod.produce(ev.filter(F.col("event_id") < 500), "t3", key_col="user_id",
+                 value_col="props", ts_col="ts")
+    prod.produce(ev.filter(F.col("event_id") >= 500), "t3", key_col="user_id",
+                 value_col="props", ts_col="ts")
+    rows = cat.read("t3").select("partition", "offset").collect()
+    by_p: dict[int, list[int]] = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_p.values():
+        offs.sort()
+        assert offs == list(range(len(offs)))  # contiguous from 0
+
+
+def test_reset_policies(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir)
+    first = ev.filter(F.col("event_id") < 300)
+    second = ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 500))
+    prod.produce(first, "t4", key_col="user_id", value_col="props", ts_col="ts")
+
+    late = ConsumerGroup(cat, "late")
+    late.register("t4", LATEST)  # sees nothing produced so far
+    early = ConsumerGroup(cat, "early")
+    early.register("t4", EARLIEST)
+
+    prod.produce(second, "t4", key_col="user_id", value_col="props", ts_col="ts")
+    assert late.poll("t4").df.count() == second.count()
+    assert early.poll("t4").df.count() == first.count() + second.count()
+
+
+def test_at_least_once_redelivery(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).limit(400)
+    prod.produce(ev, "t5", key_col="user_id", value_col="props", ts_col="ts")
+    g = ConsumerGroup(cat, "g1")
+    g.register("t5", EARLIEST)
+    res = g.poll("t5", max_records=100)
+    served = res.df.count()
+    assert served == 100
+    # crash before commit → re-poll re-delivers the same records
+    res2 = g.poll("t5", max_records=100)
+    assert sorted(r["offset"] for r in res.df.collect()) == sorted(
+        r["offset"] for r in res2.df.collect()
+    )
+    g.commit("t5", res2.positions)
+    remaining = g.poll("t5").df.count()
+    assert served + remaining == 400
+
+
+def test_ndjson_produce(spark, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    body = '{"a": 1}\n{"a": 2}\n{"a": 3}'
+    df = spark.createDataFrame([("k1", body)], ["k", "body"])
+    prod.produce_ndjson(df, "t6", body_col="body", key_col="k")
+    g = ConsumerGroup(cat, "g")
+    g.register("t6", EARLIEST)
+    vals = sorted(r["value"] for r in g.poll("t6").df.collect())
+    assert vals == ['{"a": 1}', '{"a": 2}', '{"a": 3}']
+
+
+def test_null_keys_spread(spark, sf_dir, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).limit(1000).withColumn("nk", F.lit(None).cast("string"))
+    prod.produce(ev, "t7", key_col="nk", value_col="props", ts_col="ts")
+    parts = cat.read("t7").select("partition").distinct().count()
+    assert parts > 1  # keyless traffic must not hot-spot one partition
