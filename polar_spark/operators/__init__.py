@@ -1,0 +1,3 @@
+from polar_spark.operators.asof import asof_join  # noqa: F401
+from polar_spark.operators.sessionize import sessionize  # noqa: F401
+from polar_spark.operators.topk import top_k_per_group  # noqa: F401

@@ -1,0 +1,474 @@
+"""Relational operator surface (SURVEY.md §2.2).
+
+The reference has no relational algebra (verified across internal/ —
+SURVEY.md §2.2 table); these queries document the capability superset our
+engine provides via Catalyst built-ins over the topic/analytics tables:
+aggregation, multi-way broadcast joins, semi/anti joins, set ops, rollup,
+window functions, top-k, as-of join, range join, pivot.
+
+Float determinism contract with the DuckDB oracle: monetary/quantity
+doubles are cast to DECIMAL at the scan, summed exactly, and only the
+final value is cast back to DOUBLE — identical bits in both engines.
+Divisions happen in DOUBLE on already-identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.operators.asof import asof_join
+from polar_spark.operators.topk import top_k_per_group
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+
+def _dec(c, prec: int = 15, scale: int = 4):
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+_DEC = "DECIMAL(15,4)"
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation: 2 group cols, 8 aggregates.
+
+    Scale: map-side partial aggregation into 6 groups — the shuffle moves
+    six rows per task regardless of input size.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(6,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sb"),
+            F.sum(_dec("l_extendedprice") * (one - disc)).alias("_sd"),
+            F.sum(_dec("l_extendedprice") * (one - disc) * (one + tax)).alias("_sc"),
+            F.sum(disc).alias("_sdisc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sb").cast("double").alias("sum_base_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sb").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sdisc").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q3_top_orders_by_revenue",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: join + agg + deterministic top-10 (ties broken by
+    key). customer is broadcast — no shuffle for the small side."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(6,4)")
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(6,4)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join. Dimension tables (region, nation,
+    supplier, customer) are broadcast; only orders⋈lineitem shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    one = F.lit(1).cast("decimal(6,4)")
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(6,4)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a recent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_inactive_customers",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n_name
+""",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never ordered, by nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "setops_monthly_customers",
+    oracle="""
+WITH jan AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'),
+     feb AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate < TIMESTAMP '1996-03-01')
+SELECT
+  COUNT(*) FILTER (WHERE jan.o_custkey IS NOT NULL AND feb.o_custkey IS NOT NULL) AS n_both,
+  COUNT(*) FILTER (WHERE feb.o_custkey IS NULL) AS n_jan_only,
+  COUNT(*) FILTER (WHERE jan.o_custkey IS NULL) AS n_feb_only,
+  COUNT(*) AS n_union
+FROM jan FULL OUTER JOIN feb ON jan.o_custkey = feb.o_custkey
+""",
+)
+def setops_monthly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (intersect / except / union) via one full-outer join
+    pass — one shuffle instead of three separate set-op jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    jan = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("jk"))
+        .distinct()
+    )
+    feb = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-02-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("fk"))
+        .distinct()
+    )
+    j = jan.join(feb, jan.jk == feb.fk, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("jk").isNotNull() & F.col("fk").isNotNull(), 1)).alias("n_both"),
+        F.count(F.when(F.col("fk").isNull(), 1)).alias("n_jan_only"),
+        F.count(F.when(F.col("jk").isNull(), 1)).alias("n_feb_only"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_returns",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (grouping-sets family)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+@query(
+    "cube_order_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("_sp"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            F.col("_sp").cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window row_number (single shuffle on the key)."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    ).select("o_custkey", "o_orderkey", "rn")
+
+
+@query(
+    "window_running_revenue",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}))
+       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+FROM lineitem WHERE l_suppkey <= 10
+""",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per key with deterministic ordering."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_extendedprice")).over(w).cast("double").alias("running_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT user_id, ts, event_id, side,
+    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+    LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, click_event_id, click_ts FROM m WHERE side = 1
+""",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest click at
+    or before it (operators/asof.py — union+window, no range explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_event_id"],
+        tiebreak="click_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "right_click_event_id",
+        "right_cts",
+    ).toDF("event_id", "user_id", "ts", "click_event_id", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_value_bands",
+    oracle="""
+WITH bands(band_lo, band_hi) AS (
+  VALUES (0, 50), (50, 100), (100, 150), (150, 200), (200, 1000000)
+)
+SELECT band_lo, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= band_lo AND value < band_hi
+GROUP BY band_lo, event_type
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a broadcast band dimension — the
+    standard pattern for binning joins: broadcast-nested-loop on a tiny
+    dim, never a shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0, 50), (50, 100), (100, 150), (150, 200), (200, 1000000)],
+        "band_lo INT, band_hi INT",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.band_lo) & (ev.value < bands.band_hi),
+        )
+        .groupBy("band_lo", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,4)")).alias("_sv"),
+        )
+        .select("band_lo", "event_type", "n", F.col("_sv").cast("double").alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_user_cohort_events",
+    oracle="""
+SELECT user_id % 10 AS cohort,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id % 10
+""",
+)
+def pivot_user_cohort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit
+    values avoid the extra distinct-scan Spark needs to infer them."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out

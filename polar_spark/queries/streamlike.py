@@ -1,0 +1,234 @@
+"""Stream-semantics queries over the `events` table (SURVEY.md §2.1).
+
+These oracle-check the engine's topic semantics in batch form: partition
+placement, contiguous offset assignment, poll-after-commit, reset
+policies, JSON payload parsing, event-time windows (tumbling / sliding /
+session), and at-least-once dedup — the behaviors the reference's
+integration suite asserts (internal/test/integration/roundtrip_test.go).
+
+Partitioner note: the engine's hot path places rows with JVM-side
+``pmod(xxhash64(key), P)`` (hashing.partition_col). For oracle
+comparability these queries use the documented SQL-parity partitioner
+``(user_id * 2654435761) mod 2^32 mod P`` (Knuth multiplicative hash) —
+same placement law (deterministic key→partition), expressible in any
+ANSI engine. Murmur3 byte parity is covered by tests/test_hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.operators.sessionize import sessionize
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+P = 12  # 3 brokers × 4 consumer ranges (reference defaults)
+
+_PART = f"pmod(pmod(user_id * 2654435761, 4294967296), {P})"
+_PART_DUCK = f"((user_id * 2654435761) % 4294967296) % {P}"
+
+
+def _with_partition_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    part = F.expr(_PART).cast("int").alias("partition")
+    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props", part)
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+@query(
+    "ingest_partition_offset",
+    oracle=f"""
+SELECT event_id, {_PART_DUCK} AS partition,
+  ROW_NUMBER() OVER (PARTITION BY {_PART_DUCK} ORDER BY ts, event_id) - 1 AS offset
+FROM events
+""",
+)
+def ingest_partition_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition placement + contiguous per-partition offset assignment —
+    the produce path's core invariant (coalescer offset assignment,
+    internal/producing/coalescer.go:164-170)."""
+    df = _with_partition_offset(spark, sf_dir)
+    return df.select("event_id", "partition", F.col("offset"))
+
+
+@query(
+    "consume_poll_window",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, user_id, {_PART_DUCK} AS partition,
+    ROW_NUMBER() OVER (PARTITION BY {_PART_DUCK} ORDER BY ts, event_id) - 1 AS offset
+  FROM events
+)
+SELECT event_id, "partition", "offset" FROM t WHERE "offset" > 100 AND "offset" <= 150
+""",
+)
+def consume_poll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A poll after commit=100 with a 50-record-per-partition budget —
+    the offset-range read of the consumer path (segment_reader seek +
+    ConsumerReadThreshold, internal/consuming/group_read_queue.go)."""
+    df = _with_partition_offset(spark, sf_dir)
+    return df.filter((F.col("offset") > 100) & (F.col("offset") <= 150)).select(
+        "event_id", "partition", "offset"
+    )
+
+
+@query(
+    "consume_reset_latest",
+    oracle=f"""
+SELECT {_PART_DUCK} AS partition, COUNT(*) AS n
+FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+GROUP BY {_PART_DUCK}
+""",
+)
+def consume_reset_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """startFromLatest reset: only events after registration time are
+    visible (internal/consuming/offset_state.go:139-236)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp"))
+        .select(F.expr(_PART).cast("bigint").alias("partition"))
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "json_payload_extract",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing — the consumer's JSON format surface
+    (from_json/get_json_object over opaque bodies,
+    internal/consuming/models.go:136-199)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming form:
+    F.window(ts, '1 hour') + watermark — see streaming/aggregates.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,4)")).alias("_sv"),
+        )
+        .select("hour", "event_type", "n", F.col("_sv").cast("double").alias("sum_value"))
+    )
+
+
+@query(
+    "window_sliding_1h_30m",
+    oracle="""
+WITH w AS (
+  SELECT e.*, wstart
+  FROM events e,
+       UNNEST([to_timestamp(epoch_us(ts) // 1800000000 * 1800),
+               to_timestamp(epoch_us(ts) // 1800000000 * 1800 - 1800)]) AS t(wstart)
+)
+SELECT wstart, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+FROM w GROUP BY wstart
+""",
+)
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in two
+    epoch-aligned windows — F.window handles assignment natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,4)")).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "n",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "session_windows_30m",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+""",
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), lag+cumsum — the scalable batch
+    form of F.session_window (operators/sessionize.py)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "dedup_redelivered_events",
+    oracle="""
+WITH redelivered AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 10 = 0
+)
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique, COUNT(*) AS n_delivered
+FROM redelivered GROUP BY event_type
+""",
+)
+def dedup_redelivered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once consumer dedup: re-deliver a tail slice (as a broker
+    failover would), then exact-dedup by event id — the client-side dedup
+    story for the reference's at-least-once guarantee
+    (docs/benchmarks/README.md:11-12)."""
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return redelivered.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_delivered"),
+    )

@@ -1,0 +1,116 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 side-by-side with
+its ``oracle_sql()`` DuckDB query and compares: row count, sorted column
+names, and the exact multiset of values (columns sorted by name, floats
+compared bit-exactly — stricter than any value-hash the driver may use).
+
+Usage: python tools/check_oracle.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+from decimal import Decimal
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v  # exact float compare
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main(names: list[str]) -> int:
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from polar_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    targets = names or list(qs)
+    failures = []
+    for name in targets:
+        fn = qs[name]
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            d_cols = res.columns
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            continue
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"[FAIL] {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"[FAIL] {name}: rowcount {len(s_rows)} != {len(d_rows)}")
+            ok = False
+        else:
+            sn = _normalize(s_rows, s_cols)
+            dn = _normalize(d_rows, d_cols)
+            if sn != dn:
+                ok = False
+                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                print(f"[FAIL] {name}: value mismatch; first diffs:")
+                for a, b in diffs:
+                    print(f"    spark={a}\n    duck ={b}")
+        if ok:
+            print(f"[ OK ] {name}: {len(s_rows)} rows")
+        else:
+            failures.append(name)
+    print(f"\n{len(targets) - len(failures)}/{len(targets)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
