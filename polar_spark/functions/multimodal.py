@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real Spark-side machinery (schema, batching, partitioning) with the
+codec itself stubbed: image/audio libraries are not in this container,
+so ``decode_image_features`` runs a deterministic fake decoder behind
+the same ``mapInPandas`` interface a real libjpeg/ffmpeg UDF would use.
+Swap ``_fake_decode`` for the real library call and nothing else changes.
+
+Column convention (SURVEY.md §1.2): payload ``BINARY`` + ``mime STRING``
++ per-modality metadata struct — the broker's opaque-bytes model
+(record body, internal/producing/models.go:146-154) upgraded with types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, mime string, nbytes int, width int, height int, mean_luma double"
+)
+
+
+def attach_blob(df: DataFrame, id_col: str, payload_col: str,
+                mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a column as an opaque binary payload with MIME + size metadata."""
+    return df.select(
+        F.col(id_col),
+        F.to_binary(F.col(payload_col), F.lit("utf-8")).alias("blob"),
+        F.lit(mime).alias("mime"),
+        F.octet_length(F.to_binary(F.col(payload_col), F.lit("utf-8"))).alias("nbytes"),
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image decoder: derives (width,
+    height, mean luma) from the payload bytes. Replace with PIL/libvips
+    in production — signature and batch shape stay identical."""
+    if not blob:
+        return 0, 0, 0.0
+    width = 64 + blob[0] % 192
+    height = 64 + blob[-1] % 192
+    mean_luma = (sum(blob[:64]) / min(len(blob), 64)) / 255.0
+    return width, height, mean_luma
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id",
+                          blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches through the decoder — at
+    100 TB each task decodes its own partition's blobs; no shuffle, and
+    batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[blob_col].map(_fake_decode)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf.get("mime", "application/octet-stream"),
+                    "nbytes": pdf[blob_col].map(len),
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "mean_luma": feats.map(lambda t: t[2]),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str, blob_col: str, every_nth: int = 10) -> DataFrame:
+    """Video-style frame sampling stub: NotImplementedError for the real
+    codec path; the plumbing (explode frames → per-frame rows) is what a
+    production ffmpeg UDF plugs into."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg bindings not present in this "
+        "container; use decode_image_features's mapInPandas pattern with "
+        "a frame-iterator UDF"
+    )

@@ -1,1 +1,134 @@
-# placeholder — filled in below
+"""Deduplication queries over `documents` (LLM-pipeline surface).
+
+The Spark side runs the engine's operators from functions/dedup.py
+(Pandas-UDF signatures + bucket joins); the DuckDB oracles re-derive the
+same md5-based math in pure SQL — interchangeable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polar_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+
+@query(
+    "dedup_exact_canonical",
+    oracle="""
+SELECT doc_id, md5(text) AS digest,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+""",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min-id) doc per content digest."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, seed,
+    MIN(substr(md5(seed::VARCHAR || ':' || shingle), 1, 16)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bandkey AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM hs GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandkey a JOIN bandkey b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 16 seeds, 4 bands × 4 rows —
+    catches the generator's injected ~0.98-Jaccard pairs w.h.p. while
+    keeping the join bucket-local (functions/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 pairs (shared-shingle equi-join — only
+    overlapping pairs materialize)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents
+), wc AS (
+  SELECT doc_id, wd, COUNT(*) AS cnt FROM words GROUP BY doc_id, wd
+), wh AS (
+  SELECT doc_id, substr(md5(wd), 1, 16) AS h, cnt FROM wc
+), bits AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                   >> (3 - (j % 4))) & 1 = 1
+             THEN cnt ELSE -cnt END) AS score
+  FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN score >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sim
+  FROM bits GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(range(1, 65), i -> substr(a.sim, i, 1) <> substr(b.sim, i, 1))) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+) t WHERE hamming <= 8
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 8); word-frequency-weighted
+    signature computed by an Arrow-batched UDF (functions/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8)

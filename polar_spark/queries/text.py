@@ -1,1 +1,101 @@
-# placeholder — filled in below
+"""Text-analysis queries over `documents` (LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polar_spark.functions.text import (
+    EN_STOPWORDS,
+    TOKEN_PATTERN,
+    doc_fingerprint,
+    lang_id,
+    token_count_regex,
+)
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+
+@query(
+    "text_quality_stats",
+    oracle="""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS ttr,
+  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS mean_token_len
+FROM documents
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, type-token ratio, mean
+    token length (functions/text.py quality_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+@query(
+    "token_count_bpe_ish",
+    oracle=f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_subword_tokens
+FROM documents
+""",
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count (letter runs / digit runs /
+    punctuation) — the token-budget estimator of a data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_regex("text").cast("bigint").alias("n_subword_tokens")
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT doc_id, lang,
+  CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.04
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID (functions/text.py lang_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "doc_fingerprint_rolling",
+    oracle="""
+SELECT doc_id,
+  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                          i -> md5(substr(text, i, 8)))) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) content fingerprint: min md5 over
+    all 8-char shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
