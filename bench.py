@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at sf0.1 (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "extra": {...}}
+
+Covers the reference's two data paths (produce → topic table, poll →
+consume) measured as throughput over `events`, plus the headline
+analytic + LLM-pipeline queries from the oracle-checked surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def main() -> None:
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.queries import QUERIES
+    from polar_spark.session import get_spark
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog
+
+    spark = get_spark(app_name="polar_spark_bench", shuffle_partitions=CPUS)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # warm the JVM + file listing
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    # --- streaming-core paths: produce / consume over `events` ----------
+    root = tempfile.mkdtemp(prefix="polar_bench_")
+    try:
+        cat = TopicCatalog(spark, root)
+        prod = Producer(cat)
+        ev = load_table(spark, SF_DIR, "events")
+        n_events = ev.count()
+
+        t0 = time.perf_counter()
+        prod.produce(ev, "bench", key_col="user_id", value_col="props", ts_col="ts")
+        t_ingest = time.perf_counter() - t0
+        timings["ingest_events"] = round(t_ingest, 3)
+        extra["ingest_msgs_per_sec"] = round(n_events / t_ingest)
+
+        g = ConsumerGroup(cat, "bench_group")
+        g.register("bench", EARLIEST)
+        t0 = time.perf_counter()
+        res = g.poll("bench")
+        n_out = res.df.count()
+        t_consume = time.perf_counter() - t0
+        timings["consume_events"] = round(t_consume, 3)
+        extra["consume_msgs_per_sec"] = round(n_out / t_consume)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- headline analytics + LLM-pipeline queries ----------------------
+    headline = [
+        "q1_pricing_summary",
+        "q3_top_orders_by_revenue",
+        "q5_nation_revenue",
+        "window_top3_orders_per_customer",
+        "asof_purchase_last_click",
+        "session_windows_30m",
+        "window_tumbling_hourly",
+        "ingest_partition_offset",
+        "dedup_minhash_verified",
+        "dedup_simhash",
+        "knn_bruteforce_dot",
+        "embedding_lsh_buckets",
+        "text_quality_stats",
+    ]
+    for name in headline:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,20 +57,31 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
 
 
 def _simhash_bits(text: str) -> str:
+    import numpy as np
+
     counts: dict[str, int] = {}
     for w in text.split(" "):
         counts[w] = counts.get(w, 0) + 1
-    scores = [0] * 64
-    for w, cnt in counts.items():
-        v = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
-        for j in range(64):
-            scores[j] += cnt if (v >> (63 - j)) & 1 else -cnt
+    if not counts:
+        return "0" * 64
+    # md5 digest bytes → 64 bits MSB-first == int(hex[:16],16) >> (63-j) & 1
+    bits = np.stack(
+        [
+            np.unpackbits(
+                np.frombuffer(hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8)
+            )
+            for w in counts
+        ]
+    ).astype(np.int64)
+    weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    scores = weights @ (2 * bits - 1)
     return "".join("1" if s >= 0 else "0" for s in scores)
 
 
 @F.pandas_udf(T.StringType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash as a bit-string (word-frequency weighted)."""
+    """64-bit SimHash as a bit-string (word-frequency weighted,
+    numpy-vectorized per document)."""
     return texts.map(_simhash_bits)
 
 
@@ -127,6 +138,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded (id, shingle) table of distinct word n-gram shingles."""
+    shingle_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col},' ')) - {SHINGLE_WORDS - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col},' '), i, {SHINGLE_WORDS}))))"
+    )
+    return df.select(F.col(id_col).alias("id"), shingle_expr.alias("shingles")).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
@@ -135,13 +157,7 @@ def ngram_jaccard_pairs(
     explode(distinct shingles) → equi-join on shingle → per-pair
     intersection counts → |A∪B| from per-doc sizes. Non-overlapping
     pairs never materialize."""
-    shingle_expr = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({text_col},' ')) - {SHINGLE_WORDS - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col},' '), i, {SHINGLE_WORDS}))))"
-    )
-    sh = df.select(F.col(id_col).alias("id"), shingle_expr.alias("shingles")).select(
-        "id", F.explode("shingles").alias("shingle")
-    )
+    sh = shingle_table(df, id_col, text_col)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -171,17 +187,111 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Small-n path: direct self-join. Scale path: pre-bucket by the first
-    16 bits (``substring(sim, 1, 16)``) so only same-prefix pairs join —
-    standard SimHash table-partitioning; with 4 tables of 16 bits any
-    pair within Hamming ≤ 3 shares at least one table prefix."""
-    sims = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
-    a = sims.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"))
-    b = sims.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    hamming = F.expr(
-        "size(filter(sequence(1, 64), i -> substring(sim_a, i, 1) != substring(sim_b, i, 1)))"
+    Blocked-LSH candidate generation (pigeonhole guarantee): the 64-bit
+    signature is split into ``max_hamming + 1`` blocks — any pair within
+    ``max_hamming`` differing bits agrees on at least one whole block, so
+    joining on (block_idx, block_bits) finds every qualifying pair while
+    only same-block rows ever shuffle together (never O(n²)). Exact
+    Hamming is then verified with two 32-bit ``bit_count(xor)`` ops —
+    integer XOR, not per-character comparison."""
+    n_blocks = max_hamming + 1
+    base = 64 // n_blocks
+    rem = 64 % n_blocks
+    # block b covers [start_b, start_b + len_b): first `rem` blocks one wider
+    bounds = []
+    pos = 1
+    for b_idx in range(n_blocks):
+        ln = base + (1 if b_idx < rem else 0)
+        bounds.append((pos, ln))
+        pos += ln
+
+    sims = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    ).select(
+        "id",
+        "sim",
+        F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
     )
-    return pairs.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    blocks = sims.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.substring("sim", start, ln).alias("key"),
+                    )
+                    for i, (start, ln) in enumerate(bounds)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.blk", "b.key")
+
+    a = blocks.select(F.col("id").alias("id_a"), "blk", "key")
+    b = blocks.select(F.col("id").alias("id_b"), "blk", "key")
+    cands = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sims.select(
+        F.col("id").alias("id_a"), F.col("h1").alias("h1a"), F.col("h2").alias("h2a")
+    )
+    sb = sims.select(
+        F.col("id").alias("id_b"), F.col("h1").alias("h1b"), F.col("h2").alias("h2b")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+                + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def verified_near_dups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """The scale-path dedup pipeline: MinHash-LSH candidates, then exact
+    Jaccard computed ONLY for candidate pairs (never all-pairs).
+
+    At 100 TB: signatures are linear scans; the band join shuffles
+    O(n·bands) keys; verification joins the shingle table onto the
+    (small) candidate set — total cost is driven by the true near-dup
+    density, not the corpus square."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    sh = shingle_table(df, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cands.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("_idb"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -88,17 +88,23 @@ class Producer:
             ),
         ).select("topic", "partition", "offset", "timestamp", "key", "value")
 
-        out.write.mode("append").partitionBy("partition").parquet(
-            self.catalog.data_dir(topic)
-        )
-
-        new_tails = {
-            r["partition"]: r["tail"]
-            for r in self.catalog.read(topic)
-            .groupBy("partition")
-            .agg(F.max("offset").alias("tail"))
-            .collect()
-        }
+        # persist the batch so the tail aggregation below reuses it instead
+        # of re-reading the whole topic — tails advance in O(batch), not
+        # O(topic) (the reference's producer.offset file is likewise
+        # updated from the in-flight chunk, internal/data/index_file_writer.go)
+        out = out.persist()
+        try:
+            out.write.mode("append").partitionBy("partition").parquet(
+                self.catalog.data_dir(topic)
+            )
+            new_tails = {
+                r["partition"]: r["tail"]
+                for r in out.groupBy("partition")
+                .agg(F.max("offset").alias("tail"))
+                .collect()
+            }
+        finally:
+            out.unpersist()
         self.catalog.advance_tails(topic, new_tails)
         return self.catalog.tails(topic)
 

@@ -15,6 +15,7 @@ from polar_spark.functions.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    verified_near_dups,
 )
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table
@@ -132,3 +133,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature computed by an Arrow-batched UDF (functions/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, seed,
+    MIN(substr(md5(seed::VARCHAR || ':' || shingle), 1, 16)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bandkey AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM hs GROUP BY doc_id, seed // 4
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
+""",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup pipeline: MinHash-LSH candidate generation
+    followed by exact n-gram Jaccard verification restricted to the
+    candidate pairs — all-pairs exactness is never paid; verification
+    cost is O(|candidates|)."""
+    d = load_table(spark, sf_dir, "documents")
+    return verified_near_dups(d, "doc_id", "text", threshold=0.7)
