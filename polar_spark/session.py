@@ -26,6 +26,16 @@ def get_spark(
     masters; on a real cluster leave it unset and let AQE coalesce from a
     high initial number.
     """
+    # make polar_spark importable in every Python process Spark spawns
+    # (executors AND the driver-side streaming-source runner, which only
+    # inherits PYTHONPATH) — must happen before the JVM starts
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"

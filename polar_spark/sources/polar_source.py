@@ -1,0 +1,221 @@
+"""Custom PySpark DataSource exposing topic semantics: format "polar".
+
+The one genuine extension point the Spark mapping needs (SURVEY.md §4):
+a source that speaks (topic, partition, offset) like the reference's
+consumer API. Registered via ``spark.dataSource.register(PolarDataSource)``
+and used as::
+
+    spark.read.format("polar")
+         .option("root", catalog_root).option("topic", "clicks")
+         .option("startingOffsets", "earliest" | '{"0": 100, ...}')
+         .load()
+
+    spark.readStream.format("polar")... (micro-batches of newly produced
+    records per trigger, tracked by per-partition tail offsets — the
+    same offset-cursor law as the reference's segment reader,
+    internal/data/segment_reader.go:54-195)
+
+Design notes for scale: the batch reader emits one InputPartition per
+topic partition (reader parallelism == topic partitions, like the
+reference's consumer-range fan-out) and reads only that partition's
+directory with an offset-range row filter applied at the parquet scan
+via pyarrow (row-group pruning on offset stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TOPIC_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+@dataclass
+class _PartitionSlice(InputPartition):
+    partition: int
+    start_offset: int  # exclusive
+    end_offset: int | None  # inclusive; None = tail
+
+
+def _partition_dir(root: str, topic: str, partition: int) -> str:
+    return os.path.join(root, "topics", topic, "data", f"partition={partition}")
+
+
+def _read_tails(root: str, topic: str) -> dict[int, int]:
+    with open(os.path.join(root, "topics", topic, "tails.json")) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def _scan_slice(
+    root: str, topic: str, sl: _PartitionSlice
+) -> Iterator[tuple]:
+    """Read one partition's rows in (start, end] offset range. Parquet
+    row-group stats prune files/groups wholly outside the range."""
+    import pyarrow.dataset as ds
+
+    d = _partition_dir(root, topic, sl.partition)
+    if not os.path.isdir(d):
+        return
+    dataset = ds.dataset(d, format="parquet")
+    flt = ds.field("offset") > sl.start_offset
+    if sl.end_offset is not None:
+        flt = flt & (ds.field("offset") <= sl.end_offset)
+    table = dataset.to_table(
+        columns=["topic", "offset", "timestamp", "key", "value"], filter=flt
+    )
+    utc = __import__("datetime").timezone.utc
+    for batch in table.to_batches():
+        cols = [batch.column(i) for i in range(batch.num_columns)]
+        for i in range(batch.num_rows):
+            ts = cols[2][i].as_py()
+            if ts is not None and ts.tzinfo is None:
+                # Arrow surface is tz-naive UTC; Spark's Python-source
+                # conversion requires aware timestamps
+                ts = ts.replace(tzinfo=utc)
+            yield (
+                cols[0][i].as_py(),
+                sl.partition,
+                cols[1][i].as_py(),
+                ts,
+                cols[3][i].as_py(),
+                cols[4][i].as_py(),
+            )
+
+
+class PolarBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        starting = options.get("startingoffsets", "earliest")
+        tails = _read_tails(self.root, self.topic)
+        if starting == "earliest":
+            self.committed = dict.fromkeys(tails, -1)
+        elif starting == "latest":
+            self.committed = dict(tails)
+        else:
+            explicit = {int(k): int(v) for k, v in json.loads(starting).items()}
+            self.committed = {p: explicit.get(p, -1) for p in tails}
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one task per topic partition — the consumer-range fan-out
+        return [
+            _PartitionSlice(p, self.committed.get(p, -1), None)
+            for p in sorted(self.committed)
+        ]
+
+    def read(self, partition: _PartitionSlice) -> Iterator[tuple]:
+        yield from _scan_slice(self.root, self.topic, partition)
+
+
+class PolarStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tailing: offsets dict {partition: last_served} — each
+    batch serves (prev_tail, current_tail] per partition. The stored
+    tails ledger is the source-of-truth cursor (the reference's
+    producer.offset file, internal/data/offset_file_writer.go)."""
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        starting = options.get("startingoffsets", "earliest")
+        self._start_latest = starting == "latest"
+
+    def initialOffset(self) -> dict:
+        tails = _read_tails(self.root, self.topic)
+        if self._start_latest:
+            return {str(p): t for p, t in tails.items()}
+        return {str(p): -1 for p in tails}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        tails = _read_tails(self.root, self.topic)
+        end = {str(p): max(int(t), int(start.get(str(p), -1))) for p, t in tails.items()}
+        # materialized list: Spark's prefetch cache copy.copy()s this, and a
+        # micro-batch is bounded by the produce rate between triggers
+        rows: list[tuple] = []
+        for p_str, end_off in end.items():
+            p = int(p_str)
+            s = int(start.get(p_str, -1))
+            if end_off > s:
+                rows.extend(
+                    _scan_slice(self.root, self.topic, _PartitionSlice(p, s, end_off))
+                )
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for p_str, end_off in end.items():
+            p = int(p_str)
+            s = int(start.get(p_str, -1))
+            if int(end_off) > s:
+                yield from _scan_slice(
+                    self.root, self.topic, _PartitionSlice(p, s, int(end_off))
+                )
+
+    def commit(self, end: dict) -> None:
+        # checkpoint WAL owns progress; nothing broker-side to clean up
+        return
+
+
+class PolarDataSource(DataSource):
+    """format("polar") — topic tables with offset semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "polar"
+
+    def schema(self) -> StructType:
+        return TOPIC_SCHEMA
+
+    def reader(self, schema: StructType) -> PolarBatchReader:
+        return PolarBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PolarStreamReader:
+        return PolarStreamReader(self.options)
+
+
+def register(spark, ship_package: bool = True) -> None:
+    """Register format("polar"), shipping the polar_spark package to
+    executors (zip + addPyFile) so worker processes can deserialize the
+    reader regardless of their working directory."""
+    if ship_package:
+        import tempfile
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = os.path.dirname(pkg_root)
+        zpath = os.path.join(tempfile.gettempdir(), "polar_spark_pkg.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for dirpath, _dirs, files in os.walk(pkg_root):
+                    if "__pycache__" in dirpath:
+                        continue
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            z.write(full, os.path.relpath(full, base))
+        spark.sparkContext.addPyFile(zpath)
+    spark.dataSource.register(PolarDataSource)

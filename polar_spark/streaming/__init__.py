@@ -1,0 +1,5 @@
+from polar_spark.streaming.ingest import StreamingProducer, stream_topic  # noqa: F401
+from polar_spark.streaming.aggregates import (  # noqa: F401
+    windowed_counts,
+    session_aggregate,
+)

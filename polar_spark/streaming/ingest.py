@@ -1,0 +1,75 @@
+"""Structured-Streaming produce/consume over topic tables.
+
+The reference's ingest loop (HTTP → coalescer → segment writer,
+SURVEY.md §3.1) maps onto a streaming query:
+
+    readStream(source) → partition/offset assignment → writeStream
+        .format(parquet).partitionBy(partition).trigger(N seconds)
+
+- the micro-batch trigger IS the coalescing window (reference groups
+  ≤2 MiB / 100 µs, internal/producing/coalescer.go:138-155);
+- the checkpoint WAL replaces the generation/offset consensus;
+- DFS replication replaces follower acks;
+- `maxFilesPerTrigger` / `maxOffsetsPerTrigger`-style options provide
+  the backpressure the reference gets from unbuffered channels
+  (internal/producing/coalescer.go:65).
+
+Offset assignment in a streaming batch uses the same tail-ledger law as
+the batch producer, applied per micro-batch in ``foreachBatch`` — each
+micro-batch is one "coalescer group" with contiguous offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from polar_spark.produce import Producer
+from polar_spark.topics import TopicCatalog
+
+
+class StreamingProducer:
+    """Continuously ingest a streaming DataFrame into a topic."""
+
+    def __init__(self, catalog: TopicCatalog):
+        self.catalog = catalog
+        self._producer = Producer(catalog)
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        topic: str,
+        key_col: str | None = None,
+        value_col: str = "value",
+        ts_col: str | None = None,
+        checkpoint_dir: str | None = None,
+        trigger_seconds: float | None = None,
+    ) -> StreamingQuery:
+        """``foreachBatch`` produce: every micro-batch appends with
+        contiguous offsets via the tail ledger (exactly-once within the
+        sink; the poll facade downgrades to at-least-once by design)."""
+        cp = checkpoint_dir or f"{self.catalog.topic_dir(topic)}/_checkpoint_ingest"
+
+        def _sink(batch_df: DataFrame, _epoch: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self._producer.produce(
+                batch_df, topic, key_col=key_col, value_col=value_col, ts_col=ts_col
+            )
+
+        writer = stream_df.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", cp
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def stream_topic(spark: SparkSession, catalog: TopicCatalog, topic: str) -> DataFrame:
+    """readStream over a topic table — the consumer-group long-poll loop
+    as a streaming scan (new segment files are discovered per batch, the
+    same tailing the reference's segment reader does,
+    internal/data/segment_reader.go:106-195)."""
+    return catalog.read_stream(topic)

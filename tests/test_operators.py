@@ -1,0 +1,181 @@
+"""Unit tests for reusable operators and LLM-pipeline functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    verified_near_dups,
+)
+from polar_spark.functions.multimodal import (
+    attach_blob,
+    decode_image_features,
+    frame_sample,
+)
+from polar_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_bucket,
+    quantize,
+)
+from polar_spark.operators.asof import asof_join
+from polar_spark.operators.sessionize import sessionize
+from polar_spark.sources.tables import load_table
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "t1"),
+            (1, _ts("2024-01-01T12:00:00"), "t2"),
+            (2, _ts("2024-01-01T09:00:00"), "t3"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 100),
+            (1, _ts("2024-01-01T11:00:00"), 200),
+            (1, _ts("2024-01-01T12:00:00"), 300),  # equal ts: must match t2
+            (2, _ts("2024-01-01T09:30:00"), 400),  # after left: no match
+        ],
+        "k int, rts timestamp, v int",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["v"], tiebreak="v").collect()
+    by_tag = {r["tag"]: r for r in out}
+    assert by_tag["t1"]["right_v"] == 100
+    assert by_tag["t2"]["right_v"] == 300  # equal-ts right row matches
+    assert by_tag["t3"]["right_v"] is None  # nothing at-or-before
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00:00")),
+        (1, _ts("2024-01-01T10:29:59")),  # within 30min gap → same session
+        (1, _ts("2024-01-01T11:00:00")),  # 30:01 later → wait, 31:01? no: 10:29:59+30m=10:59:59 <11:00 → new
+        (2, _ts("2024-01-01T10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user int, ts timestamp")
+    out = sessionize(df, "user", "ts", gap_seconds=1800).collect()
+    sess = {(r["user"], r["ts"].isoformat()): r["session_id"] for r in out}
+    assert sess[(1, "2024-01-01T10:00:00")] == 1
+    assert sess[(1, "2024-01-01T10:29:59")] == 1
+    assert sess[(1, "2024-01-01T11:00:00")] == 2
+    assert sess[(2, "2024-01-01T10:00:00")] == 1
+
+
+def test_exact_gap_is_same_session(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00")), (1, _ts("2024-01-01T10:30:00"))],
+        "user int, ts timestamp",
+    )
+    out = sessionize(df, "user", "ts", gap_seconds=1800).collect()
+    assert {r["session_id"] for r in out} == {1}  # gap == threshold: same
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with no overlap whatsoever in any shingle"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    verified = verified_near_dups(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in verified] == [(1, 2)]
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.99).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_pairs(df, "doc_id", "text", max_hamming=64).collect()}
+    assert out[(1, 2)] == 0
+
+
+def test_quantized_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), quantize("embedding").alias("qv")
+    )
+    cands = e.select("vec_id", quantize("embedding").alias("cv"))
+    got = {
+        (r["qid"], r["rn"]): r["vec_id"]
+        for r in brute_force_topk(queries, cands, k=3).collect()
+    }
+    rows = e.collect()
+    M = np.floor(np.array([r["embedding"] for r in rows], dtype=np.float64) * 10000)
+    ids = np.array([r["vec_id"] for r in rows])
+    for q in range(3):
+        qi = list(ids).index(q)
+        dots = (M @ M[qi]).astype(np.int64)
+        order = sorted(
+            [(d, i) for d, i in zip(dots, ids) if i != q], key=lambda t: (-t[0], t[1])
+        )
+        for rank in range(3):
+            assert got[(q, rank + 1)] == order[rank][1]
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    out = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert out[0]["c"] == pytest.approx(1.0)
+    assert out[1]["c"] == pytest.approx(0.0)
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(20)
+    b1 = e.select("vec_id", lsh_bucket(quantize("embedding"), 64).alias("b")).collect()
+    b2 = e.select("vec_id", lsh_bucket(quantize("embedding"), 64).alias("b")).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    assert all(len(r["b"]) == 8 and set(r["b"]) <= {"0", "1"} for r in b1)
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    blobs = attach_blob(d, "doc_id", "text", mime="image/fake")
+    feats = decode_image_features(blobs).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 0.0 <= r["mean_luma"] <= 1.0
+        assert r["nbytes"] > 0 and r["mime"] == "image/fake"
+    # determinism: same input → same features
+    again = decode_image_features(blobs).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_is_declared_stub(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(1)
+    blobs = attach_blob(d, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        frame_sample(blobs, "doc_id", "blob")

@@ -1,0 +1,158 @@
+"""Structured Streaming + custom source tests (memory sink, synchronous
+processAllAvailable — the reference's integration round-trips in
+streaming form)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.consume import EARLIEST, ConsumerGroup
+from polar_spark.produce import Producer
+from polar_spark.sources.polar_source import PolarDataSource
+from polar_spark.sources.tables import load_table
+from polar_spark.streaming.aggregates import session_aggregate, windowed_counts
+from polar_spark.streaming.ingest import StreamingProducer
+from polar_spark.topics import TopicCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return TopicCatalog(spark, str(tmp_path))
+
+
+def _seed_topic(spark, sf_dir, catalog, topic="st", n=500):
+    ev = load_table(spark, sf_dir, "events").limit(n)
+    Producer(catalog).produce(ev, topic, key_col="user_id", value_col="props", ts_col="ts")
+    return ev
+
+
+def test_polar_source_batch_read(spark, sf_dir, catalog):
+    _seed_topic(spark, sf_dir, catalog)
+    spark.dataSource.register(PolarDataSource)
+    df = (
+        spark.read.format("polar")
+        .option("root", catalog.root)
+        .option("topic", "st")
+        .load()
+    )
+    assert df.count() == 500
+    assert df.columns == ["topic", "partition", "offset", "timestamp", "key", "value"]
+    # startingOffsets pushdown: explicit offsets skip served records
+    committed = {str(p): 5 for p in catalog.tails("st")}
+    df2 = (
+        spark.read.format("polar")
+        .option("root", catalog.root)
+        .option("topic", "st")
+        .option("startingOffsets", __import__("json").dumps(committed))
+        .load()
+    )
+    assert df2.count() == df.filter(F.col("offset") > 5).count()
+
+
+def test_polar_source_stream_tails_new_data(spark, sf_dir, catalog, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    _seed_topic(spark, sf_dir, catalog, n=300)
+    spark.dataSource.register(PolarDataSource)
+    stream = (
+        spark.readStream.format("polar")
+        .option("root", catalog.root)
+        .option("topic", "st")
+        .load()
+    )
+    out_dir = str(tmp_path / "out")
+
+    def _run_batch():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_batch()
+    assert spark.read.parquet(out_dir).count() == 300
+
+    # produce more, resume from the checkpoint — only the delta arrives
+    Producer(catalog).produce(
+        ev.filter(F.col("event_id").between(300, 399)),
+        "st",
+        key_col="user_id",
+        value_col="props",
+        ts_col="ts",
+    )
+    _run_batch()
+    sunk = spark.read.parquet(out_dir)
+    assert sunk.count() == 400  # 300 + the 100-row delta, no re-delivery
+    assert sunk.select("offset", "partition").distinct().count() == 400
+
+
+def test_streaming_ingest_foreachbatch(spark, sf_dir, catalog, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    src_dir = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = StreamingProducer(catalog).start(
+        stream,
+        "ingested",
+        key_col="user_id",
+        value_col="props",
+        ts_col="ts",
+        checkpoint_dir=str(tmp_path / "cp2"),
+    )
+    q.awaitTermination(120)
+    g = ConsumerGroup(catalog, "g")
+    g.register("ingested", EARLIEST)
+    assert g.poll("ingested").df.count() == 400
+
+
+def test_windowed_counts_streaming(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    src = str(tmp_path / "wsrc")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_counts(stream, "ts", window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wc_out")
+        .option("checkpointLocation", str(tmp_path / "wcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-finalized windows; check subset law
+    got = {
+        (r["window_start"], r["n"])
+        for r in spark.sql("select * from wc_out").collect()
+    }
+    expect = {
+        (r["hour"], r["n"])
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got.issubset(expect)
+
+
+def test_session_aggregate_streaming(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    src = str(tmp_path / "ssrc")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = session_aggregate(stream, "user_id", "ts", gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "scp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_out").collect()
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert r["session_end"] >= r["session_start"]
