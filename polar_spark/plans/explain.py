@@ -1,0 +1,54 @@
+"""Physical-plan inspection helpers.
+
+Executable form of the scale checklist: is the filter pushed to the
+parquet scan, is the small side broadcast, how many exchanges does the
+plan pay? Tests assert on these so plan regressions fail CI, not a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode  # noqa: SLF001
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every scan in the plan."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
+def scan_schema_columns(df: DataFrame) -> list[list[str]]:
+    """ReadSchema column lists per scan — column-pruning check."""
+    text = explain_str(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of distinct Exchange operators (shuffles) in the physical
+    plan (formatted mode: one "(n) Exchange" detail header per node;
+    ReusedExchange intentionally not counted — it pays no new shuffle)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", explain_str(df)))
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """How many WholeStageCodegen spans the plan has (wider = better)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))

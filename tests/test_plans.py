@@ -1,0 +1,85 @@
+"""Plan-shape assertions: the scale contract, enforced.
+
+Each test pins a property that must survive a 100×-1000× scale-up:
+filters reach the parquet scan, dimension joins broadcast, projections
+prune columns, shuffles stay at the minimum the algebra requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polar_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_schema_columns,
+    shuffle_count,
+)
+from polar_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_top_orders_by_revenue,
+    q5_nation_revenue,
+)
+from polar_spark.queries.streamlike import window_tumbling_hourly
+from polar_spark.sources.tables import load_table
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reaches the parquet scan
+    scans = scan_schema_columns(df)
+    assert scans, "expected at least one parquet scan"
+    # Q1 touches 7 of 11 lineitem columns; the scan must not read more
+    for cols in scans:
+        assert len(cols) <= 7
+        assert "l_orderkey" not in cols  # unused column is pruned
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # one hash exchange for the groupBy — partial aggregation upstream
+    assert shuffle_count(q1_pricing_summary(spark, sf_dir)) == 1
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = q3_top_orders_by_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed and "l_shipdate" in pushed
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = q5_nation_revenue(spark, sf_dir)
+    text_scans = scan_schema_columns(df)
+    assert has_broadcast_join(df)
+    # orders⋈lineitem is the only shuffle join; dims broadcast. The plan
+    # should pay at most: join shuffle(s) + final agg shuffle.
+    assert shuffle_count(df) <= 3
+    # region scan reads only the 2 columns it needs
+    assert any(set(c) <= {"r_regionkey", "r_name"} for c in text_scans)
+
+
+def test_events_projection_prunes_payload(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.groupBy("event_type").count()
+    for cols in scan_schema_columns(df):
+        assert "props" not in cols  # untouched payload never read
+
+
+def test_tumbling_window_single_shuffle(spark, sf_dir):
+    assert shuffle_count(window_tumbling_hourly(spark, sf_dir)) == 1
+
+
+def test_topic_read_prunes_partitions(spark, sf_dir, tmp_path):
+    from polar_spark.produce import Producer
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    Producer(cat).produce(ev, "t", key_col="user_id", value_col="props", ts_col="ts")
+    df = cat.read("t").filter(F.col("partition") == 3)
+    # partition is a directory column: pruned at listing, never scanned
+    from polar_spark.plans.explain import explain_str
+
+    txt = explain_str(df)
+    assert "PartitionFilters" in txt and "partition" in txt.split("PartitionFilters")[1][:200]
