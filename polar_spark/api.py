@@ -1,0 +1,150 @@
+"""PolarEngine: the reference's client API surface, Spark-native.
+
+One object exposing what the reference serves over REST+binary
+(docs/rest_api/README.md): produce (JSON / NDJSON), consumer
+register / poll / commit / goodbye with group assignment, topic
+discovery metadata. A user of the reference maps their calls 1:1:
+
+    reference                                   polar_spark
+    ------------------------------------------  ------------------------------
+    POST /v1/topic/{t}/messages?partitionKey=k  engine.produce(t, rows, key)
+    PUT  /v1/consumer/register                  engine.register(consumer, group, topics)
+    POST /v1/consumer/poll?consumerId=c         engine.poll(c)
+    POST /v1/consumer/commit?consumerId=c       engine.commit(c)
+    POST /v1/consumer/goodbye?consumerId=c      engine.goodbye(c)
+    GET  /v1/brokers                            engine.discovery()
+
+Delivery remains at-least-once end-to-end: poll returns data before the
+commit moves (docs/rest_api/consumer_flow/README.md:30-38).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from polar_spark.assignment import assign_partitions
+from polar_spark.consume import EARLIEST, ConsumerGroup, PollResult
+from polar_spark.produce import Producer
+from polar_spark.topics import DEFAULT_PARTITIONS, TopicCatalog
+
+
+@dataclass
+class _ConsumerState:
+    consumer_id: str
+    group: str
+    topics: list[str]
+    on_new_group: str
+    last_seen: float = field(default_factory=time.time)
+
+
+class PolarEngine:
+    def __init__(self, spark: SparkSession, root: str,
+                 num_partitions: int = DEFAULT_PARTITIONS):
+        self.spark = spark
+        self.catalog = TopicCatalog(spark, root)
+        self.producer = Producer(self.catalog)
+        self.num_partitions = num_partitions
+        self._consumers: dict[str, _ConsumerState] = {}
+        self._pending: dict[str, dict[str, dict[int, int]]] = {}
+
+    # -- produce ----------------------------------------------------------
+    def produce(self, topic: str, df: DataFrame, key_col: str | None = None,
+                value_col: str = "value", ts_col: str | None = None) -> dict[int, int]:
+        """POST /v1/topic/{topic}/messages — topics are created implicitly
+        (reference Exists() always true, internal/data/topics/topics.go:30)."""
+        self.catalog.ensure_topic(topic, self.num_partitions)
+        return self.producer.produce(df, topic, key_col=key_col,
+                                     value_col=value_col, ts_col=ts_col)
+
+    def produce_ndjson(self, topic: str, df: DataFrame, body_col: str = "body",
+                       key_col: str | None = None) -> dict[int, int]:
+        self.catalog.ensure_topic(topic, self.num_partitions)
+        return self.producer.produce_ndjson(df, topic, body_col=body_col, key_col=key_col)
+
+    # -- consumer lifecycle ------------------------------------------------
+    def register(self, consumer_id: str, group: str, topics: list[str],
+                 on_new_group: str = EARLIEST) -> None:
+        """PUT /v1/consumer/register — group ledger created with the
+        reset policy; assignment recomputes on every membership change
+        (the reference debounces 10 s; driver-side we recompute
+        synchronously — same resulting assignment law)."""
+        self._consumers[consumer_id] = _ConsumerState(
+            consumer_id, group, list(topics), on_new_group
+        )
+        for t in topics:
+            self.catalog.ensure_topic(t, self.num_partitions)
+            ConsumerGroup(self.catalog, group).register(t, on_new_group)
+
+    def assignment(self, consumer_id: str) -> dict[str, list[int]]:
+        """Partitions this consumer may poll, per topic (deterministic
+        round-robin over the group's sorted member ids)."""
+        st = self._require(consumer_id)
+        members = [c.consumer_id for c in self._consumers.values() if c.group == st.group]
+        return {
+            t: assign_partitions(members, self.num_partitions).get(consumer_id, [])
+            for t in st.topics
+        }
+
+    def poll(self, consumer_id: str, max_records: int | None = None) -> dict[str, PollResult]:
+        """POST /v1/consumer/poll — next records from the consumer's
+        assigned partitions, in offset order; positions are retained so
+        a later commit() can move the group's offsets
+        (commit-after-deliver = at-least-once)."""
+        st = self._require(consumer_id)
+        st.last_seen = time.time()
+        group = ConsumerGroup(self.catalog, st.group)
+        out: dict[str, PollResult] = {}
+        assigned = self.assignment(consumer_id)
+        for t in st.topics:
+            res = group.poll(t, max_records=max_records, partitions=assigned[t])
+            self._pending.setdefault(consumer_id, {})[t] = res.positions
+            out[t] = res
+        return out
+
+    def commit(self, consumer_id: str) -> None:
+        """Manual commit of the last polled positions."""
+        st = self._require(consumer_id)
+        group = ConsumerGroup(self.catalog, st.group)
+        for t, positions in self._pending.get(consumer_id, {}).items():
+            group.commit(t, positions)
+        self._pending.pop(consumer_id, None)
+
+    def goodbye(self, consumer_id: str) -> None:
+        """POST /v1/consumer/goodbye — commit and leave; remaining members
+        re-acquire the departed consumer's partitions."""
+        self.commit(consumer_id)
+        self._consumers.pop(consumer_id, None)
+
+    def evict_inactive(self, timeout_seconds: float = 120.0) -> list[str]:
+        """Reference: consumers idle > 2 min are unregistered
+        (internal/conf/config.go:273-276)."""
+        now = time.time()
+        gone = [c for c, st in self._consumers.items() if now - st.last_seen > timeout_seconds]
+        for c in gone:
+            self._consumers.pop(c, None)
+            self._pending.pop(c, None)
+        return gone
+
+    # -- discovery ---------------------------------------------------------
+    def discovery(self) -> dict:
+        """GET /v1/brokers — cluster metadata. Spark has no broker ring;
+        we report the session's parallelism as the 'cluster'."""
+        sc = self.spark.sparkContext
+        return {
+            "baseName": "polar_spark",
+            "length": sc.defaultParallelism,
+            "partitions_per_topic": self.num_partitions,
+            "topics": self.catalog.list_topics(),
+            "groups": sorted({st.group for st in self._consumers.values()}),
+        }
+
+    def _require(self, consumer_id: str) -> _ConsumerState:
+        if consumer_id not in self._consumers:
+            raise ValueError(
+                f"unknown consumer {consumer_id!r}: register first "
+                "(reference returns 404 on unregistered poll)"
+            )
+        return self._consumers[consumer_id]

@@ -1,0 +1,99 @@
+"""PolarEngine facade tests: the reference's client workflow end-to-end
+(register → poll → commit → goodbye, multi-consumer assignment,
+inactivity eviction — reference scenarios from roundtrip_test.go and
+consumer_state_test.go re-expressed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.api import PolarEngine
+from polar_spark.assignment import assign_partitions
+from polar_spark.sources.tables import load_table
+
+
+def test_assignment_laws():
+    a = assign_partitions(["c2", "c1", "c3"], 12)
+    # balanced, total, deterministic, order-independent
+    assert sorted(sum(a.values(), [])) == list(range(12))
+    assert all(len(v) == 4 for v in a.values())
+    assert a == assign_partitions(["c3", "c1", "c2"], 12)
+    # more consumers than partitions: extras idle
+    b = assign_partitions([f"c{i}" for i in range(15)], 12)
+    assert sum(len(v) for v in b.values()) == 12
+    assert sum(1 for v in b.values() if not v) == 3
+    assert assign_partitions([], 12) == {}
+
+
+def test_engine_roundtrip_single_consumer(spark, sf_dir, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    eng.produce("clicks", ev, key_col="user_id", value_col="props", ts_col="ts")
+
+    eng.register("c1", "g", ["clicks"])
+    res = eng.poll("c1")["clicks"]
+    assert res.df.count() == 300
+    eng.commit("c1")
+    assert eng.poll("c1")["clicks"].df.count() == 0
+
+
+def test_engine_two_consumers_split_partitions(spark, sf_dir, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    eng.produce("t", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("a", "g", ["t"])
+    eng.register("b", "g", ["t"])
+
+    pa = eng.assignment("a")["t"]
+    pb = eng.assignment("b")["t"]
+    assert sorted(pa + pb) == list(range(12)) and not set(pa) & set(pb)
+
+    ra = eng.poll("a")["t"].df
+    rb = eng.poll("b")["t"].df
+    total = ra.count() + rb.count()
+    assert total == 1000  # disjoint complete coverage
+    assert set(r["partition"] for r in ra.select("partition").distinct().collect()) <= set(pa)
+
+
+def test_engine_goodbye_rebalances(spark, sf_dir, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    eng.produce("t", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("a", "g", ["t"])
+    eng.register("b", "g", ["t"])
+    eng.poll("a")
+    eng.goodbye("a")  # commits a's progress, frees its partitions
+    assert eng.assignment("b")["t"] == list(range(12))
+    # b sees everything a didn't commit... a polled+committed all of its
+    # partitions via goodbye, so b gets only the other half
+    left = eng.poll("b")["t"].df.count()
+    assert 0 < left < 200
+
+
+def test_engine_unregistered_poll_rejected(spark, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="register first"):
+        eng.poll("ghost")
+
+
+def test_engine_inactivity_eviction(spark, sf_dir, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    eng.produce("t", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("a", "g", ["t"])
+    assert eng.evict_inactive(timeout_seconds=1e6) == []
+    assert eng.evict_inactive(timeout_seconds=-1.0) == ["a"]
+    with pytest.raises(ValueError):
+        eng.poll("a")
+
+
+def test_engine_discovery(spark, sf_dir, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    eng.produce("alpha", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("c", "g1", ["alpha"])
+    d = eng.discovery()
+    assert d["topics"] == ["alpha"]
+    assert d["groups"] == ["g1"]
+    assert d["partitions_per_topic"] == 12
