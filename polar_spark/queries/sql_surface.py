@@ -1,0 +1,196 @@
+"""SQL-API surface queries: the engine's spark.sql() entry point over
+registered topic/analytics views, plus scalar-function breadth,
+subqueries, grouping sets, distinct aggregation and pagination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table, register_views
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the spark.sql() API (Catalyst rewrites
+    it to a left-semi join — same plan as the DataFrame form)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "distinct_aggregates",
+    oracle="""
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id % 7) AS n_cohorts
+FROM events GROUP BY event_type
+""",
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass (Catalyst expand)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("user_id") % 7).alias("n_cohorts"),
+    )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "scalar_function_breadth",
+    oracle="""
+SELECT o_orderkey,
+  upper(o_orderstatus) AS status_u,
+  length(o_orderpriority) AS prio_len,
+  substr(o_orderpriority, 1, 1) AS prio_1,
+  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+  replace(o_orderpriority, '-', '_') AS prio_norm,
+  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+  abs(o_custkey - 750) AS dist,
+  o_orderkey % 97 AS bucket,
+  greatest(o_custkey, o_orderkey % 2000) AS g,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def scalar_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / conditional scalar functions — identical
+    semantics JVM-side and in the oracle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_1"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_norm"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.abs(F.col("o_custkey") - 750).alias("dist"),
+        (F.col("o_orderkey") % 97).alias("bucket"),
+        F.greatest(F.col("o_custkey"), F.col("o_orderkey") % 2000).alias("g"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+    )
+
+
+@query(
+    "pagination_offset_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+def pagination_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyset-stable pagination (unique tiebreaker)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "ndjson_roundtrip",
+    oracle="""
+WITH bodies AS (
+  SELECT user_id, string_agg(props, chr(10) ORDER BY event_id) AS body
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  len(string_split(body, chr(10))) AS n_lines,
+  length(body) AS body_chars
+FROM bodies
+""",
+)
+def ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON reassembly/split round-trip: payloads concatenated into an
+    NDJSON body per producer key, then line-split — the produce path of
+    content-type application/x-ndjson (internal/producing/models.go:32-42)."""
+    ev = load_table(spark, sf_dir, "events")
+    bodies = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "props"))),
+                lambda s: s["props"],
+            ),
+            "\n",
+        ).alias("body")
+    )
+    return bodies.select(
+        "user_id",
+        F.size(F.split("body", "\n")).alias("n_lines"),
+        F.length("body").alias("body_chars"),
+    )
+
+
+@query(
+    "argmax_top_event",
+    oracle="""
+SELECT e.event_type, MAX(e.event_id) AS top_event_id, m.mv AS max_value
+FROM events e
+JOIN (SELECT event_type, MAX(value) AS mv FROM events GROUP BY event_type) m
+  ON e.event_type = m.event_type AND e.value = m.mv
+GROUP BY e.event_type, m.mv
+""",
+)
+def argmax_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-max: the event attaining the per-type maximum
+    value (ties broken by max event_id — never engine-dependent)."""
+    ev = load_table(spark, sf_dir, "events")
+    mv = ev.groupBy("event_type").agg(F.max("value").alias("mv"))
+    return (
+        ev.join(F.broadcast(mv), ["event_type"])
+        .filter(F.col("value") == F.col("mv"))
+        .groupBy("event_type", "mv")
+        .agg(F.max("event_id").alias("top_event_id"))
+        .select(
+            "event_type",
+            "top_event_id",
+            F.col("mv").alias("max_value"),
+        )
+    )
