@@ -79,7 +79,9 @@ def main() -> None:
         "dedup_minhash_verified",
         "dedup_simhash",
         "knn_bruteforce_dot",
+        "knn_ivf_probe",
         "embedding_lsh_buckets",
+        "dedup_embedding_cosine",
         "text_quality_stats",
     ]
     for name in headline:

@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 
 QUANT = 10000
 N_PLANES = 8
+NLIST = 16  # IVF coarse cells (small by construction: always inlineable)
+NPROBE = 4
 
 
 def quantize(col: str | Column) -> Column:
@@ -67,6 +69,88 @@ def cosine(a: Column, b: Column) -> Column:
         )
     )
     return d / (na * nb)
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine from exact integer dot products: ``dot/(√(a·a)·√(b·b))``.
+
+    The three dots are exact int64 sums (< 2⁵³, so their double casts are
+    exact); sqrt/multiply/divide are correctly-rounded IEEE ops — the
+    result is bit-identical in any engine, hence oracle-comparable."""
+    return dot(a, b).cast("double") / (
+        F.sqrt(dot(a, a).cast("double")) * F.sqrt(dot(b, b).cast("double"))
+    )
+
+
+def centroid_scores(
+    vec_col: str | Column, centroids: list[tuple[int, list[int]]]
+) -> Column:
+    """``array<struct<d2,cid>>`` of squared-L2 distance to each centroid.
+
+    Centroids are inlined as literals — the coarse codebook of an IVF
+    index is tiny by construction, so assignment is a narrow per-row
+    expression (whole-stage codegen, zero shuffle) even at 100 TB."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs = []
+    for cid, cv in sorted(centroids):
+        lit_vec = F.array(*[F.lit(int(x)).cast("bigint") for x in cv])
+        d2 = F.aggregate(
+            F.zip_with(c, lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid")))
+    return F.array(*structs)
+
+
+def ivf_cell(vec_col: str | Column, centroids: list[tuple[int, list[int]]]) -> Column:
+    """Nearest-centroid cell id (ties → lowest cid; struct comparison is
+    lexicographic on (d2, cid))."""
+    return F.array_min(centroid_scores(vec_col, centroids)).getField("cid")
+
+
+def ivf_probe_cells(
+    vec_col: str | Column,
+    centroids: list[tuple[int, list[int]]],
+    nprobe: int = NPROBE,
+) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector (sorted by
+    distance, ties → lowest cid)."""
+    return F.transform(
+        F.slice(F.array_sort(centroid_scores(vec_col, centroids)), 1, nprobe),
+        lambda s: s.getField("cid"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    k: int = 5,
+    nprobe: int = NPROBE,
+    query_id: str = "qid",
+    cand_id: str = "vec_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """IVF-style ANN: assign candidates to coarse cells (narrow pass),
+    probe only each query's ``nprobe`` nearest cells, exact top-k inside.
+
+    At 100 TB: the inverted lists are the big table hash-partitioned by
+    ``cell``; queries explode to nprobe rows and broadcast, so the big
+    side never shuffles and scoring touches nprobe/nlist of the corpus."""
+    asg = candidates.withColumn("cell", ivf_cell(cand_vec, centroids))
+    probes = queries.withColumn(
+        "cell", F.explode(ivf_probe_cells(query_vec, centroids, nprobe))
+    )
+    j = asg.join(F.broadcast(probes), "cell").filter(
+        F.col(cand_id) != F.col(query_id)
+    )
+    scored = j.select(
+        query_id, cand_id, dot(F.col(query_vec), F.col(cand_vec)).alias("dot")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def brute_force_topk(

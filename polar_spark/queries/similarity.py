@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polar_spark.functions.similarity import (
+    NLIST,
+    NPROBE,
     brute_force_topk,
+    cosine_exact,
+    ivf_topk,
     lsh_bucket,
     quantize,
 )
@@ -79,6 +83,112 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("qid", F.col("label").alias("pred_label"))
+    )
+
+
+_BUCKETS_CTE = f"""
+WITH c AS (
+  SELECT vec_id, {_QV} AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, p,
+    SUM((strpos('0123456789abcdef', substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 9) * v[i]) AS s
+  FROM c
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) ps
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY vec_id, p
+), b AS (
+  SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "knn_ivf_probe",
+    oracle=f"""
+WITH c AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < {NLIST}),
+asg AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT a.vec_id, a.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(range(1, 65), i -> (a.v[i] - cent.cv[i]) * (a.v[i] - cent.cv[i]))), cent.cid) AS r
+    FROM c a CROSS JOIN cent) t WHERE r = 1
+), q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+probe AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT q.qid, q.qv, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        list_sum(list_transform(range(1, 65), i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))), cent.cid) AS r
+    FROM q CROSS JOIN cent) t WHERE r <= {NPROBE}
+), dots AS (
+  SELECT probe.qid, asg.vec_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> probe.qv[i] * asg.v[i])) AS BIGINT) AS dot
+  FROM probe JOIN asg USING (cell) WHERE asg.vec_id <> probe.qid
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM dots
+)
+SELECT qid, vec_id, dot, rn FROM ranked WHERE rn <= 5
+""",
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (Faiss-style coarse quantizer, deterministic codebook =
+    the first NLIST vectors): candidates assigned to nearest cell in one
+    narrow pass, queries probe their NPROBE nearest cells, exact top-5
+    inside the probed inverted lists only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"])
+        for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cands = qv.select("vec_id", F.col("v").alias("cv"))
+    return ivf_topk(queries, cands, cents, k=5).select("qid", "vec_id", "dot", "rn")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_BUCKETS_CTE
+    + """
+, j AS (
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+    CAST(list_sum(list_transform(range(1, 65), i -> ca.v[i] * cb.v[i])) AS DOUBLE)
+     / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> ca.v[i] * ca.v[i])) AS DOUBLE))
+      * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> cb.v[i] * cb.v[i])) AS DOUBLE))) AS cosine
+  FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN c ca ON ca.vec_id = ba.vec_id JOIN c cb ON cb.vec_id = bb.vec_id
+)
+SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    prefilter (only same-bucket pairs ever join — O(n·avg bucket), never
+    O(n²)), then exact integer-dot cosine verification ≥ 0.35."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        quantize("embedding").alias("v"),
+        lsh_bucket(quantize("embedding"), dims=64).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    bb = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
     )
 
 

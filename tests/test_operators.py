@@ -179,3 +179,45 @@ def test_frame_sample_is_declared_stub(spark, sf_dir):
     blobs = attach_blob(d, "doc_id", "text")
     with pytest.raises(NotImplementedError):
         frame_sample(blobs, "doc_id", "blob")
+
+
+def test_ivf_cells_partition_all_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import NLIST, ivf_cell, quantize
+    from polar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [(r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()]
+    cells = qv.select(ivf_cell("v", cents).alias("cell"))
+    # every vector lands in exactly one real cell; a centroid is its own cell
+    assert cells.filter((F.col("cell") < 0) | (F.col("cell") >= NLIST)).count() == 0
+    own = qv.filter(F.col("vec_id") < NLIST).select(
+        "vec_id", ivf_cell("v", cents).alias("cell")
+    )
+    assert own.filter(F.col("vec_id") != F.col("cell")).count() == 0
+
+
+def test_ivf_topk_subset_of_bruteforce_with_exact_k(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.queries.registry import QUERIES
+
+    ivf = QUERIES["knn_ivf_probe"].fn(spark, sf_dir)
+    per_q = ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx"))
+    rows = per_q.collect()
+    assert len(rows) == 10 and all(r["n"] == 5 and r["mx"] == 5 for r in rows)
+    # IVF neighbors are real vectors, never the query itself
+    assert ivf.filter(F.col("qid") == F.col("vec_id")).count() == 0
+
+
+def test_embedding_cosine_pairs_bounded_and_ordered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.queries.registry import QUERIES
+
+    pairs = QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    rows = pairs.collect()
+    assert rows, "bucketed cosine near-dup should find pairs on testdata"
+    assert all(r["id_a"] < r["id_b"] and 0.35 <= r["cosine"] <= 1.0 for r in rows)
