@@ -156,3 +156,50 @@ def test_session_aggregate_streaming(spark, sf_dir, tmp_path):
     for r in rows:
         assert r["n_events"] >= 1
         assert r["session_end"] >= r["session_start"]
+
+
+def test_stateful_dedup_and_offsets_across_batches(spark, tmp_path):
+    """State must carry across micro-batches: redelivered ids are dropped
+    in later batches, and per-partition offsets stay gapless."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.streaming.stateful import assign_offsets_stream, dedup_stream
+
+    src = str(tmp_path / "replay")
+    cols = ("event_id", "ts", "part")
+    batch_a = [(1, 10, 0), (2, 20, 0), (3, 30, 0)]
+    batch_b = [(3, 99, 0), (4, 40, 0)]  # id 3 redelivered with a later ts
+    spark.createDataFrame(batch_a, cols).coalesce(1).write.parquet(src)
+    _t.sleep(1.1)  # distinct mod-times → deterministic file order
+    spark.createDataFrame(batch_b, cols).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts long, part long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    deduped = dedup_stream(stream, "event_id", ["ts", "event_id"])
+    q1 = (
+        deduped.writeStream.format("memory").queryName("sf_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    got = {r["event_id"]: r["ts"] for r in spark.table("sf_dedup").collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}  # id 3 kept from FIRST delivery
+
+    offsets = assign_offsets_stream(stream, "part", ["ts", "event_id"])
+    q2 = (
+        offsets.writeStream.format("memory").queryName("sf_offsets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.table("sf_offsets").select("part", "offset").collect()
+    per_part = sorted(r["offset"] for r in rows if r["part"] == 0)
+    assert per_part == [0, 1, 2, 3, 4]  # gapless across both batches
