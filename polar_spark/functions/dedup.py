@@ -2,17 +2,20 @@
 
 Scale design (the whole point at 100 TB):
 - exact: md5-hash groupBy — one shuffle keyed by digest, map-side combine.
-- MinHash-LSH: per-doc signatures via an Arrow-batched Pandas UDF (no
-  shuffle), then band-bucket self-join — candidate pairs only ever
+- MinHash-LSH: per-doc signatures as whole-stage-codegen expressions (one
+  md5 per shingle + Kirsch-Mitzenmacher integer permutations — no Python,
+  no shuffle), then band-bucket self-join — candidate pairs only ever
   materialize inside a bucket, never O(n²) across the corpus.
-- SimHash: per-doc 64-bit signature (Pandas UDF), pairs compared within
-  LSH/fingerprint buckets or (small n) directly.
+- SimHash: per-doc 64-bit signature (codegen expression, one md5 per word
+  occurrence), pairs compared within pigeonhole blocks, never all-pairs.
 - n-gram Jaccard: exact verification for candidate pairs — explode
   distinct shingles and equi-join, so only pairs sharing ≥1 shingle cost
   anything.
 
-Hash functions are md5-based and byte-identical to the DuckDB oracle SQL
-in queries/dedup.py — the UDF path and the SQL path are interchangeable.
+Hash functions are md5-based and value-identical to the DuckDB oracle SQL
+in queries/dedup.py — the expression path and the SQL path are
+interchangeable. Pandas-UDF reference implementations are kept solely to
+cross-check the expressions in tests.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from pyspark.sql.window import Window
 MINHASH_SEEDS = 16
 MINHASH_BANDS = 4  # 4 bands × 4 rows: catches Jaccard ≳ 0.7 w.h.p.
 SHINGLE_WORDS = 3
+MINHASH_PRIME = 2147483647  # 2³¹−1; Kirsch-Mitzenmacher modulus
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -67,21 +71,36 @@ def shingles_expr(text_col: str, strict: bool = False) -> F.Column:
     )
 
 
-def minhash_sig_expr(shingles_col: str = "shingles") -> F.Column:
-    """MinHash signature computed entirely JVM-side: per seed, the min of
-    ``substr(md5(seed:shingle), 1, 16)`` over the doc's shingles.
-
-    Byte-identical to :func:`minhash_signature` (the Pandas-UDF form) and
-    to the DuckDB oracle — but ~20× faster: md5 + array_min stay inside
-    whole-stage codegen, no Arrow transfer, no Python interpreter."""
+def shingle_hash_pairs_expr(shingles_col: str = "shingles") -> F.Column:
+    """Per-shingle Kirsch-Mitzenmacher hash pair ``(a, b)``: ONE md5 per
+    shingle, split into two 60-bit halves reduced mod 2³¹−1. All 16
+    minhash permutations derive from this pair — 16× less hashing than
+    seeded-md5-per-permutation."""
+    m = MINHASH_PRIME
     return F.expr(
-        f"transform(sequence(0, {MINHASH_SEEDS - 1}), seed ->"
-        f" array_min(transform({shingles_col}, s ->"
-        f"   substring(md5(concat(cast(seed as string), ':', s)), 1, 16))))"
+        f"transform(transform({shingles_col}, s -> md5(s)), h -> named_struct("
+        f" 'a', cast(conv(substring(h, 1, 15), 16, 10) as bigint) % {m},"
+        f" 'b', cast(conv(substring(h, 17, 15), 16, 10) as bigint) % {m}))"
     )
 
 
-def _minhash_sig(text: str) -> list[str] | None:
+def minhash_sig_expr(pairs_col: str = "hp") -> F.Column:
+    """MinHash signature from KM hash pairs, entirely JVM-side: seed i's
+    permutation is ``(a + i·b) mod 2³¹−1`` (Kirsch-Mitzenmacher: two
+    hashes simulate any number of independent ones); the signature entry
+    is the min over the doc's shingles.
+
+    Identical to :func:`minhash_signature` (the Pandas-UDF form) and to
+    the DuckDB oracle — but whole-stage-codegen fast: one md5 per
+    shingle, integer arithmetic for all 16 permutations."""
+    return F.expr(
+        f"transform(sequence(0, {MINHASH_SEEDS - 1}), seed ->"
+        f" array_min(transform({pairs_col}, p ->"
+        f"   (p.a + seed * p.b) % {MINHASH_PRIME})))"
+    )
+
+
+def _minhash_sig(text: str) -> list[int] | None:
     words = text.split(" ")
     if len(words) < SHINGLE_WORDS:
         return None
@@ -89,21 +108,22 @@ def _minhash_sig(text: str) -> list[str] | None:
         " ".join(words[i : i + SHINGLE_WORDS])
         for i in range(len(words) - SHINGLE_WORDS + 1)
     }
-    sig = []
-    for seed in range(MINHASH_SEEDS):
-        sig.append(
-            min(
-                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:16]
-                for s in shingles
-            )
-        )
-    return sig
+    m = MINHASH_PRIME
+    pairs = []
+    for s in shingles:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        pairs.append((int(hx[0:15], 16) % m, int(hx[16:31], 16) % m))
+    return [
+        min((a + seed * b) % m for a, b in pairs)
+        for seed in range(MINHASH_SEEDS)
+    ]
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
+@F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_signature(texts: pd.Series) -> pd.Series:
-    """MinHash signature (16 md5-seeded permutations over 3-word
-    shingles). Arrow-batched; ~linear in corpus size, no shuffle."""
+    """MinHash signature (16 KM permutations over 3-word shingles) —
+    Python reference implementation of :func:`minhash_sig_expr`, kept for
+    cross-checking the JVM expression in tests."""
     return texts.map(_minhash_sig)
 
 
@@ -132,8 +152,73 @@ def _simhash_bits(text: str) -> str:
 @F.pandas_udf(T.StringType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash as a bit-string (word-frequency weighted,
-    numpy-vectorized per document)."""
+    numpy-vectorized per document) — Python reference implementation of
+    :func:`simhash_expr`, kept for cross-checking in tests."""
     return texts.map(_simhash_bits)
+
+
+def word_hash_pairs_expr(text_col: str) -> F.Column:
+    """Per-word (hi, lo) 32-bit halves of md5 — ONE md5 per word
+    occurrence (duplicates kept: they carry the frequency weight)."""
+    return F.expr(
+        f"transform(transform(split({text_col}, ' '), w -> md5(w)), h -> named_struct("
+        f" 'hi', cast(conv(substring(h, 1, 8), 16, 10) as bigint),"
+        f" 'lo', cast(conv(substring(h, 9, 8), 16, 10) as bigint)))"
+    )
+
+
+def simhash_expr(pairs_col: str = "wh") -> F.Column:
+    """64-bit SimHash bit-string computed JVM-side from per-word hash
+    pairs: bit j is the sign of Σ_words (2·bit_j(md5(w)) − 1) — identical
+    to :func:`simhash64` (occurrence sum == frequency-weighted sum) but
+    inside whole-stage codegen."""
+    return F.expr(
+        f"concat_ws('', transform(sequence(0, 63), j ->"
+        f" case when aggregate({pairs_col}, cast(0 as bigint), (acc, p) -> acc"
+        f"   + 2 * (case when j < 32 then shiftright(p.hi, 31 - j)"
+        f"          else shiftright(p.lo, 63 - j) end & 1) - 1) >= 0"
+        f" then '1' else '0' end))"
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) 64-bit SimHash bit-strings via explode + hash-aggregate.
+
+    Word occurrences explode to (id, hi, lo) md5-half rows (one md5 per
+    occurrence — duplicates carry the frequency weight), then the 64 bit
+    scores are 64 ``sum()`` agg columns over plain codegen bit-extracts;
+    value-identical to :func:`simhash64` but never leaves whole-stage
+    codegen, and the explode→partial-agg shape is the standard scalable
+    reduction (one shuffled row per doc)."""
+    wh = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("w"))
+        .withColumn("h", F.md5("w"))
+        .select(
+            "id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lo"),
+        )
+    )
+    scores = wh.groupBy("id").agg(
+        *[
+            F.sum(
+                2 * (F.shiftright(F.col("hi" if j < 32 else "lo"),
+                                  (31 - j) if j < 32 else (63 - j)).bitwiseAND(F.lit(1)))
+                - 1
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    return scores.select(
+        "id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(64)
+            ]
+        ).alias("sim"),
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -163,7 +248,13 @@ def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame
             F.concat_ws(
                 "|",
                 F.col("band").cast("string"),
-                F.concat_ws(",", F.slice(F.col(sig_col), F.col("band") * rows + 1, rows)),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(sig_col), F.col("band") * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
             )
         ).alias("band_key"),
     )
@@ -171,13 +262,35 @@ def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sig) MinHash signatures, computed JVM-side (codegen md5 over
-    shingle arrays — no Python worker in the hot path)."""
-    return (
+    """(id, sig) MinHash signatures via explode + hash-aggregate.
+
+    Shingles explode to (id, a, b) KM hash-pair rows (one md5 each, plain
+    codegen projection — Spark's higher-order array lambdas are
+    interpreted, so the array-fold form is 10×+ slower); the 16
+    permutation minima are 16 ``min()`` agg columns — map-side partial
+    aggregation means the only shuffle carries one row per (id, seed-min)
+    group, the classic Spark reduction shape at any scale."""
+    m = MINHASH_PRIME
+    hp = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), shingles_expr(text_col, strict=True).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select(id_col, minhash_sig_expr("shingles").alias("sig"))
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+        .withColumn("h", F.md5("s"))
+        .select(
+            id_col,
+            (F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % m).alias("a"),
+            (F.conv(F.substring("h", 17, 15), 16, 10).cast("bigint") % m).alias("b"),
+        )
+    )
+    mins = hp.groupBy(id_col).agg(
+        *[
+            F.min((F.col("a") + seed * F.col("b")) % m).alias(f"m{seed}")
+            for seed in range(MINHASH_SEEDS)
+        ]
+    )
+    return mins.select(
+        id_col,
+        F.array(*[f"m{seed}" for seed in range(MINHASH_SEEDS)]).alias("sig"),
     )
 
 
@@ -265,16 +378,20 @@ def simhash_pairs(
         bounds.append((pos, ln))
         pos += ln
 
-    sims = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    ).select(
+    sims = simhash_signatures(df, id_col, text_col).select(
         "id",
         "sim",
         F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
         F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
     )
+    # carry h1/h2 INTO the exploded block rows: the bucket join then has
+    # both sides' integers in hand — the signature pipeline runs exactly
+    # once and no join-back to sims is needed (two fewer shuffles of the
+    # full corpus; the duplicated payload is just two longs × n_blocks)
     blocks = sims.select(
         "id",
+        "h1",
+        "h2",
         F.explode(
             F.array(
                 *[
@@ -286,25 +403,19 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.blk", "b.key")
+    ).select("id", "h1", "h2", "b.blk", "b.key")
 
-    a = blocks.select(F.col("id").alias("id_a"), "blk", "key")
-    b = blocks.select(F.col("id").alias("id_b"), "blk", "key")
-    cands = (
-        a.join(b, ["blk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"), "blk", "key",
     )
-    sa = sims.select(
-        F.col("id").alias("id_a"), F.col("h1").alias("h1a"), F.col("h2").alias("h2a")
-    )
-    sb = sims.select(
-        F.col("id").alias("id_b"), F.col("h1").alias("h1b"), F.col("h2").alias("h2b")
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"), "blk", "key",
     )
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -314,6 +425,7 @@ def simhash_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

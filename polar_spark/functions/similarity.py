@@ -91,16 +91,29 @@ def centroid_scores(
     index is tiny by construction, so assignment is a narrow per-row
     expression (whole-stage codegen, zero shuffle) even at 100 TB."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    structs = []
-    for cid, cv in sorted(centroids):
-        lit_vec = F.array(*[F.lit(int(x)).cast("bigint") for x in cv])
-        d2 = F.aggregate(
-            F.zip_with(c, lit_vec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid")))
-    return F.array(*structs)
+    # one literal array<struct<cid,cv>> + a single transform lambda: the
+    # codegen body stays O(1) in nlist (an unrolled per-centroid form
+    # compiles nlist× more code for no gain)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(int(x)).cast("bigint") for x in cv]).alias("cv"),
+            )
+            for cid, cv in sorted(centroids)
+        ]
+    )
+    return F.transform(
+        cent_lit,
+        lambda cent: F.struct(
+            F.aggregate(
+                F.zip_with(c, cent.getField("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            cent.getField("cid").alias("cid"),
+        ),
+    )
 
 
 def ivf_cell(vec_col: str | Column, centroids: list[tuple[int, list[int]]]) -> Column:

@@ -45,14 +45,22 @@ WITH words AS (
     unnest(list_transform(range(1, len(w) - 1),
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
   FROM words WHERE len(w) >= 3
+), hp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS a,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(17, 32),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS b
+  FROM sh
 ), hs AS (
-  SELECT doc_id, seed,
-    MIN(substr(md5(seed::VARCHAR || ':' || shingle), 1, 16)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  SELECT doc_id, seed, MIN((a + seed * b) % 2147483647) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
   GROUP BY doc_id, seed
 ), bandkey AS (
   SELECT doc_id, seed // 4 AS band,
-    md5((seed // 4)::VARCHAR || '|' || string_agg(mh, ',' ORDER BY seed)) AS band_key
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
   FROM hs GROUP BY doc_id, seed // 4
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -145,14 +153,22 @@ WITH words AS (
     unnest(list_transform(range(1, len(w) - 1),
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
   FROM words WHERE len(w) >= 3
+), hp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS a,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(17, 32),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS b
+  FROM sh
 ), hs AS (
-  SELECT doc_id, seed,
-    MIN(substr(md5(seed::VARCHAR || ':' || shingle), 1, 16)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  SELECT doc_id, seed, MIN((a + seed * b) % 2147483647) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
   GROUP BY doc_id, seed
 ), bandkey AS (
   SELECT doc_id, seed // 4 AS band,
-    md5((seed // 4)::VARCHAR || '|' || string_agg(mh, ',' ORDER BY seed)) AS band_key
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
   FROM hs GROUP BY doc_id, seed // 4
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

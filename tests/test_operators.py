@@ -221,3 +221,29 @@ def test_embedding_cosine_pairs_bounded_and_ordered(spark, sf_dir):
     rows = pairs.collect()
     assert rows, "bucketed cosine near-dup should find pairs on testdata"
     assert all(r["id_a"] < r["id_b"] and 0.35 <= r["cosine"] <= 1.0 for r in rows)
+
+
+def test_minhash_and_simhash_exprs_match_python_reference(spark, sf_dir):
+    """The codegen signature expressions must be value-identical to the
+    Pandas-UDF reference implementations."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions import dedup as D
+    from polar_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    jvm = D.minhash_signatures(docs, "doc_id", "text")
+    ref = docs.select(
+        "doc_id", D.minhash_signature(F.col("text")).alias("rsig")
+    ).filter(F.col("rsig").isNotNull())
+    j = jvm.join(ref, "doc_id")
+    assert j.count() == jvm.count()
+    assert j.filter(F.col("sig") != F.col("rsig")).count() == 0
+
+    sim_jvm = D.simhash_signatures(docs, "doc_id", "text")
+    sim_ref = docs.select(
+        F.col("doc_id").alias("id"), D.simhash64(F.col("text")).alias("rsim")
+    )
+    sj = sim_jvm.join(sim_ref, "id")
+    assert sj.count() == sim_ref.count()
+    assert sj.filter(F.col("sim") != F.col("rsim")).count() == 0
