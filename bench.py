@@ -49,6 +49,15 @@ def main() -> None:
         ev = load_table(spark, SF_DIR, "events")
         n_events = ev.count()
 
+        # steady-state warmup: JIT the write path + parquet codec init on a
+        # throwaway topic (reference benchmarks likewise measure steady
+        # state, docs/benchmarks/README.md tool params)
+        warm = ev.limit(1000)
+        prod.produce(warm, "warmup", key_col="user_id", value_col="props", ts_col="ts")
+        gw = ConsumerGroup(cat, "warmup_group")
+        gw.register("warmup", EARLIEST)
+        gw.poll("warmup").df.count()
+
         t0 = time.perf_counter()
         prod.produce(ev, "bench", key_col="user_id", value_col="props", ts_col="ts")
         t_ingest = time.perf_counter() - t0

@@ -74,12 +74,69 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, id_col: str, blob_col: str, every_nth: int = 10) -> DataFrame:
-    """Video-style frame sampling stub: NotImplementedError for the real
-    codec path; the plumbing (explode frames → per-frame rows) is what a
-    production ffmpeg UDF plugs into."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg bindings not present in this "
-        "container; use decode_image_features's mapInPandas pattern with "
-        "a frame-iterator UDF"
-    )
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sig string"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized binary, resized_nbytes int"
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, blob_col: str, every_nth: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads via mapInPandas.
+
+    STUB CODEC (deterministic fake — no ffmpeg in this container): frame
+    count is derived from the payload length (``1 + nbytes % 61``) and
+    each sampled frame yields an md5-derived signature. The Spark-side
+    plumbing is the real thing a production ffmpeg UDF plugs into: one
+    input row fans out to N per-frame rows inside the Arrow batch, tasks
+    decode only their own partition's blobs, no shuffle."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                n_frames = 1 + len(blob) % 61
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sigs.append(
+                        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs}
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas.
+
+    STUB CODEC (deterministic fake — no PIL/libvips in this container):
+    the "resized" payload is the md5 digest of the original bytes; a real
+    decoder swaps in ``Image.open(...).resize((width, height))`` with the
+    identical batch shape, schema, and partitioning."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            digests = pdf[blob_col].map(lambda b: hashlib.md5(b).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": digests,
+                    "resized_nbytes": digests.map(len),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -91,27 +91,24 @@ def centroid_scores(
     index is tiny by construction, so assignment is a narrow per-row
     expression (whole-stage codegen, zero shuffle) even at 100 TB."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    # one literal array<struct<cid,cv>> + a single transform lambda: the
-    # codegen body stays O(1) in nlist (an unrolled per-centroid form
-    # compiles nlist× more code for no gain)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(int(x)).cast("bigint") for x in cv]).alias("cv"),
-            )
-            for cid, cv in sorted(centroids)
-        ]
-    )
+    # two single Literal nodes (array<bigint> ids + array<array<bigint>>
+    # vectors) + one transform lambda: the expression tree and generated
+    # code stay O(1) in nlist × dims — an unrolled or element-wise-literal
+    # form compiles nlist·dims more code for no gain
+    ordered = sorted(centroids)
+    cids = F.lit([int(cid) for cid, _ in ordered])
+    cvs = F.lit([[int(x) for x in cv] for _, cv in ordered])
     return F.transform(
-        cent_lit,
-        lambda cent: F.struct(
+        F.sequence(F.lit(1), F.lit(len(ordered))),
+        lambda i: F.struct(
             F.aggregate(
-                F.zip_with(c, cent.getField("cv"), lambda x, y: (x - y) * (x - y)),
+                F.zip_with(
+                    c, F.element_at(cvs, i), lambda x, y: (x - y) * (x - y)
+                ),
                 F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
             ).alias("d2"),
-            cent.getField("cid").alias("cid"),
+            F.element_at(cids, i).alias("cid"),
         ),
     )
 

@@ -38,3 +38,44 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("text"), 1, 2).alias("head2"),
         F.octet_length(F.encode("text", "utf-8")).alias("payload_bytes"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+  CAST(unnest(list_filter(range(0, 1 + octet_length(encode(text)) % 61),
+                          i -> i % 4 = 0)) AS INTEGER) AS frame_idx,
+  substr(md5(doc_id::VARCHAR || ':' ||
+             unnest(list_filter(range(0, 1 + octet_length(encode(text)) % 61),
+                                i -> i % 4 = 0))::VARCHAR), 1, 16) AS frame_sig
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each payload fans out to its
+    sampled frames inside the Arrow batch (mapInPandas, stub codec —
+    functions/multimodal.py)."""
+    from polar_spark.functions.multimodal import attach_blob, frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(d, "doc_id", "text", mime="video/mp4")
+    return frame_sample(blobs, "doc_id", "blob", every_nth=4)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, 224 AS width, 224 AS height,
+  unhex(md5(text)) AS resized, 16 AS resized_nbytes
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched binary-in/binary-out
+    mapInPandas (stub codec — functions/multimodal.py)."""
+    from polar_spark.functions.multimodal import attach_blob, resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(d, "doc_id", "text", mime="image/jpeg")
+    return resize_images(blobs, "doc_id", "blob", width=224, height=224)

@@ -174,11 +174,32 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
 
 
-def test_frame_sample_is_declared_stub(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").limit(1)
+def test_frame_sample_and_resize_plumbing(spark, sf_dir):
+    """Stub codecs, real plumbing: fan-out row counts, schema, and
+    determinism of the fake decode must hold batch-shape-independently."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.multimodal import resize_images
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
     blobs = attach_blob(d, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        frame_sample(blobs, "doc_id", "blob")
+    frames = frame_sample(blobs, "doc_id", "blob", every_nth=4)
+    rows = frames.collect()
+    assert rows and all(r["frame_idx"] % 4 == 0 for r in rows)
+    # fan-out count per doc == ceil(n_frames / 4), n_frames = 1 + nbytes % 61
+    expected = {
+        r["doc_id"]: (1 + r["nbytes"] + 3) // 4
+        for r in blobs.select(
+            "doc_id", (F.octet_length("blob") % 61).alias("nbytes")
+        ).collect()
+    }
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+    assert got == expected
+
+    resized = resize_images(blobs, "doc_id", "blob").collect()
+    assert all(r["width"] == 224 and len(r["resized"]) == 16 for r in resized)
 
 
 def test_ivf_cells_partition_all_vectors(spark, sf_dir):
