@@ -232,3 +232,32 @@ def dedup_redelivered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_unique"),
         F.count(F.lit(1)).alias("n_delivered"),
     )
+
+
+@query(
+    "binary_frame_roundtrip",
+    oracle="""
+SELECT CAST(event_id % 65536 AS INTEGER) AS stream_id, 0 AS record_idx,
+  ts AS timestamp, event_id::VARCHAR AS key, props AS value
+FROM events
+""",
+)
+def binary_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary framed produce path (reference op #2,
+    internal/producing/binary_server.go): records encoded into
+    CRC-checked produce frames, then decoded back — the decode output is
+    exactly the produce-record stream, proving the wire codec is
+    lossless."""
+    from polar_spark.sources.frames import (
+        decode_produce_frames,
+        encode_produce_frames,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("k"),
+        "props",
+        "ts",
+        (F.col("event_id") % 65536).alias("sid"),
+    )
+    frames = encode_produce_frames(ev, "k", "props", "ts", stream_id_col="sid")
+    return decode_produce_frames(frames)

@@ -126,3 +126,29 @@ def test_null_keys_spread(spark, sf_dir, tmp_path):
     prod.produce(ev, "t7", key_col="nk", value_col="props", ts_col="ts")
     parts = cat.read("t7").select("partition").distinct().count()
     assert parts > 1  # keyless traffic must not hot-spot one partition
+
+
+def test_binary_frame_codec_multi_record_and_corruption(spark):
+    """Multi-record frames decode in order; corrupt CRC / truncated /
+    foreign-opcode frames are dropped (reference CRC-validate-and-skip)."""
+    from polar_spark.sources.frames import (
+        decode_produce_frames,
+        encode_frame,
+    )
+
+    good = encode_frame(7, "k1", [(1_000_000, "a"), (2_000_000, "b"), (3_000_000, "c")])
+    bad_crc = bytearray(good)
+    bad_crc[-1] ^= 0xFF
+    truncated = good[: len(good) // 2]
+    foreign = bytearray(good)
+    foreign[4] = 9  # unknown opcode
+    df = spark.createDataFrame(
+        [(bytes(good),), (bytes(bad_crc),), (bytes(truncated),), (bytes(foreign),)],
+        "frame binary",
+    )
+    out = decode_produce_frames(df).collect()
+    assert [(r["stream_id"], r["record_idx"], r["value"]) for r in sorted(out, key=lambda r: r["record_idx"])] == [
+        (7, 0, "a"), (7, 1, "b"), (7, 2, "c")
+    ]
+    assert all(r["key"] == "k1" for r in out)
+    assert {r["timestamp"].second for r in out} == {1, 2, 3}
