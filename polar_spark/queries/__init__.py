@@ -14,3 +14,4 @@ import polar_spark.queries.similarity  # noqa: F401,E402
 import polar_spark.queries.multimodal  # noqa: F401,E402
 import polar_spark.queries.sql_surface  # noqa: F401,E402
 import polar_spark.queries.stateful  # noqa: F401,E402
+import polar_spark.queries.skew  # noqa: F401,E402

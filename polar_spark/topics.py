@@ -158,6 +158,52 @@ class TopicCatalog:
         return removed
 
 
+    def compact(
+        self, name: str, target_records_per_file: int = 1_000_000
+    ) -> tuple[int, int]:
+        """Rewrite each partition's accumulated small files into few
+        offset-sorted large ones — the operational analog of the
+        reference's 1 GiB segment rolling (conf.SegmentFileName max size,
+        internal/conf/config.go:320-322): streaming ingest appends a file
+        per micro-batch, and scan efficiency needs them re-rolled.
+
+        Files are written offset-sorted so parquet row-group stats on
+        ``offset`` stay tight (the index-file analog — consumers seek by
+        offset predicate). Like the reference's single writer per token,
+        compaction must not run concurrently with produce on the same
+        topic. Returns (files_before, files_after)."""
+        d = self.data_dir(name)
+
+        def _count(p: str) -> int:
+            return sum(
+                1
+                for dp, _dn, fns in os.walk(p)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+
+        if not os.path.isdir(d):
+            return (0, 0)
+        before = _count(d)
+        tmp = d + ".compact_tmp"
+        old = d + ".compact_old"
+        df = self.spark.read.schema(TOPIC_SCHEMA).parquet(d)
+        (
+            df.repartition("partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_records_per_file)
+            .partitionBy("partition")
+            .parquet(tmp)
+        )
+        os.rename(d, old)
+        os.rename(tmp, d)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        return before, _count(d)
+
+
 def normalize_events(
     df: DataFrame,
     topic: str,

@@ -152,3 +152,66 @@ def test_binary_frame_codec_multi_record_and_corruption(spark):
     ]
     assert all(r["key"] == "k1" for r in out)
     assert {r["timestamp"].second for r in out} == {1, 2, 3}
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path / "topics"))
+    prod = Producer(cat)
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    for i in range(3):  # three produce batches → many small files
+        prod.produce(
+            ev.filter(F.col("event_id") % 3 == i),
+            "ct", key_col="user_id", value_col="props", ts_col="ts",
+        )
+    before_df = cat.read("ct")
+    rows_before = sorted(
+        (r["partition"], r["offset"], r["value"]) for r in before_df.collect()
+    )
+    n_before, n_after = cat.compact("ct")
+    assert n_after < n_before
+    after_df = cat.read("ct")
+    rows_after = sorted(
+        (r["partition"], r["offset"], r["value"]) for r in after_df.collect()
+    )
+    assert rows_after == rows_before  # data + offsets byte-identical
+    g = ConsumerGroup(cat, "cg")
+    g.register("ct", EARLIEST)
+    assert g.poll("ct").df.count() == len(rows_before)
+
+
+def test_salted_ops_match_plain_forms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.operators.skew import salted_agg, salted_join
+    from polar_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    plain = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in salted_agg(
+            ev, ["event_type"],
+            {"n_events": ("count", "event_type"), "sum_value": ("sum", "value")},
+        ).collect()
+    }
+    assert salted == plain
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain_j = o.join(c, ["o_custkey"]).count()
+    salt_j = salted_join(o, c, ["o_custkey"]).count()
+    assert plain_j == salt_j
