@@ -99,3 +99,36 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 8-char shingles."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "sketch_kmv_distinct_users",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv
+  FROM events
+), mins AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS h_k
+  FROM mins WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 / (h_k / 1152921504606846976.0) END AS est_distinct
+FROM agg
+""",
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event_type (functions/sketches.py):
+    deterministic md5-hash k-minimum-values — oracle-checkable where HLL
+    never is, same O(k) summary size."""
+    from polar_spark.functions.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)

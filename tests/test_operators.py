@@ -268,3 +268,28 @@ def test_minhash_and_simhash_exprs_match_python_reference(spark, sf_dir):
     sj = sim_jvm.join(sim_ref, "id")
     assert sj.count() == sim_ref.count()
     assert sj.filter(F.col("sim") != F.col("rsim")).count() == 0
+
+
+def test_kmv_estimate_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.sketches import kmv_distinct
+    from polar_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=64).collect()
+    }
+    assert est.keys() == exact.keys()
+    for etype, n in exact.items():
+        if n < 64:
+            assert est[etype] == float(n)  # exact below k
+        else:
+            assert abs(est[etype] - n) / n < 0.4  # ~1/sqrt(64) error regime
