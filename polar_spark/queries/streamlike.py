@@ -261,3 +261,38 @@ def binary_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = encode_produce_frames(ev, "k", "props", "ts", stream_id_col="sid")
     return decode_produce_frames(frames)
+
+
+@query(
+    "rollup_time_multires",
+    oracle="""
+SELECT
+  CASE WHEN GROUPING(date_trunc('day', ts)) = 0 AND GROUPING(date_trunc('hour', ts)) = 1
+       THEN 'day' ELSE 'hour' END AS resolution,
+  COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS bucket_ts,
+  COUNT(*) AS n_events,
+  SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
+""",
+)
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    the same measures at hour AND day resolution via GROUPING SETS (the
+    partial aggregates are shared map-side; a materialized multi-res
+    rollup table at 100 TB is this query's output partitioned by
+    resolution)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "ts", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    ).createOrReplaceTempView("_ev_rollup")
+    return spark.sql("""
+SELECT
+  CASE WHEN GROUPING(date_trunc('day', ts)) = 0 AND GROUPING(date_trunc('hour', ts)) = 1
+       THEN 'day' ELSE 'hour' END AS resolution,
+  COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS bucket_ts,
+  COUNT(*) AS n_events,
+  SUM(cents) AS sum_cents
+FROM _ev_rollup
+GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
+""")
