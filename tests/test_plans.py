@@ -83,3 +83,41 @@ def test_topic_read_prunes_partitions(spark, sf_dir, tmp_path):
 
     txt = explain_str(df)
     assert "PartitionFilters" in txt and "partition" in txt.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key must join with ZERO shuffles —
+    the co-located-join contract (operators/bucketing.py)."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.operators.bucketing import read_bucketed, write_bucketed
+    from polar_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], buckets=8,
+                   path=str(tmp_path / "b_li"))
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", ["l_orderkey"], buckets=8, path=str(tmp_path / "b_o"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "b_lineitem").join(
+            read_bucketed(spark, "b_orders"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # and it computes the right thing
+        expected = li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
