@@ -92,6 +92,8 @@ def main() -> None:
         "embedding_lsh_buckets",
         "dedup_embedding_cosine",
         "text_quality_stats",
+        "sketch_kmv_distinct_users",
+        "rollup_time_multires",
     ]
     for name in headline:
         fn = QUERIES[name].fn

@@ -46,6 +46,33 @@ class PollResult:
     # per-partition max offset served by this poll; pass to commit()
     positions: dict[int, int]
 
+    def json_items(self) -> DataFrame:
+        """The reference's JSON poll-response shape: one item per
+        partition, ``{topic, partition, startOffset, values: [...]}``
+        with values = the decompressed record payloads in offset order
+        (docs/rest_api/README.md:146-172 response items; JSON marshal
+        internal/consuming/models.go:136-199). Marshaling is JVM-side
+        (`to_json` over `collect_list` ordered by offset) — no Python in
+        the path; one row per partition comes back to the facade."""
+        recs = self.df.select(
+            "topic",
+            "partition",
+            "offset",
+            F.struct("offset", "timestamp", "key", "value").alias("rec"),
+        )
+        grouped = recs.groupBy("topic", "partition").agg(
+            F.min("offset").alias("startOffset"),
+            F.to_json(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "rec"))
+                    ),
+                    lambda s: s.getField("rec"),
+                )
+            ).alias("values"),
+        )
+        return grouped.orderBy("topic", "partition")
+
 
 class ConsumerGroup:
     """One consumer group over one catalog (reference: group state in

@@ -215,3 +215,34 @@ def test_salted_ops_match_plain_forms(spark, sf_dir):
     plain_j = o.join(c, ["o_custkey"]).count()
     salt_j = salted_join(o, c, ["o_custkey"]).count()
     assert plain_j == salt_j
+
+
+def test_poll_json_items_shape(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path / "topics"))
+    Producer(cat).produce(
+        load_table(spark, sf_dir, "events").limit(100),
+        "jt", key_col="user_id", value_col="props", ts_col="ts",
+    )
+    g = ConsumerGroup(cat, "jg")
+    g.register("jt", EARLIEST)
+    res = g.poll("jt")
+    items = res.json_items().collect()
+    assert sum(1 for _ in items) == len(res.positions)  # one item per partition
+    total = 0
+    for it in items:
+        vals = _json.loads(it["values"])
+        assert vals and vals[0]["offset"] == it["startOffset"] == 0
+        offsets = [v["offset"] for v in vals]
+        assert offsets == sorted(offsets)  # offset order inside the item
+        assert all(set(v) == {"offset", "timestamp", "key", "value"} for v in vals)
+        total += len(vals)
+    assert total == 100
