@@ -194,3 +194,78 @@ def argmax_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mv").alias("max_value"),
         )
     )
+
+
+@query(
+    "window_function_breadth",
+    oracle="""
+SELECT o_orderkey,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume,
+  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+""",
+)
+def window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: lag/lead/ntile/percent_rank/cume_dist/
+    first/last over per-priority frames — rank-based, so cross-engine
+    deterministic with a unique orderBy key."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+    )
+
+
+@query(
+    "array_function_breadth",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+  len(words) AS n_words,
+  len(list_distinct(words)) AS n_distinct,
+  list_contains(words, 'the') AS has_the,
+  COALESCE(list_position(words, 'the'), 0) AS pos_the,
+  array_to_string(list_slice(words, 1, 3), ' ') AS first3,
+  array_to_string(list_slice(list_sort(words), 1, 3), ' ') AS sorted3,
+  list_reduce(list_prepend(0, list_transform(words, x -> len(x))),
+              (a, b) -> a + b) AS total_chars
+FROM w
+""",
+)
+def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order surface: size, distinct, membership, position,
+    slicing, sorting, fold — over per-document word arrays."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    return w.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        F.array_contains("words", "the").alias("has_the"),
+        F.array_position("words", "the").alias("pos_the"),
+        F.array_join(F.slice("words", 1, 3), " ").alias("first3"),
+        F.array_join(F.slice(F.sort_array("words"), 1, 3), " ").alias("sorted3"),
+        F.aggregate(
+            F.transform("words", lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+    )
