@@ -144,6 +144,14 @@ class PolarStreamReader(SimpleDataSourceStreamReader):
         self.topic = options["topic"]
         starting = options.get("startingoffsets", "earliest")
         self._start_latest = starting == "latest"
+        # backpressure: total records per micro-batch, split across
+        # backlogged partitions proportionally (Kafka-source semantics;
+        # the reference bounds in-flight data with unbuffered channels —
+        # internal/producing/coalescer.go:65 — this is the pull-side analog).
+        # Use with a processingTime trigger: availableNow on a simple
+        # Python stream reader runs a single batch, so a cap would
+        # truncate the run rather than pace it.
+        self._max_offsets = int(options.get("maxoffsetspertrigger", 0)) or None
 
     def initialOffset(self) -> dict:
         tails = _read_tails(self.root, self.topic)
@@ -154,6 +162,19 @@ class PolarStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         tails = _read_tails(self.root, self.topic)
         end = {str(p): max(int(t), int(start.get(str(p), -1))) for p, t in tails.items()}
+        if self._max_offsets:
+            avail = {
+                p: end[p] - int(start.get(p, -1))
+                for p in end
+                if end[p] > int(start.get(p, -1))
+            }
+            total = sum(avail.values())
+            if total > self._max_offsets:
+                # proportional split, ≥1 per backlogged partition so no
+                # partition starves; deterministic (sorted keys)
+                for p in sorted(avail):
+                    budget = max(1, self._max_offsets * avail[p] // total)
+                    end[p] = int(start.get(p, -1)) + min(avail[p], budget)
         # materialized list: Spark's prefetch cache copy.copy()s this, and a
         # micro-batch is bounded by the produce rate between triggers
         rows: list[tuple] = []

@@ -203,3 +203,41 @@ def test_stateful_dedup_and_offsets_across_batches(spark, tmp_path):
     rows = spark.table("sf_offsets").select("part", "offset").collect()
     per_part = sorted(r["offset"] for r in rows if r["part"] == 0)
     assert per_part == [0, 1, 2, 3, 4]  # gapless across both batches
+
+
+def test_polar_source_max_offsets_per_trigger(spark, sf_dir, catalog, tmp_path):
+    """Backpressure: no micro-batch may exceed maxOffsetsPerTrigger, and
+    the stream still drains the full topic across batches."""
+    from polar_spark.produce import Producer
+    from polar_spark.sources.polar_source import register
+    from polar_spark.sources.tables import load_table
+
+    register(spark)
+    prod = Producer(catalog)
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    prod.produce(ev, "bp_topic", key_col="user_id", value_col="props", ts_col="ts")
+
+    sizes: list[int] = []
+
+    def sink(batch_df, _epoch):
+        sizes.append(batch_df.count())
+
+    q = (
+        spark.readStream.format("polar")
+        .option("root", catalog.root)
+        .option("topic", "bp_topic")
+        .option("maxOffsetsPerTrigger", 300)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bp_ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # keeps triggering capped batches until drained
+    finally:
+        q.stop()
+    nonzero = [s for s in sizes if s]
+    assert sum(nonzero) == 1000
+    assert len(nonzero) >= 3  # rate limit forced multiple batches
+    assert all(s <= 310 for s in nonzero)  # cap honored (+rounding slack)
