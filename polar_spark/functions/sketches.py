@@ -57,3 +57,78 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+CM_ROWS = 4
+CM_WIDTH = 64
+
+
+def _cm_bucket(col, row: int, width: int = CM_WIDTH):
+    """Deterministic bucket: fold of md5(row:value) mod width."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), F.col(col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cm_counters(
+    df: DataFrame, value_col: str, rows: int = CM_ROWS, width: int = CM_WIDTH
+) -> DataFrame:
+    """Count-min sketch counter table (cm_row, cm_bucket, cnt): each
+    occurrence increments one bucket per hash row. The counter table is
+    O(rows·width) regardless of cardinality — partial aggregation means
+    the shuffle carries at most rows·width rows per map task (Cormode &
+    Muthukrishnan, J. Algorithms 2005)."""
+    exploded = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_row"),
+                        _cm_bucket(value_col, j, width).alias("cm_bucket"),
+                    )
+                    for j in range(rows)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.cm_row", "rb.cm_bucket")
+    return exploded.groupBy("cm_row", "cm_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    rows: int = CM_ROWS,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over hash rows of the
+    key's bucket counter. Always ≥ the true count; error bounded by
+    collisions (≤ n/width per row w.h.p.). Counters are tiny → broadcast."""
+    kb = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_row"),
+                        _cm_bucket(key_col, j, width).alias("cm_bucket"),
+                    )
+                    for j in range(rows)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.cm_row", "rb.cm_bucket")
+    return (
+        kb.join(F.broadcast(counters), ["cm_row", "cm_bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

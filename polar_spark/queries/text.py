@@ -132,3 +132,43 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@query(
+    "sketch_cm_heavy_hitters",
+    oracle="""
+WITH js AS (SELECT unnest(range(0, 4)) AS cm_row),
+occ AS (
+  SELECT cm_row,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(cm_row::VARCHAR || ':' || event_type), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 64) AS cm_bucket
+  FROM events CROSS JOIN js
+), counters AS (
+  SELECT cm_row, cm_bucket, COUNT(*) AS cnt FROM occ GROUP BY cm_row, cm_bucket
+), keys AS (SELECT DISTINCT event_type FROM events),
+kb AS (
+  SELECT event_type, cm_row,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(cm_row::VARCHAR || ':' || event_type), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 64) AS cm_bucket
+  FROM keys CROSS JOIN js
+)
+SELECT kb.event_type, MIN(c.cnt) AS est_count
+FROM kb JOIN counters c USING (cm_row, cm_bucket)
+GROUP BY kb.event_type
+""",
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates per event_type: the O(rows·width)
+    counter table answers point queries with min-over-rows — deterministic
+    md5 buckets make the sketch itself oracle-checkable
+    (functions/sketches.py)."""
+    from polar_spark.functions.sketches import cm_counters, cm_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    counters = cm_counters(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    return cm_estimate(counters, keys, "event_type")

@@ -293,3 +293,28 @@ def test_kmv_estimate_close_to_exact(spark, sf_dir):
             assert est[etype] == float(n)  # exact below k
         else:
             assert abs(est[etype] - n) / n < 0.4  # ~1/sqrt(64) error regime
+
+
+def test_count_min_overestimates_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.sketches import cm_counters, cm_estimate
+    from polar_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counters = cm_counters(ev, "event_type")
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in cm_estimate(
+            counters, ev.select("event_type").distinct(), "event_type"
+        ).collect()
+    }
+    n_total = sum(exact.values())
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert est[k] >= n  # CM never underestimates
+        assert est[k] <= n + n_total  # trivially bounded by total mass
