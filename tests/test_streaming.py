@@ -241,3 +241,31 @@ def test_polar_source_max_offsets_per_trigger(spark, sf_dir, catalog, tmp_path):
     assert sum(nonzero) == 1000
     assert len(nonzero) >= 3  # rate limit forced multiple batches
     assert all(s <= 310 for s in nonzero)  # cap honored (+rounding slack)
+
+
+def test_stream_stream_join_time_bound(spark, sf_dir):
+    """Watermarked stream-stream join: every matched pair must respect
+    the [click_ts, click_ts + 1h] bound, and equal the batch join."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.queries.registry import QUERIES
+    from polar_spark.sources.tables import load_table
+
+    out = QUERIES["stream_join_click_purchase"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        delta = r["purchase_ts"] - r["click_ts"]
+        assert _dt.timedelta(0) <= delta <= _dt.timedelta(hours=1)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click")
+    p = ev.filter(F.col("event_type") == "purchase")
+    batch = c.alias("c").join(
+        p.alias("p"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert len(rows) == batch
