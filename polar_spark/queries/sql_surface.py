@@ -269,3 +269,27 @@ def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("total_chars"),
     )
+
+
+@query(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name,
+  (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order,
+  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_custkey < 200
+""",
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (decorrelated by Catalyst into
+    aggregated joins — no per-row re-execution)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_cust_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ord_sq")
+    return spark.sql("""
+SELECT c_custkey, c_name,
+  (SELECT MAX(o_totalprice) FROM _ord_sq o WHERE o.o_custkey = c.c_custkey) AS max_order,
+  (SELECT COUNT(*) FROM _ord_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM _cust_sq c
+WHERE c_custkey < 200
+""")

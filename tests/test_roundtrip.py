@@ -246,3 +246,23 @@ def test_poll_json_items_shape(spark, sf_dir, tmp_path):
         assert all(set(v) == {"offset", "timestamp", "key", "value"} for v in vals)
         total += len(vals)
     assert total == 100
+
+
+def test_produce_rejects_oversized_messages(spark, tmp_path):
+    """Reference rejects bodies > 1 MiB (MaxMessageSize); with
+    validate_size the oversized record is dropped, the rest land."""
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path / "topics"))
+    big = "x" * (1024 * 1024 + 1)
+    df = spark.createDataFrame(
+        [("a", "ok-1"), ("b", big), ("c", "ok-2")], "key string, value string"
+    )
+    Producer(cat).produce(df, "sz", key_col="key", value_col="value",
+                          validate_size=True)
+    g = ConsumerGroup(cat, "szg")
+    g.register("sz", EARLIEST)
+    vals = {r["value"] for r in g.poll("sz").df.collect()}
+    assert vals == {"ok-1", "ok-2"}
