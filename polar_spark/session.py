@@ -65,3 +65,50 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_driver_session(spark: SparkSession) -> SparkSession:
+    """Make an EXTERNALLY-created SparkSession (e.g. the correctness
+    driver's) able to run every operator:
+
+    - the testdata's TIMESTAMP(NANOS) parquet needs the nanosAsLong
+      legacy flag (runtime-settable SQL conf);
+    - Python workers must import ``polar_spark`` to unpickle
+      module-referenced functions (mapInPandas codecs, pandas UDFs), so
+      ship the package via addPyFile — effective regardless of the
+      worker's PYTHONPATH or working directory.
+
+    Idempotent; sessions built by :func:`get_spark` need neither but are
+    safe to pass."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # flag may be unsupported in future Spark; reads then decide
+    sc = spark.sparkContext
+    if not getattr(sc, "_polar_spark_shipped", False):
+        import tempfile
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        base = os.path.dirname(pkg_root)
+        # per-process zip name: a shared cached name goes stale the moment
+        # the package gains a module (workers then ModuleNotFoundError on
+        # perfectly valid code)
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"polar_spark_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for dirpath, _dirs, files in os.walk(pkg_root):
+                    if "__pycache__" in dirpath:
+                        continue
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            z.write(full, os.path.relpath(full, base))
+        try:
+            sc.addPyFile(zpath)
+        except Exception:
+            pass  # already added in this context
+        sc._polar_spark_shipped = True
+    return spark

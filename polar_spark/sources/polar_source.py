@@ -223,20 +223,7 @@ def register(spark, ship_package: bool = True) -> None:
     executors (zip + addPyFile) so worker processes can deserialize the
     reader regardless of their working directory."""
     if ship_package:
-        import tempfile
-        import zipfile
+        from polar_spark.session import ensure_driver_session
 
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        base = os.path.dirname(pkg_root)
-        zpath = os.path.join(tempfile.gettempdir(), "polar_spark_pkg.zip")
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as z:
-                for dirpath, _dirs, files in os.walk(pkg_root):
-                    if "__pycache__" in dirpath:
-                        continue
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(dirpath, fn)
-                            z.write(full, os.path.relpath(full, base))
-        spark.sparkContext.addPyFile(zpath)
+        ensure_driver_session(spark)
     spark.dataSource.register(PolarDataSource)
