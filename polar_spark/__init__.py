@@ -21,4 +21,5 @@ re-expresses those capabilities Spark-first:
 
 __version__ = "0.1.0"
 
-from polar_spark.session import get_spark  # noqa: F401
+from polar_spark.session import ensure_driver_session, get_spark  # noqa: F401
+from polar_spark.api import PolarEngine  # noqa: F401,E402
