@@ -293,3 +293,27 @@ SELECT c_custkey, c_name,
 FROM _cust_sq c
 WHERE c_custkey < 200
 """)
+
+
+@query(
+    "quantiles_order_prices",
+    oracle="""
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def quantiles_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority — Spark `percentile`
+    and DuckDB `quantile_cont` share the (n-1)·q interpolation law, so
+    even the doubles are bit-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
