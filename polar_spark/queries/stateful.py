@@ -85,3 +85,22 @@ def stateful_offset_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: assign_offsets_stream(s, "partition", ["ts", "event_id"]),
     )
     return out.select("event_id", "partition", "offset")
+
+
+@query(
+    "stateful_dedup_builtin",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def stateful_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in counterpart to stateful_dedup_stream: Spark's
+    dropDuplicatesWithinWatermark evicts dedup state once event time
+    passes the watermark — same at-least-once-to-effectively-once law,
+    engine-managed state lifetime."""
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return _run_stream(
+        redelivered,
+        lambda s: s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
+    )
