@@ -51,12 +51,16 @@ def main() -> None:
 
         # steady-state warmup: JIT the write path + parquet codec init on a
         # throwaway topic (reference benchmarks likewise measure steady
-        # state, docs/benchmarks/README.md tool params)
-        warm = ev.limit(1000)
-        prod.produce(warm, "warmup", key_col="user_id", value_col="props", ts_col="ts")
+        # state, docs/benchmarks/README.md tool params). Two rounds — the
+        # first run pays codegen compile, the second catches stragglers.
+        for w in range(2):
+            prod.produce(
+                ev.limit(5000), f"warmup{w}",
+                key_col="user_id", value_col="props", ts_col="ts",
+            )
         gw = ConsumerGroup(cat, "warmup_group")
-        gw.register("warmup", EARLIEST)
-        gw.poll("warmup").df.count()
+        gw.register("warmup1", EARLIEST)
+        gw.poll("warmup1").df.count()
 
         t0 = time.perf_counter()
         prod.produce(ev, "bench", key_col="user_id", value_col="props", ts_col="ts")
