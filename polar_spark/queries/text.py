@@ -172,3 +172,56 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cm_counters(ev, "event_type")
     keys = ev.select("event_type").distinct()
     return cm_estimate(counters, keys, "event_type")
+
+
+@query(
+    "pipeline_training_data_prep",
+    oracle=f"""
+WITH canon AS (
+  SELECT doc_id, text,
+    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+), unique_docs AS (
+  SELECT doc_id, text FROM canon WHERE doc_id = canonical_id
+), quality AS (
+  SELECT doc_id, text FROM unique_docs
+  WHERE len(string_split(text, ' ')) >= 30
+), labeled AS (
+  SELECT doc_id,
+    CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW}))) AS DOUBLE)
+              / len(string_split(text, ' ')) > 0.04
+         THEN 'en' ELSE 'other' END AS pred_lang,
+    len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tok
+  FROM quality
+)
+SELECT pred_lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM labeled GROUP BY pred_lang
+""",
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline, composed from the
+    engine's own operators: exact dedup (canonical doc per content
+    digest) → quality gate (≥30 words) → language ID → per-language
+    token budget. One declarative plan: Catalyst fuses the stages; the
+    only shuffles are the dedup window and the final aggregate."""
+    from polar_spark.functions.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup(d, "doc_id", "text").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    unique_docs = d.join(canon, "doc_id")
+    quality = unique_docs.filter(F.size(F.split("text", " ")) >= 30)
+    labeled = quality.select(
+        "doc_id",
+        lang_id("text").alias("pred_lang"),
+        token_count_regex("text").cast("bigint").alias("n_tok"),
+    )
+    return labeled.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
