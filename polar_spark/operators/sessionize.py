@@ -18,10 +18,16 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreakers: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign a session index per key: a new session starts when the gap
-    from the previous event exceeds ``gap_seconds``."""
-    w = Window.partitionBy(key).orderBy(ts)
+    from the previous event exceeds ``gap_seconds``.
+
+    ``tiebreakers`` must make the per-key ordering total when multiple
+    events can share a timestamp — otherwise lag/cumsum order (and hence
+    session boundaries) is nondeterministic across runs.
+    """
+    w = Window.partitionBy(key).orderBy(ts, *tiebreakers)
     prev: Column = F.lag(F.col(ts)).over(w)
     gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev)
     new_session = F.when(

@@ -67,15 +67,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle="""
 SELECT doc_id, 224 AS width, 224 AS height,
-  unhex(md5(text)) AS resized, 16 AS resized_nbytes
+  md5(text) AS resized_hex, 16 AS resized_nbytes
 FROM documents
 """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing: Arrow-batched binary-in/binary-out
-    mapInPandas (stub codec — functions/multimodal.py)."""
+    mapInPandas (stub codec — functions/multimodal.py).
+
+    The operator itself emits BINARY (kept, pytest-covered); this
+    oracle-checked query hex-encodes the payload so the driver's
+    value-hasher can compare it (raw BINARY crashed the round-1
+    canonicalizer)."""
     from polar_spark.functions.multimodal import attach_blob, resize_images
 
     d = load_table(spark, sf_dir, "documents")
     blobs = attach_blob(d, "doc_id", "text", mime="image/jpeg")
-    return resize_images(blobs, "doc_id", "blob", width=224, height=224)
+    resized = resize_images(blobs, "doc_id", "blob", width=224, height=224)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+        "resized_nbytes",
+    )

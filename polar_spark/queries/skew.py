@@ -16,7 +16,7 @@ from polar_spark.sources.tables import load_table
     "skew_salted_agg",
     oracle="""
 SELECT event_type, COUNT(*) AS n_events,
-  SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
   MIN(user_id) AS min_user, MAX(user_id) AS max_user
 FROM events GROUP BY event_type
 """,

@@ -102,7 +102,7 @@ def consume_reset_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -148,7 +148,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding_1h_30m",
     oracle="""
 WITH w AS (
-  SELECT e.*, wstart
+  SELECT e.*, CAST(wstart AS TIMESTAMP) AS wstart
   FROM events e,
        UNNEST([to_timestamp(epoch_us(ts) // 1800000000 * 1800),
                to_timestamp(epoch_us(ts) // 1800000000 * 1800 - 1800)]) AS t(wstart)
@@ -187,8 +187,8 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, ts, event_id,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -201,7 +201,7 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), lag+cumsum — the scalable batch
     form of F.session_window (operators/sessionize.py)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreakers=("event_id",))
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -271,7 +271,7 @@ SELECT
        THEN 'day' ELSE 'hour' END AS resolution,
   COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS bucket_ts,
   COUNT(*) AS n_events,
-  SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
 """,

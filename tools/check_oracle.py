@@ -83,12 +83,29 @@ def main(names: list[str]) -> int:
         try:
             res = con.sql(oracles[name])
             d_cols = res.columns
+            d_types = [str(t) for t in res.types]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
         ok = True
+        # Driver-parity guards: the external gate hash-compares dtypes too,
+        # so DuckDB HUGEINT (SUM of ints) / TIMESTAMPTZ (to_timestamp) must
+        # be CAST in the oracle, and BINARY outputs crash its canonicalizer.
+        bad_types = [
+            (c, t)
+            for c, t in zip(d_cols, d_types)
+            if "HUGEINT" in t or "TIME ZONE" in t
+        ]
+        if bad_types:
+            print(f"[FAIL] {name}: driver-incompatible oracle dtypes {bad_types}"
+                  " (CAST to BIGINT / TIMESTAMP)")
+            ok = False
+        if any(isinstance(v, (bytes, bytearray)) for r in s_rows[:1] for v in r):
+            print(f"[FAIL] {name}: binary column in oracle-checked output"
+                  " (hex-encode it; driver canonicalizer can't hash bytes)")
+            ok = False
         if sorted(s_cols) != sorted(d_cols):
             print(f"[FAIL] {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
             ok = False
