@@ -1,14 +1,21 @@
-"""Embedding similarity search: brute-force top-k and LSH bucketing.
+"""Embedding similarity search: brute-force top-k, IVF probe, LSH bucketing.
 
 Scale design:
 - **Quantized dot product**: embeddings are quantized to int ``floor(x·1e4)``
   so distributed summation is exact and order-independent — a reduction
   that is both deterministic (oracle-comparable) and SIMD-friendly.
-- **Brute-force top-k** (the baseline): broadcast the query set, compute
-  dots JVM-side with ``zip_with``+``aggregate`` (whole-stage codegen, no
-  Python), window top-k per query. Cost O(|Q|·n) — right answer for
-  |Q| small; at 100 TB candidates stay partition-local, nothing shuffles
-  but the per-query top-k rows (AQE-coalesced).
+- **Vectorized scoring**: all hot-path linear algebra (pair dots, centroid
+  distances, hyperplane projections) runs as Arrow-batched numpy
+  ``pandas_udf``s — one BLAS-shaped matmul per record batch instead of
+  per-row interpreted ``aggregate``/``zip_with`` lambdas (Spark's
+  higher-order-function lambdas are interpreted, not codegen; the fold
+  form measured 5-10× slower — see functions/dedup.py MinHash note).
+  All arithmetic stays int64-exact, so results are bit-identical to the
+  fold form and to the DuckDB oracles.
+- **Brute-force top-k** (the baseline): broadcast the query set, score
+  partition-local, window top-k per query. Cost O(|Q|·n) — right answer
+  for |Q| small; at 100 TB candidates never shuffle, only the per-query
+  top-k rows move (AQE-coalesced).
 - **Hyperplane LSH buckets** (the scale path): 8 deterministic md5-derived
   hyperplanes → 256 sign buckets; top-k search then probes only the
   query's bucket (± neighbors), shrinking the candidate set ~256×.
@@ -18,8 +25,17 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+)
 from pyspark.sql.window import Window
 
 QUANT = 10000
@@ -36,9 +52,33 @@ def quantize(col: str | Column) -> Column:
     )
 
 
+def _mat(s: pd.Series) -> np.ndarray:
+    """Stack an Arrow list<int64> Series into an (n, dims) int64 matrix.
+
+    Vectors must be non-null and equal-length (the quantize contract)."""
+    return np.stack(s.to_numpy()).astype(np.int64, copy=False)
+
+
+@pandas_udf(LongType())
+def _dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    return pd.Series((_mat(a) * _mat(b)).sum(axis=1))
+
+
 def dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors (JVM-side
-    fold — order-independent because integer addition is associative)."""
+    """Exact integer dot product of two quantized vectors — one numpy
+    elementwise-multiply+sum per Arrow batch (order-independent because
+    integer addition is associative; products stay < 2⁶³)."""
+    return _dot_pd(a, b)
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM expression form of the quantized dot (interpreted HOF fold).
+
+    Keep for tiny literal arrays embedded in a larger codegen pipeline
+    where an Arrow round-trip costs more than the fold; every hot path
+    should use :func:`dot`."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -47,28 +87,21 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Double-precision cosine similarity (sequential left-fold — use for
-    ranking; for oracle-exact comparisons prefer the quantized dot)."""
-    d = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    """Double-precision cosine similarity (vectorized; use for ranking —
+    for oracle-exact comparisons prefer the quantized forms)."""
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = _mat(a).astype(np.float64)
+        B = _mat(b).astype(np.float64)
+        d = (A * B).sum(axis=1)
+        return pd.Series(
+            d / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
         )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return d / (na * nb)
+
+    return cos(a, b)
 
 
 def cosine_exact(a: Column, b: Column) -> Column:
@@ -76,47 +109,69 @@ def cosine_exact(a: Column, b: Column) -> Column:
 
     The three dots are exact int64 sums (< 2⁵³, so their double casts are
     exact); sqrt/multiply/divide are correctly-rounded IEEE ops — the
-    result is bit-identical in any engine, hence oracle-comparable."""
-    return dot(a, b).cast("double") / (
-        F.sqrt(dot(a, a).cast("double")) * F.sqrt(dot(b, b).cast("double"))
-    )
+    result is bit-identical in any engine, hence oracle-comparable.
+
+    When one side's norm is reused across many pairs (bucketed near-dup
+    join), precompute ``sq_norm`` per vector before the join instead —
+    see queries/similarity.py dedup_embedding_cosine."""
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _mat(a), _mat(b)
+        d = (A * B).sum(axis=1).astype(np.float64)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(d / (na * nb))
+
+    return cos(a, b)
 
 
-def centroid_scores(
+def sq_norm(a: Column) -> Column:
+    """Exact int64 squared L2 norm of a quantized vector (one pass;
+    precompute per vector before a pair join so norms are never
+    recomputed per pair)."""
+    return _dot_pd(a, a)
+
+
+def _centroid_arrays(
+    centroids: list[tuple[int, list[int]]],
+) -> tuple[np.ndarray, np.ndarray]:
+    ordered = sorted(centroids)
+    cids = np.array([int(cid) for cid, _ in ordered], dtype=np.int64)
+    C = np.array([[int(x) for x in cv] for _, cv in ordered], dtype=np.int64)
+    return cids, C
+
+
+def _d2_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-L2 distances, (n, nlist): |v|²+|c|²−2v·c.
+
+    One int64 matmul per Arrow batch — the codebook is broadcast to every
+    task via the UDF closure (an IVF coarse codebook is tiny by
+    construction), so assignment is a narrow per-partition pass with
+    zero shuffle even at 100 TB."""
+    v2 = (V * V).sum(axis=1)[:, None]
+    c2 = (C * C).sum(axis=1)[None, :]
+    return v2 + c2 - 2 * (V @ C.T)
+
+
+def ivf_cell(
     vec_col: str | Column, centroids: list[tuple[int, list[int]]]
 ) -> Column:
-    """``array<struct<d2,cid>>`` of squared-L2 distance to each centroid.
+    """Nearest-centroid cell id (ties → lowest cid: centroids are scored
+    in cid order and argmin takes the first minimum)."""
+    cids, C = _centroid_arrays(centroids)
 
-    Centroids are inlined as literals — the coarse codebook of an IVF
-    index is tiny by construction, so assignment is a narrow per-row
-    expression (whole-stage codegen, zero shuffle) even at 100 TB."""
+    @pandas_udf(LongType())
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        d2 = _d2_matrix(_mat(v), C)
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    # two single Literal nodes (array<bigint> ids + array<array<bigint>>
-    # vectors) + one transform lambda: the expression tree and generated
-    # code stay O(1) in nlist × dims — an unrolled or element-wise-literal
-    # form compiles nlist·dims more code for no gain
-    ordered = sorted(centroids)
-    cids = F.lit([int(cid) for cid, _ in ordered])
-    cvs = F.lit([[int(x) for x in cv] for _, cv in ordered])
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(len(ordered))),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    c, F.element_at(cvs, i), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-            F.element_at(cids, i).alias("cid"),
-        ),
-    )
-
-
-def ivf_cell(vec_col: str | Column, centroids: list[tuple[int, list[int]]]) -> Column:
-    """Nearest-centroid cell id (ties → lowest cid; struct comparison is
-    lexicographic on (d2, cid))."""
-    return F.array_min(centroid_scores(vec_col, centroids)).getField("cid")
+    return cell(c)
 
 
 def ivf_probe_cells(
@@ -125,11 +180,20 @@ def ivf_probe_cells(
     nprobe: int = NPROBE,
 ) -> Column:
     """The ``nprobe`` nearest cell ids for a query vector (sorted by
-    distance, ties → lowest cid)."""
-    return F.transform(
-        F.slice(F.array_sort(centroid_scores(vec_col, centroids)), 1, nprobe),
-        lambda s: s.getField("cid"),
-    )
+    distance, ties → lowest cid via stable argsort over cid-ordered
+    distances)."""
+    cids, C = _centroid_arrays(centroids)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        d2 = _d2_matrix(_mat(v), C)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[idx]))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return probes(c)
 
 
 def ivf_topk(
@@ -148,7 +212,9 @@ def ivf_topk(
 
     At 100 TB: the inverted lists are the big table hash-partitioned by
     ``cell``; queries explode to nprobe rows and broadcast, so the big
-    side never shuffles and scoring touches nprobe/nlist of the corpus."""
+    side never shuffles and scoring touches nprobe/nlist of the corpus.
+    The codebook may be externally trained (Faiss/k-means) and O(10³)
+    cells — it rides the UDF closure; only probes are broadcast-joined."""
     asg = candidates.withColumn("cell", ivf_cell(cand_vec, centroids))
     probes = queries.withColumn(
         "cell", F.explode(ivf_probe_cells(query_vec, centroids, nprobe))
@@ -203,11 +269,19 @@ def hyperplane_weights(dims: int, planes: int = N_PLANES) -> list[list[int]]:
 
 def lsh_bucket(vec_col: str | Column, dims: int, planes: int = N_PLANES) -> Column:
     """Sign-of-projection LSH bucket id as a ``planes``-char bit-string.
-    The projection is an exact integer dot with md5-derived weights."""
+
+    All ``planes`` projections are one (batch × dims)·(dims × planes)
+    int64 matmul per Arrow batch — exact integer dots with md5-derived
+    weights, so bucket ids are engine-reproducible."""
+    W = np.array(hyperplane_weights(dims, planes), dtype=np.int64)  # (p, d)
+
+    @pandas_udf(StringType())
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        proj = _mat(v) @ W.T  # (n, planes)
+        chars = np.where(proj >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in chars])
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bits = []
-    for w in hyperplane_weights(dims, planes):
-        warr = F.array(*[F.lit(x).cast("bigint") for x in w])
-        proj = dot(c, warr)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return bucket(c)

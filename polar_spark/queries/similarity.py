@@ -14,10 +14,11 @@ from polar_spark.functions.similarity import (
     NLIST,
     NPROBE,
     brute_force_topk,
-    cosine_exact,
+    dot,
     ivf_topk,
     lsh_bucket,
     quantize,
+    sq_norm,
 )
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table
@@ -167,26 +168,42 @@ SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.35
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     prefilter (only same-bucket pairs ever join — O(n·avg bucket), never
-    O(n²)), then exact integer-dot cosine verification ≥ 0.35."""
+    O(n²)), then exact integer-dot cosine verification ≥ 0.35.
+
+    Norms are computed once per VECTOR before the join (sq_norm), not
+    once per pair — at 100 TB a hot bucket of b vectors does b² pair
+    dots but only b norm passes. cosine = dot/(√na²·√nb²) in double:
+    exact int64 sums + correctly-rounded IEEE sqrt/div, bit-identical
+    to the oracle's per-pair formula."""
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
         quantize("embedding").alias("v"),
         lsh_bucket(quantize("embedding"), dims=64).alias("bucket"),
-    )
+    ).withColumn("n2", sq_norm(F.col("v")))
     a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na2"), "bucket",
     )
     bb = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"), "bucket",
     )
+    pair_dot = F.col("_dot").cast("double")
     return (
         a.join(bb, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dot", dot(F.col("va"), F.col("vb")))
         .select(
             "id_a",
             "id_b",
-            cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                pair_dot
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )
