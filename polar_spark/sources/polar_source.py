@@ -72,11 +72,13 @@ def _read_tails(root: str, topic: str) -> dict[int, int]:
         return {int(k): v for k, v in json.load(f).items()}
 
 
-def _scan_slice(
-    root: str, topic: str, sl: _PartitionSlice
-) -> Iterator[tuple]:
-    """Read one partition's rows in (start, end] offset range. Parquet
-    row-group stats prune files/groups wholly outside the range."""
+def _scan_batches(root: str, topic: str, sl: _PartitionSlice):
+    """Read one partition's rows in (start, end] offset range as
+    ``pyarrow.RecordBatch``es in TOPIC_SCHEMA column order. Parquet
+    row-group stats prune files/groups wholly outside the range; the
+    data never leaves Arrow — the consume-path analog of the reference's
+    zero-copy chunk delivery (internal/consuming/models.go:126-131)."""
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     d = _partition_dir(root, topic, sl.partition)
@@ -86,26 +88,48 @@ def _scan_slice(
     flt = ds.field("offset") > sl.start_offset
     if sl.end_offset is not None:
         flt = flt & (ds.field("offset") <= sl.end_offset)
-    table = dataset.to_table(
+    ts_type = pa.timestamp("us", tz="UTC")
+    for batch in dataset.to_batches(
         columns=["topic", "offset", "timestamp", "key", "value"], filter=flt
-    )
-    utc = __import__("datetime").timezone.utc
-    for batch in table.to_batches():
-        cols = [batch.column(i) for i in range(batch.num_columns)]
-        for i in range(batch.num_rows):
-            ts = cols[2][i].as_py()
-            if ts is not None and ts.tzinfo is None:
-                # Arrow surface is tz-naive UTC; Spark's Python-source
-                # conversion requires aware timestamps
-                ts = ts.replace(tzinfo=utc)
-            yield (
-                cols[0][i].as_py(),
-                sl.partition,
-                cols[1][i].as_py(),
+    ):
+        if batch.num_rows == 0:
+            continue
+        ts = batch.column(2)
+        if ts.type != ts_type:
+            # stored tz-naive UTC (Spark parquet convention); Spark's
+            # arrow ingestion wants an explicit-UTC us-precision column
+            ts = ts.cast(pa.timestamp("us")).cast(ts_type)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(0),
+                pa.array(
+                    __import__("numpy").full(batch.num_rows, sl.partition, "int32")
+                ),
+                batch.column(1),
                 ts,
-                cols[3][i].as_py(),
-                cols[4][i].as_py(),
-            )
+                batch.column(3),
+                batch.column(4),
+            ],
+            names=["topic", "partition", "offset", "timestamp", "key", "value"],
+        )
+
+
+def _scan_slice(
+    root: str, topic: str, sl: _PartitionSlice
+) -> Iterator[tuple]:
+    """Tuple form of :func:`_scan_batches` for the simple stream reader
+    (its wrapper prefetch-caches plain tuples). Conversion is columnar
+    ``to_pylist`` (C loop), not per-value ``.as_py()``."""
+    utc = __import__("datetime").timezone.utc
+    for batch in _scan_batches(root, topic, sl):
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        # arrow tz-aware values come back aware; keep them aware for
+        # Spark's Python-source row conversion
+        cols[3] = [
+            t if t is None or t.tzinfo is not None else t.replace(tzinfo=utc)
+            for t in cols[3]
+        ]
+        yield from zip(*cols)
 
 
 class PolarBatchReader(DataSourceReader):
@@ -129,8 +153,10 @@ class PolarBatchReader(DataSourceReader):
             for p in sorted(self.committed)
         ]
 
-    def read(self, partition: _PartitionSlice) -> Iterator[tuple]:
-        yield from _scan_slice(self.root, self.topic, partition)
+    def read(self, partition: _PartitionSlice):
+        # vectorized: RecordBatches flow straight into Spark's arrow
+        # ingestion — no per-row Python materialization on the scan path
+        yield from _scan_batches(self.root, self.topic, partition)
 
 
 class PolarStreamReader(SimpleDataSourceStreamReader):
