@@ -238,20 +238,85 @@ def brute_force_topk(
     query_vec: str = "qv",
     cand_vec: str = "cv",
 ) -> DataFrame:
-    """Exact top-k by quantized dot product; queries are broadcast so the
-    candidate scan stays partition-local (no shuffle of the big side)."""
-    j = candidates.crossJoin(F.broadcast(queries)).filter(
-        F.col(cand_id) != F.col(query_id)
-    )
+    """Exact top-k by quantized dot product, two-phase (map-side combine
+    for top-k):
+
+    1. The query set rides the scoring UDF's closure (small by contract —
+       the brute-force baseline is for O(10-10³) probes). One
+       ``mapInPandas`` pass over the candidates does a
+       (batch × dims)·(dims × |Q|) int64 matmul per Arrow batch and keeps
+       a running PER-PARTITION top-k per query — the big side is scanned
+       once and never shuffles, and the scored rows never leave the task.
+    2. Only k·|Q| rows per partition reach the global top-k merge — at
+       100 TB the shuffle is O(partitions·k·|Q|), independent of n
+       (the n·|Q| scored-row shuffle of the naive window form is the
+       scale killer this avoids).
+
+    Tie-break is (dot desc, cand_id asc) at both phases, so results are
+    deterministic and oracle-identical."""
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("brute_force_topk: empty query set")
+    qids_py = [r[query_id] for r in qrows]
+    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)  # (m, d)
+    m = len(qids_py)
     carry = [c for c in candidates.columns if c not in (cand_id, cand_vec)]
-    scored = j.select(
-        query_id,
-        cand_id,
-        *carry,
-        dot(F.col(query_vec), F.col(cand_vec)).alias("dot"),
+    cs = candidates.schema
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(cand_id, cs[cand_id].dataType),
+            *[T.StructField(c, cs[c].dataType) for c in carry],
+            T.StructField("dot", T.LongType()),
+        ]
     )
+
+    def part_topk(batches):
+        qids = np.array(qids_py)
+        best_v = [np.empty(0, np.int64) for _ in range(m)]
+        best_i = [np.empty(0, dtype=object) for _ in range(m)]
+        best_c = [[np.empty(0, dtype=object) for _ in carry] for _ in range(m)]
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.stack(pdf[cand_vec].to_numpy()).astype(np.int64, copy=False)
+            ids = pdf[cand_id].to_numpy()
+            carries = [pdf[c].to_numpy() for c in carry]
+            D = V @ Q.T  # (n, m)
+            for q in range(m):
+                mask = ids != qids[q]  # a vector is not its own neighbor
+                v = np.concatenate([best_v[q], D[mask, q]])
+                i = np.concatenate([best_i[q], ids[mask]])
+                cols = [
+                    np.concatenate([best_c[q][j], col[mask]])
+                    for j, col in enumerate(carries)
+                ]
+                order = np.lexsort((i, -v))[:k]
+                best_v[q], best_i[q] = v[order], i[order]
+                best_c[q] = [col[order] for col in cols]
+        if not seen:
+            return
+        counts = [len(best_v[q]) for q in range(m)]
+        out = {
+            query_id: [qids_py[q] for q in range(m) for _ in range(counts[q])],
+            cand_id: np.concatenate(best_i) if sum(counts) else [],
+        }
+        for j, c in enumerate(carry):
+            out[c] = (
+                np.concatenate([best_c[q][j] for q in range(m)])
+                if sum(counts)
+                else []
+            )
+        out["dot"] = np.concatenate(best_v) if sum(counts) else []
+        yield pd.DataFrame(out, columns=[query_id, cand_id, *carry, "dot"])
+
+    partial = candidates.mapInPandas(part_topk, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def hyperplane_weights(dims: int, planes: int = N_PLANES) -> list[list[int]]:

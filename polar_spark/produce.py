@@ -50,14 +50,31 @@ class Producer:
         value_col: str = "value",
         ts_col: str | None = None,
         validate_size: bool = False,
+        arrival_cols: list[str] | None = None,
     ) -> dict[int, int]:
         """Append a batch to ``topic``; returns the new per-partition tails.
 
+        Arrival order (→ per-partition offset order):
+        - ``arrival_cols`` given: rows are ordered by those NORMALIZED
+          record columns (``timestamp`` / ``key`` / ``value``) — fully
+          deterministic, including under task retry. Use columns that
+          totally order the batch (e.g. ``["timestamp", "value"]``).
+        - default: input row order, captured as (input partition id,
+          position) BEFORE the shuffle. Deterministic exactly when the
+          upstream row order is (file scans are; an unsorted shuffle
+          output is not) — the same constraint any at-least-once sink has
+          on replayed input.
+
+        Offset *uniqueness* under concurrent produce calls is enforced by
+        the catalog's per-topic produce lock around the tail-ledger
+        read-modify-write (one writer per topic, like the reference's
+        per-(topic, token) coalescer goroutine).
+
         NULL keys spread round-robin over partitions (keyless produce has
         no ordering guarantee in the reference,
-        internal/discovery/discoverer.go:370-380): we substitute a
-        per-row monotonic id as the hash input so null-key traffic
-        balances instead of hot-spotting one partition.
+        internal/discovery/discoverer.go:370-380): we substitute the
+        arrival id as the hash input so null-key traffic balances instead
+        of hot-spotting one partition.
         """
         meta = self.catalog.ensure_topic(topic)
         p = meta.num_partitions
@@ -67,46 +84,54 @@ class Producer:
             # reference rejects messages > 1 MiB with 400
             ev = ev.filter(F.octet_length("value") <= MAX_MESSAGE_BYTES)
 
-        # arrival order = input order, captured before any shuffle
-        ev = ev.withColumn("_arrival", F.monotonically_increasing_id())
+        if arrival_cols:
+            order_cols = [F.col(c) for c in arrival_cols]
+            keyless_spread = F.xxhash64(*[F.col(c) for c in arrival_cols])
+        else:
+            # arrival = input order, captured before any shuffle
+            ev = ev.withColumn("_arrival", F.monotonically_increasing_id())
+            order_cols = [F.col("_arrival")]
+            keyless_spread = F.xxhash64(F.col("_arrival"))
         keyed = ev.withColumn(
             "partition",
             F.when(
                 F.col("key").isNotNull(), partition_col(F.col("key"), p)
-            ).otherwise(F.pmod(F.xxhash64(F.col("_arrival")), F.lit(p)).cast("int")),
+            ).otherwise(F.pmod(keyless_spread, F.lit(p)).cast("int")),
         )
 
-        tails = self.catalog.tails(topic)
-        base = F.create_map(
-            *[x for kv in tails.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-        )
-        w = Window.partitionBy("partition").orderBy("_arrival")
-        out = keyed.withColumn(
-            "offset",
-            (F.element_at(base, F.col("partition")) + F.row_number().over(w)).cast(
-                "long"
-            ),
-        ).select("topic", "partition", "offset", "timestamp", "key", "value")
-
-        # persist the batch so the tail aggregation below reuses it instead
-        # of re-reading the whole topic — tails advance in O(batch), not
-        # O(topic) (the reference's producer.offset file is likewise
-        # updated from the in-flight chunk, internal/data/index_file_writer.go)
-        out = out.persist()
-        try:
-            out.write.mode("append").partitionBy("partition").parquet(
-                self.catalog.data_dir(topic)
+        with self.catalog.produce_lock(topic):
+            tails = self.catalog.tails(topic)
+            base = F.create_map(
+                *[x for kv in tails.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
             )
-            new_tails = {
-                r["partition"]: r["tail"]
-                for r in out.groupBy("partition")
-                .agg(F.max("offset").alias("tail"))
-                .collect()
-            }
-        finally:
-            out.unpersist()
-        self.catalog.advance_tails(topic, new_tails)
-        return self.catalog.tails(topic)
+            w = Window.partitionBy("partition").orderBy(*order_cols)
+            out = keyed.withColumn(
+                "offset",
+                (F.element_at(base, F.col("partition")) + F.row_number().over(w)).cast(
+                    "long"
+                ),
+            ).select("topic", "partition", "offset", "timestamp", "key", "value")
+
+            # persist the batch so the tail aggregation below reuses it
+            # instead of re-reading the whole topic — tails advance in
+            # O(batch), not O(topic) (the reference's producer.offset file
+            # is likewise updated from the in-flight chunk,
+            # internal/data/index_file_writer.go)
+            out = out.persist()
+            try:
+                out.write.mode("append").partitionBy("partition").parquet(
+                    self.catalog.data_dir(topic)
+                )
+                new_tails = {
+                    r["partition"]: r["tail"]
+                    for r in out.groupBy("partition")
+                    .agg(F.max("offset").alias("tail"))
+                    .collect()
+                }
+            finally:
+                out.unpersist()
+            self.catalog.advance_tails(topic, new_tails)
+            return self.catalog.tails(topic)
 
     def produce_ndjson(self, df: DataFrame, topic: str, body_col: str = "body",
                        key_col: str | None = None, ts_col: str | None = None) -> dict[int, int]:

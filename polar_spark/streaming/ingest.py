@@ -46,15 +46,23 @@ class StreamingProducer:
         trigger_seconds: float | None = None,
     ) -> StreamingQuery:
         """``foreachBatch`` produce: every micro-batch appends with
-        contiguous offsets via the tail ledger (exactly-once within the
-        sink; the poll facade downgrades to at-least-once by design)."""
+        contiguous offsets via the tail ledger.
+
+        Idempotent against micro-batch retries (the standard
+        idempotent-foreachBatch pattern): the applied epoch id is recorded
+        per (topic, checkpoint) in the catalog's epoch ledger AFTER the
+        produce, and already-applied epochs are skipped on re-invocation.
+        Net guarantee is at-least-once — a crash between the produce and
+        the epoch record replays that one batch (the reference's produce
+        path makes the same trade, docs/benchmarks/README.md:11-12);
+        the common retry path (foreachBatch re-run after a checkpoint
+        commit failure) deduplicates exactly."""
         cp = checkpoint_dir or f"{self.catalog.topic_dir(topic)}/_checkpoint_ingest"
 
-        def _sink(batch_df: DataFrame, _epoch: int) -> None:
-            if batch_df.isEmpty():
-                return
-            self._producer.produce(
-                batch_df, topic, key_col=key_col, value_col=value_col, ts_col=ts_col
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
+            self.apply_batch(
+                batch_df, epoch, topic, cp,
+                key_col=key_col, value_col=value_col, ts_col=ts_col,
             )
 
         writer = stream_df.writeStream.foreachBatch(_sink).option(
@@ -65,6 +73,27 @@ class StreamingProducer:
         else:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        topic: str,
+        sink_id: str,
+        key_col: str | None = None,
+        value_col: str = "value",
+        ts_col: str | None = None,
+    ) -> bool:
+        """Apply one micro-batch idempotently; returns False if ``epoch``
+        was already applied by ``sink_id`` (the foreachBatch retry path)."""
+        if self.catalog.last_epoch(topic, sink_id) >= epoch:
+            return False
+        if not batch_df.isEmpty():
+            self._producer.produce(
+                batch_df, topic, key_col=key_col, value_col=value_col, ts_col=ts_col
+            )
+        self.catalog.record_epoch(topic, sink_id, epoch)
+        return True
 
 
 def stream_topic(spark: SparkSession, catalog: TopicCatalog, topic: str) -> DataFrame:

@@ -25,6 +25,7 @@ data path never touches it per-row.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -119,6 +120,66 @@ class TopicCatalog:
         for p, off in new_tails.items():
             cur[p] = max(cur.get(p, -1), off)
         self._write_tails(name, cur)
+
+    @contextlib.contextmanager
+    def produce_lock(self, name: str, timeout: float = 30.0, stale: float = 120.0):
+        """Exclusive produce lock for one topic (O_CREAT|O_EXCL lock file).
+
+        The tail ledger is read-modify-write: two concurrent produces to
+        the same topic would read the same tails and assign overlapping
+        offsets. The reference gets single-writer semantics from one
+        goroutine per (topic, token) (internal/producing/coalescer.go);
+        this lock is the multi-process analog. Locks older than ``stale``
+        seconds are presumed crashed and broken."""
+        path = os.path.join(self.topic_dir(name), ".produce.lock")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > stale:
+                        os.unlink(path)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"produce lock for topic {name!r} not released"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
+    # -- sink epoch ledger (idempotent foreachBatch) -----------------------
+    def _epochs_path(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "epochs.json")
+
+    def last_epoch(self, name: str, sink_id: str) -> int:
+        """Highest micro-batch epoch already applied by ``sink_id``."""
+        try:
+            with open(self._epochs_path(name)) as f:
+                return int(json.load(f).get(sink_id, -1))
+        except FileNotFoundError:
+            return -1
+
+    def record_epoch(self, name: str, sink_id: str, epoch: int) -> None:
+        try:
+            with open(self._epochs_path(name)) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            d = {}
+        d[sink_id] = max(int(d.get(sink_id, -1)), int(epoch))
+        tmp = self._epochs_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, self._epochs_path(name))
 
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
