@@ -311,26 +311,64 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exploded (id, shingle) table of distinct word n-gram shingles."""
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, with_word_count: bool = False
+) -> DataFrame:
+    """Exploded (id, shingle) table of distinct word n-gram shingles
+    (non-strict: sub-3-word docs keep their trailing short shingle).
+
+    ``with_word_count=True`` adds ``n_words`` so a consumer can recover
+    the STRICT shingle set by filtering ``n_words >= SHINGLE_WORDS``:
+    for docs with ≥ 3 words strict and non-strict shingles coincide, so
+    one exploded table serves both the MinHash contract (strict) and the
+    Jaccard contract (non-strict)."""
     shingle_expr = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(split({text_col},' ')) - {SHINGLE_WORDS - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split({text_col},' '), i, {SHINGLE_WORDS}))))"
     )
-    return df.select(F.col(id_col).alias("id"), shingle_expr.alias("shingles")).select(
-        "id", F.explode("shingles").alias("shingle")
+    cols = [F.col(id_col).alias("id"), shingle_expr.alias("shingles")]
+    if with_word_count:
+        cols.append(F.size(F.split(F.col(text_col), " ")).alias("n_words"))
+    out = df.select(*cols).select(
+        "id",
+        *(["n_words"] if with_word_count else []),
+        F.explode("shingles").alias("shingle"),
     )
+    return out
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
     explode(distinct shingles) → equi-join on shingle → per-pair
     intersection counts → |A∪B| from per-doc sizes. Non-overlapping
-    pairs never materialize."""
+    pairs never materialize.
+
+    ``max_df`` is the hot-shingle skew guard for corpus scale: a shingle
+    appearing in d docs contributes d² join rows, so one ubiquitous
+    3-gram ("in the the", boilerplate headers…) turns the equi-join into
+    a near-cross-join. With ``max_df`` set, shingles with document
+    frequency > max_df are dropped from BOTH the intersection and the
+    per-doc sizes (standard DF-pruning/winnowing: Jaccard over the
+    pruned shingle universe — ubiquitous shingles carry no dedup signal).
+    The hot set is tiny by construction, so it broadcasts into a
+    left-anti join — no extra shuffle of the shingle table. Default None
+    = exact (oracle-comparable) semantics."""
     sh = shingle_table(df, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -429,18 +467,66 @@ def simhash_pairs(
     )
 
 
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """(id, sig) MinHash signatures from an exploded (id, shingle) table
+    — same explode→KM-pairs→16-min reduction as
+    :func:`minhash_signatures`, but starting from a shingle table the
+    caller already built (so one explode serves signatures AND
+    verification — see :func:`verified_near_dups`). Rows must be the
+    STRICT shingle set (docs with ≥ 3 words)."""
+    m = MINHASH_PRIME
+    hp = sh.withColumn("h", F.md5("shingle")).select(
+        "id",
+        (F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % m).alias("a"),
+        (F.conv(F.substring("h", 17, 15), 16, 10).cast("bigint") % m).alias("b"),
+    )
+    mins = hp.groupBy("id").agg(
+        *[
+            F.min((F.col("a") + seed * F.col("b")) % m).alias(f"m{seed}")
+            for seed in range(MINHASH_SEEDS)
+        ]
+    )
+    return mins.select(
+        "id",
+        F.array(*[f"m{seed}" for seed in range(MINHASH_SEEDS)]).alias("sig"),
+    )
+
+
 def verified_near_dups(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
 ) -> DataFrame:
     """The scale-path dedup pipeline: MinHash-LSH candidates, then exact
     Jaccard computed ONLY for candidate pairs (never all-pairs).
 
+    The exploded (id, shingle) table is built ONCE (persisted
+    MEMORY_AND_DISK) and feeds both branches: MinHash signatures derive
+    from its strict subset (``n_words >= 3`` — identical shingle sets
+    for those docs) and Jaccard verification joins its non-strict form.
+    Round 1 exploded the corpus twice; this halves the dominant cost.
+
     At 100 TB: signatures are linear scans; the band join shuffles
     O(n·bands) keys; verification joins the shingle table onto the
     (small) candidate set — total cost is driven by the true near-dup
-    density, not the corpus square."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
-    sh = shingle_table(df, id_col, text_col)
+    density, not the corpus square. The persisted shingle table spills
+    to disk per executor; Spark evicts it LRU after the query."""
+    from pyspark import StorageLevel
+
+    shw = shingle_table(
+        _spread(df.select(id_col, text_col)), id_col, text_col, with_word_count=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shw.select("id", "shingle")
+    sigs = minhash_signatures_from_shingles(
+        shw.filter(F.col("n_words") >= SHINGLE_WORDS).select("id", "shingle")
+    )
+    keys = lsh_band_keys(sigs, "id")
+    ka = keys.select(F.col("id").alias("id_a"), "band", "band_key")
+    kb = keys.select(F.col("id").alias("id_b"), "band", "band_key")
+    cands = (
+        ka.join(kb, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("shingle_b"))

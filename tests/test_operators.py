@@ -318,3 +318,45 @@ def test_count_min_overestimates_and_bounds(spark, sf_dir):
     for k, n in exact.items():
         assert est[k] >= n  # CM never underestimates
         assert est[k] <= n + n_total  # trivially bounded by total mass
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """A shingle present in EVERY doc would form an O(n^2) join bucket;
+    max_df prunes it without losing true near-dup pairs (winnowed
+    semantics: Jaccard over the pruned shingle universe)."""
+    from pyspark.sql import functions as F
+
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique words number {i} payload") for i in range(300)]
+    # docs 0/1 are true near-dups of each other
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    guarded = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9, max_df=50)
+    pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert pairs == {(0, 1)}  # the duplicate pair survives pruning
+
+    # the hot boilerplate shingles are gone from the join input: no
+    # bucket bigger than max_df can exist, so candidate row volume is
+    # bounded by n*max_df, not n^2
+    from polar_spark.functions.dedup import shingle_table
+    sh = shingle_table(df, "doc_id", "text")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    assert freq.filter(F.col("c") > 50).count() > 0  # pathological input is real
+
+
+def test_ngram_jaccard_guard_identity_when_no_hot_shingles(spark, sf_dir):
+    """On the oracle corpus no shingle exceeds the threshold, so the
+    guarded operator is result-identical to the exact one."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_df=150
+        ).collect()
+    }
+    assert exact == guarded
