@@ -42,12 +42,17 @@ class _ConsumerState:
 
 class PolarEngine:
     def __init__(self, spark: SparkSession, root: str,
-                 num_partitions: int = DEFAULT_PARTITIONS):
+                 num_partitions: int = DEFAULT_PARTITIONS,
+                 inactivity_timeout: float = 120.0):
         self.spark = spark
         self.catalog = TopicCatalog(spark, root)
         self.producer = Producer(self.catalog)
         self.num_partitions = num_partitions
+        # reference ConsumerInactivityTimeout: 2 min idle → unregistered
+        # (internal/conf/config.go:273-276)
+        self.inactivity_timeout = inactivity_timeout
         self._consumers: dict[str, _ConsumerState] = {}
+        # consumer → topic → in-memory served positions (group read queue)
         self._pending: dict[str, dict[str, dict[int, int]]] = {}
 
     # -- produce ----------------------------------------------------------
@@ -70,7 +75,12 @@ class PolarEngine:
         """PUT /v1/consumer/register — group ledger created with the
         reset policy; assignment recomputes on every membership change
         (the reference debounces 10 s; driver-side we recompute
-        synchronously — same resulting assignment law)."""
+        synchronously — same resulting assignment law). Re-registration
+        clears any in-memory served positions, so an uncommitted tail is
+        re-delivered from the committed offset (the reference's restart
+        redelivery, docs/rest_api/consumer_flow/README.md:30-38)."""
+        self.evict_inactive()
+        self._pending.pop(consumer_id, None)
         self._consumers[consumer_id] = _ConsumerState(
             consumer_id, group, list(topics), on_new_group
         )
@@ -90,26 +100,42 @@ class PolarEngine:
 
     def poll(self, consumer_id: str, max_records: int | None = None) -> dict[str, PollResult]:
         """POST /v1/consumer/poll — next records from the consumer's
-        assigned partitions, in offset order; positions are retained so
-        a later commit() can move the group's offsets
-        (commit-after-deliver = at-least-once)."""
+        assigned partitions, in offset order.
+
+        The read position advances IN MEMORY as records are served (the
+        reference's group read queue,
+        internal/consuming/group_read_queue.go): a poll loop makes
+        progress without intervening commits, and uncommitted data is
+        re-delivered only from the committed position after the consumer
+        re-registers (restart) — at-least-once, never unbounded
+        duplicates. Served positions accumulate in ``_pending`` until
+        commit()."""
+        self.evict_inactive()
         st = self._require(consumer_id)
         st.last_seen = time.time()
         group = ConsumerGroup(self.catalog, st.group)
         out: dict[str, PollResult] = {}
         assigned = self.assignment(consumer_id)
         for t in st.topics:
-            res = group.poll(t, max_records=max_records, partitions=assigned[t])
-            self._pending.setdefault(consumer_id, {})[t] = res.positions
+            served = self._pending.setdefault(consumer_id, {}).setdefault(t, {})
+            res = group.poll(
+                t,
+                max_records=max_records,
+                partitions=assigned[t],
+                from_offsets=served,
+            )
+            for p, off in res.positions.items():
+                served[p] = max(served.get(p, -1), off)
             out[t] = res
         return out
 
     def commit(self, consumer_id: str) -> None:
-        """Manual commit of the last polled positions."""
+        """Manual commit of every position served since the last commit."""
         st = self._require(consumer_id)
         group = ConsumerGroup(self.catalog, st.group)
         for t, positions in self._pending.get(consumer_id, {}).items():
-            group.commit(t, positions)
+            if positions:
+                group.commit(t, positions)
         self._pending.pop(consumer_id, None)
 
     def goodbye(self, consumer_id: str) -> None:
@@ -118,11 +144,17 @@ class PolarEngine:
         self.commit(consumer_id)
         self._consumers.pop(consumer_id, None)
 
-    def evict_inactive(self, timeout_seconds: float = 120.0) -> list[str]:
-        """Reference: consumers idle > 2 min are unregistered
-        (internal/conf/config.go:273-276)."""
+    def evict_inactive(self, timeout_seconds: float | None = None) -> list[str]:
+        """Reference: consumers idle > 2 min are unregistered and their
+        partitions rebalance to the surviving members
+        (internal/conf/config.go:273-276). Swept automatically at the
+        top of every poll/register (the driver-side analog of the
+        reference's background timer); uncommitted served positions are
+        dropped — the next owner re-reads from committed (at-least-once).
+        """
+        timeout = self.inactivity_timeout if timeout_seconds is None else timeout_seconds
         now = time.time()
-        gone = [c for c, st in self._consumers.items() if now - st.last_seen > timeout_seconds]
+        gone = [c for c, st in self._consumers.items() if now - st.last_seen > timeout]
         for c in gone:
             self._consumers.pop(c, None)
             self._pending.pop(c, None)

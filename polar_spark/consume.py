@@ -126,6 +126,7 @@ class ConsumerGroup:
         topic: str,
         max_records: int | None = None,
         partitions: list[int] | None = None,
+        from_offsets: dict[int, int] | None = None,
     ) -> PollResult:
         """Next unconsumed records in (partition, offset) order.
 
@@ -135,8 +136,20 @@ class ConsumerGroup:
         ``offset > committed`` is pushed to the Parquet scan per
         partition (OR of per-partition conjuncts keeps it
         pushdown-eligible).
+
+        ``from_offsets`` overrides the read position per partition
+        (clamped to ≥ committed): the engine facade passes its in-memory
+        served positions here so a poll loop advances between commits,
+        like the reference's group read queue
+        (internal/consuming/group_read_queue.go) — uncommitted data is
+        re-delivered only after re-registration/restart.
         """
         committed = self.committed(topic)
+        if from_offsets:
+            committed = {
+                p: max(off, from_offsets.get(p, -1))
+                for p, off in committed.items()
+            }
         df = self.catalog.read(topic)
         if partitions is not None:
             df = df.filter(F.col("partition").isin(partitions))

@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP_MICROS (not legacy INT96): INT96 columns carry no
+        # row-group statistics, which breaks record-time retention
+        # (topics.vacuum) and timestamp min/max pushdown on topic scans
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # driver testdata is written with TIMESTAMP(NANOS); read as long and
         # convert via sources.tables.load_table (Spark has no ns timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,6 +86,7 @@ def ensure_driver_session(spark: SparkSession) -> SparkSession:
     safe to pass."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     except Exception:
         pass  # flag may be unsupported in future Spark; reads then decide
     sc = spark.sparkContext

@@ -202,10 +202,40 @@ class TopicCatalog:
         )
 
     # -- retention (reference datalog_cleaner.go:16-41) --------------------
+    @staticmethod
+    def _file_max_record_time(path: str) -> float | None:
+        """Max ``timestamp`` across a parquet file's row-group statistics,
+        as epoch seconds (None if stats are unavailable). Footer-only
+        read — no data pages touched."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("timestamp")
+            if idx < 0:
+                return None
+            best = None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                mx = stats.max  # datetime for timestamp logical type
+                ts = mx.timestamp() if hasattr(mx, "timestamp") else None
+                if ts is None:
+                    return None
+                best = ts if best is None else max(best, ts)
+            return best
+        except Exception:  # noqa: BLE001 — stats are an optimization, not truth
+            return None
+
     def vacuum(self, name: str, retention_hours: float | None = None) -> int:
-        """Delete data files whose max timestamp is older than retention.
-        File-level mtime stands in for segment age (the reference deletes
-        whole segment files past retention, never rewrites them)."""
+        """Delete data files whose newest RECORD is older than retention.
+
+        Segment age is the max record timestamp from the parquet footer
+        stats (the reference deletes segments by their data's age,
+        internal/data/datalog_cleaner.go:16-41) — NOT file mtime, which
+        resets when compact() rewrites files and would silently extend
+        retention. Files without usable stats fall back to mtime."""
         meta = self.ensure_topic(name)
         hours = retention_hours if retention_hours is not None else meta.retention_hours
         cutoff = time.time() - hours * 3600.0
@@ -213,7 +243,12 @@ class TopicCatalog:
         for dirpath, _dirnames, filenames in os.walk(self.data_dir(name)):
             for fn in filenames:
                 p = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and os.path.getmtime(p) < cutoff:
+                if not fn.endswith(".parquet"):
+                    continue
+                age_ts = self._file_max_record_time(p)
+                if age_ts is None:
+                    age_ts = os.path.getmtime(p)
+                if age_ts < cutoff:
                     os.remove(p)
                     removed += 1
         return removed

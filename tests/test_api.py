@@ -97,3 +97,54 @@ def test_engine_discovery(spark, sf_dir, tmp_path):
     assert d["topics"] == ["alpha"]
     assert d["groups"] == ["g1"]
     assert d["partitions_per_topic"] == 12
+
+
+def test_engine_poll_loop_advances_without_commit(spark, sf_dir, tmp_path):
+    """Poll must advance the in-memory read position between commits
+    (group read queue semantics): a poll loop with a budget drains the
+    topic instead of re-serving the same head forever, and
+    re-registration re-delivers the uncommitted tail from committed."""
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    eng.produce("t", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("a", "g", ["t"])
+
+    seen = 0
+    batches = 0
+    while batches < 50:
+        res = eng.poll("a", max_records=100)["t"]
+        n = res.df.count()
+        if n == 0:
+            break
+        seen += n
+        batches += 1
+    assert seen == 300  # drained without ever committing
+    assert eng.poll("a", max_records=100)["t"].df.count() == 0
+
+    # nothing was committed → re-registration replays from the start
+    eng.register("a", "g", ["t"])
+    assert eng.poll("a", max_records=10**6)["t"].df.count() == 300
+
+    # commit-then-poll stays empty; re-register after commit replays nothing
+    eng.commit("a")
+    eng.register("a", "g", ["t"])
+    assert eng.poll("a", max_records=10**6)["t"].df.count() == 0
+
+
+def test_vacuum_uses_record_time_not_mtime(spark, sf_dir, tmp_path):
+    """compact() rewrites files (fresh mtime); retention must still
+    delete data whose RECORDS are past retention."""
+    from pyspark.sql import functions as F
+    from polar_spark.produce import Producer
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    # shift all record timestamps 30 days into the past
+    old = ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+    prod.produce(old, "t", key_col="user_id", value_col="props", ts_col="ts")
+    cat.compact("t")  # rewrites files → mtime is NOW
+    removed = cat.vacuum("t", retention_hours=24.0)
+    assert removed > 0
+    assert cat.read("t").count() == 0
