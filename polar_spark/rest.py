@@ -1,0 +1,225 @@
+"""Thin HTTP facade over :class:`polar_spark.api.PolarEngine`.
+
+Maps the reference's REST surface 1:1 (docs/rest_api/README.md:17-55;
+producer server internal/producing/server.go:126, consumer server
+internal/consuming/server.go:203-419) onto the engine:
+
+    PUT  /v1/consumer/register?consumerId&group&topic[&topic…]&onNewGroup
+    POST /v1/consumer/poll?consumerId          → 200 items / 204 / 409
+    POST /v1/consumer/commit?consumerId        → 204 / 409
+    POST /v1/consumer/goodbye?consumerId       → 200 / 409
+    POST /v1/topic/{topic}/messages[?partitionKey=k]   (JSON | NDJSON)
+    GET  /v1/brokers                           → topology JSON
+    GET  /status                               → 200 OK
+
+Semantics matched to the reference:
+- poll AUTO-COMMITS the previously served position before reading new
+  data ("brokers will automatically commit the previous position when
+  new data is requested" — docs/rest_api/README.md), so a poll loop is
+  at-least-once without explicit commits;
+- poll answers 204 No Content when nothing is available and 409 Conflict
+  for unregistered consumers (caller must re-register and retry);
+- register is idempotent and defaults group="default",
+  onNewGroup=startFromLatest (internal/consuming/server.go);
+- produce rejects payloads over 1 MiB with 400 (reference
+  MaxMessageSize, internal/conf/config.go:252-254).
+
+Placement vocabulary: the reference addresses data by (token,
+rangeIndex, version); Spark's engine has plain partitions, reported as
+``token=str(partition)``, ``rangeIndex=0``, ``version=1`` — the same
+"where did this range come from" contract with a flat topology.
+
+This facade is a driver-side convenience for API parity and integration
+tests — the data path underneath is the same Spark engine; at scale,
+clients use the engine (or Spark) directly.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from polar_spark.api import PolarEngine
+from polar_spark.consume import LATEST
+from polar_spark.produce import MAX_MESSAGE_BYTES
+
+
+class PolarRestServer:
+    """Serve a :class:`PolarEngine` over HTTP on ``port`` (0 = ephemeral).
+
+    One server exposes all three reference APIs (discovery / producer /
+    consumer) on a single port — the reference splits them over 9250-9252
+    per broker; a single Spark driver has no per-broker routing to do.
+    """
+
+    def __init__(self, engine: PolarEngine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._lock = threading.Lock()
+        facade = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+            # -- plumbing --------------------------------------------------
+            def _send(self, code: int, payload: dict | list | str | None = None):
+                body = b""
+                ctype = "application/json"
+                if isinstance(payload, str):
+                    body, ctype = payload.encode(), "text/plain"
+                elif payload is not None:
+                    body = json.dumps(payload).encode()
+                self.send_response(code)
+                if body:
+                    self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def _q(self) -> dict[str, list[str]]:
+                return parse_qs(urlparse(self.path).query)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n) if n else b""
+
+            # -- routes ----------------------------------------------------
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/status":
+                    self._send(200, "OK")
+                elif path == "/v1/brokers":
+                    with facade._lock:
+                        d = facade.engine.discovery()
+                    self._send(
+                        200,
+                        {
+                            "length": 1,
+                            "names": [facade.host],
+                            "producerPort": facade.port,
+                            "consumerPort": facade.port,
+                            "baseName": d["baseName"],
+                            "partitionsPerTopic": d["partitions_per_topic"],
+                            "topics": d["topics"],
+                        },
+                    )
+                else:
+                    self._send(404)
+
+            def do_PUT(self):
+                path = urlparse(self.path).path
+                if path == "/v1/consumer/register":
+                    q = self._q()
+                    cid = q.get("consumerId", [None])[0]
+                    topics = q.get("topic", [])
+                    if not cid or not topics:
+                        return self._send(400, {"error": "consumerId and topic required"})
+                    group = q.get("group", ["default"])[0]
+                    on_new = q.get("onNewGroup", [LATEST])[0]
+                    with facade._lock:
+                        facade.engine.register(cid, group, topics, on_new_group=on_new)
+                    self._send(200, "OK")
+                else:
+                    self._send(404)
+
+            def do_POST(self):
+                path = urlparse(self.path).path
+                q = self._q()
+                if path.startswith("/v1/topic/") and path.endswith("/messages"):
+                    return self._produce(path, q)
+                cid = q.get("consumerId", [None])[0]
+                try:
+                    if path == "/v1/consumer/poll":
+                        return self._poll(cid)
+                    if path == "/v1/consumer/commit":
+                        with facade._lock:
+                            facade.engine.commit(cid)
+                        return self._send(204)
+                    if path == "/v1/consumer/goodbye":
+                        with facade._lock:
+                            facade.engine.goodbye(cid)
+                        return self._send(200, "OK")
+                except ValueError:
+                    # unregistered consumer → reference answers 409 Conflict
+                    return self._send(409, {"error": "consumer not registered"})
+                self._send(404)
+
+            def _produce(self, path: str, q: dict):
+                topic = path[len("/v1/topic/") : -len("/messages")]
+                body = self._body()
+                if len(body) > MAX_MESSAGE_BYTES:
+                    return self._send(400, {"error": "message too large"})
+                key = q.get("partitionKey", [None])[0]
+                ndjson = "ndjson" in (self.headers.get("Content-Type") or "")
+                text = body.decode("utf-8", errors="replace")
+                lines = (
+                    [ln for ln in text.split("\n") if ln.strip()]
+                    if ndjson
+                    else [text]
+                )
+                spark = facade.engine.spark
+                with facade._lock:
+                    df = spark.createDataFrame(
+                        [(key, ln) for ln in lines], "key string, value string"
+                    )
+                    facade.engine.produce(topic, df, key_col="key", value_col="value")
+                self._send(200, "OK")
+
+            def _poll(self, cid: str | None):
+                with facade._lock:
+                    # reference flow: requesting new data commits the
+                    # previously served position (auto-commit)
+                    facade.engine.commit(cid)
+                    results = facade.engine.poll(cid)
+                    items = []
+                    for topic, res in results.items():
+                        for row in res.json_items().collect():
+                            values = [
+                                _maybe_json(v["value"])
+                                for v in json.loads(row["values"])
+                            ]
+                            items.append(
+                                {
+                                    "topic": topic,
+                                    "token": str(row["partition"]),
+                                    "rangeIndex": 0,
+                                    "version": 1,
+                                    "startOffset": str(row["startOffset"]),
+                                    "values": values,
+                                }
+                            )
+                if not items:
+                    return self._send(204)
+                self._send(200, items)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "PolarRestServer":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def _maybe_json(value: str):
+    """Reference poll responses return events 'as produced' — JSON bodies
+    come back as JSON values, opaque strings stay strings."""
+    try:
+        return json.loads(value)
+    except (TypeError, ValueError):
+        return value

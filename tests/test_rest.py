@@ -1,0 +1,113 @@
+"""HTTP round-trip over the REST facade, mirroring the reference's
+integration flow (internal/test/integration/roundtrip_test.go:68-119:
+produce via HTTP → register → poll until data → values match → commit
+via goodbye; plus the documented status codes)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from polar_spark.api import PolarEngine
+from polar_spark.rest import PolarRestServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    eng = PolarEngine(spark, str(tmp_path))
+    srv = PolarRestServer(eng).start()
+    yield srv
+    srv.stop()
+
+
+def _req(method: str, url: str, body: bytes | None = None, ctype: str = "application/json"):
+    req = urllib.request.Request(url, data=body, method=method)
+    if body is not None:
+        req.add_header("Content-Type", ctype)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_roundtrip(server):
+    u = server.url
+    # status + discovery
+    assert _req("GET", f"{u}/status")[0] == 200
+    code, body = _req("GET", f"{u}/v1/brokers")
+    assert code == 200
+    topo = json.loads(body)
+    assert topo["length"] == 1 and "producerPort" in topo
+
+    # produce three JSON events on one key (ordering guarantee)
+    for units in (-5, 10, 20):
+        code, _ = _req(
+            "POST",
+            f"{u}/v1/topic/product-stock/messages?partitionKey=123",
+            json.dumps({"productId": 123, "units": units}).encode(),
+        )
+        assert code == 200
+
+    # register (idempotent) then poll until the data arrives
+    code, _ = _req(
+        "PUT",
+        f"{u}/v1/consumer/register?consumerId=c1&group=g&topic=product-stock"
+        "&onNewGroup=startFromEarliest",
+    )
+    assert code == 200
+    code, body = _req("POST", f"{u}/v1/consumer/poll?consumerId=c1")
+    assert code == 200
+    items = json.loads(body)
+    values = [v for it in items for v in it["values"]]
+    assert [v["units"] for v in values] == [-5, 10, 20]  # per-key order
+    assert all(
+        set(it) >= {"topic", "token", "rangeIndex", "version", "startOffset", "values"}
+        for it in items
+    )
+    assert items[0]["startOffset"] == "0"
+
+    # nothing new → 204; the empty poll auto-committed the served batch
+    assert _req("POST", f"{u}/v1/consumer/poll?consumerId=c1")[0] == 204
+
+    # explicit commit → 204; goodbye → 200
+    assert _req("POST", f"{u}/v1/consumer/commit?consumerId=c1")[0] == 204
+    assert _req("POST", f"{u}/v1/consumer/goodbye?consumerId=c1")[0] == 200
+
+    # a NEW consumer in the SAME group resumes after the committed tail
+    _req(
+        "PUT",
+        f"{u}/v1/consumer/register?consumerId=c2&group=g&topic=product-stock"
+        "&onNewGroup=startFromEarliest",
+    )
+    assert _req("POST", f"{u}/v1/consumer/poll?consumerId=c2")[0] == 204
+
+
+def test_http_ndjson_and_errors(server):
+    u = server.url
+    nd = b'{"n": 1}\n{"n": 2}\n{"n": 3}\n'
+    code, _ = _req(
+        "POST",
+        f"{u}/v1/topic/t/messages?partitionKey=k",
+        nd,
+        ctype="application/x-ndjson",
+    )
+    assert code == 200
+
+    _req("PUT", f"{u}/v1/consumer/register?consumerId=x&group=g2&topic=t"
+                "&onNewGroup=startFromEarliest")
+    code, body = _req("POST", f"{u}/v1/consumer/poll?consumerId=x")
+    assert code == 200
+    values = [v for it in json.loads(body) for v in it["values"]]
+    assert [v["n"] for v in values] == [1, 2, 3]  # NDJSON split into records
+
+    # unregistered consumer → 409 Conflict (reference contract)
+    assert _req("POST", f"{u}/v1/consumer/poll?consumerId=ghost")[0] == 409
+    assert _req("POST", f"{u}/v1/consumer/commit?consumerId=ghost")[0] == 409
+
+    # oversized produce → 400
+    big = b"x" * (1024 * 1024 + 1)
+    assert _req("POST", f"{u}/v1/topic/t/messages", big)[0] == 400
