@@ -319,6 +319,55 @@ def brute_force_topk(
     return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def train_ivf_codebook(
+    candidates: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 256,
+    iters: int = 4,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic Lloyd's k-means over quantized vectors → an IVF
+    coarse codebook of ``nlist`` cells, as the ``centroids`` input of
+    :func:`ivf_topk` / :func:`ivf_cell`.
+
+    Scale shape: each iteration is one narrow assignment pass (the
+    current codebook rides the UDF closure — no shuffle of the corpus)
+    plus one explode→(cell, dim)→avg aggregation whose output is
+    nlist·dims rows — driver traffic is O(codebook), never O(corpus).
+    Deterministic: init = the ``nlist`` lowest-id vectors, integer sums
+    are exact and order-independent, means re-quantize with floor.
+    Empty cells keep their previous centroid. The oracle-checked query
+    keeps the trivial first-NLIST codebook; this trainer is the
+    realistic-scale path (externally trained Faiss/k-means codebooks can
+    be passed to ivf_topk directly in the same [(cid, vec)] shape)."""
+    base = candidates.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init = base.orderBy("_id").limit(nlist).collect()
+    cents = [(i, [int(x) for x in r["_v"]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = base.withColumn("cell", ivf_cell("_v", cents))
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["m"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][d] for d in range(len(old))]
+                if cid in by_cell
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def hyperplane_weights(dims: int, planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: weight(p, i) =
     first-md5-hex-digit(p:i) − 8 ∈ [−8, 7]. Reproducible in any engine

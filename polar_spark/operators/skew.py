@@ -34,6 +34,15 @@ def _row_salt(df: DataFrame, salt: int) -> Column:
     )
 
 
+# join types for which small-side replication is result-identical: every
+# replicated small row either matches (deduped by the equi-key) or is
+# dropped. 'right'/'full'/'right_semi'... would surface each UNMATCHED
+# small row salt× (the explode survives the outer side) — flip the
+# inputs and use the mirrored type instead.
+_SALTABLE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "cross"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -42,7 +51,16 @@ def salted_join(
     salt: int = DEFAULT_SALT,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
-    salt×. Result-identical to ``big.join(small, on, how)``."""
+    salt×. Result-identical to ``big.join(small, on, how)`` for the
+    big-side-preserving join types (see ``_SALTABLE_HOW``); raises for
+    right/full joins, where unmatched small rows would appear salt×."""
+    norm = how.replace("_", "").lower()
+    if norm not in {h.replace("_", "") for h in _SALTABLE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would be duplicated salt times; swap the sides and use the "
+            "mirrored join type"
+        )
     b = big.withColumn("_salt", _row_salt(big, salt))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -59,7 +77,11 @@ def salted_agg(
     """Two-phase aggregation: ``aggs`` maps output column → (function,
     input column) with function in {count, sum, min, max}. Phase 1
     aggregates on (keys…, _salt); phase 2 merges partials per key
-    (count merges with sum). Result-identical to a direct groupBy."""
+    (count merges with sum). Result-identical to a direct groupBy.
+
+    Note ``count`` counts ROWS (COUNT(*) semantics — the input column is
+    ignored), not non-null values of the column; use sum(IF(col IS NOT
+    NULL, 1, 0)) upstream for COUNT(col)."""
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     bad = [f for f, _ in aggs.values() if f not in merge_fn]
     if bad:

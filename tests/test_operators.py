@@ -360,3 +360,65 @@ def test_ngram_jaccard_guard_identity_when_no_hot_shingles(spark, sf_dir):
         ).collect()
     }
     assert exact == guarded
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    import pytest
+
+    from polar_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "x"])
+    small = spark.createDataFrame([(1, "b"), (2, "c")], ["k", "y"])
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], how=how)
+    # left join against a small side with unmatched rows stays exact
+    got = sorted(
+        (r["k"], r["y"]) for r in salted_join(big, small, ["k"], how="left").collect()
+    )
+    assert got == [(1, "b")]
+
+
+def test_trained_ivf_codebook_probe(spark, sf_dir):
+    """k-means-trained codebook: still the broadcast-probe plan, exact
+    cell partition of the corpus, and better-than-random recall vs
+    brute force."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_cell,
+        ivf_topk,
+        quantize,
+        train_ivf_codebook,
+    )
+    from polar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cb = train_ivf_codebook(qv, "v", "vec_id", nlist=32, iters=2)
+    assert len(cb) == 32 and all(len(v) == 64 for _, v in cb)
+
+    # every vector lands in exactly one in-range cell
+    cells = qv.select(ivf_cell("v", cb).alias("cell"))
+    assert cells.filter((F.col("cell") < 0) | (F.col("cell") >= 32)).count() == 0
+
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cands = qv.select("vec_id", F.col("v").alias("cv"))
+    ivf = ivf_topk(queries, cands, cb, k=5, nprobe=8)
+    rows = ivf.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert len(per_q) == 10 and all(len(s) == 5 for s in per_q.values())
+
+    exact = brute_force_topk(queries, cands, k=5).collect()
+    exact_q = {}
+    for r in exact:
+        exact_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = sum(
+        len(per_q[q] & exact_q[q]) for q in exact_q
+    ) / sum(len(s) for s in exact_q.values())
+    assert recall > 0.3  # probing 8/32 cells beats random ≈ 0.25
