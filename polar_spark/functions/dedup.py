@@ -184,28 +184,41 @@ def simhash_expr(pairs_col: str = "wh") -> F.Column:
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sim) 64-bit SimHash bit-strings via explode + hash-aggregate.
 
-    Word occurrences explode to (id, hi, lo) md5-half rows (one md5 per
-    occurrence — duplicates carry the frequency weight), then the 64 bit
-    scores are 64 ``sum()`` agg columns over plain codegen bit-extracts;
+    Word occurrences explode and are first reduced to (id, word, cnt) —
+    a doc's rows never span tasks, so this groupBy collapses duplicates
+    entirely MAP-side (the exchange carries distinct words per doc, not
+    occurrences) and md5 runs once per distinct word per doc. The 64
+    bit scores are then 64 ``sum(±cnt)`` agg columns over plain codegen
+    bit-extracts (frequency-weighted sum ≡ occurrence sum);
     value-identical to :func:`simhash64` but never leaves whole-stage
-    codegen, and the explode→partial-agg shape is the standard scalable
-    reduction (one shuffled row per doc)."""
-    wh = (
+    codegen, with one shuffled row per doc out of the final reduction."""
+    wc = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.md5("w"))
         .select(
             "id",
+            "cnt",
             F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("hi"),
             F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lo"),
         )
     )
-    scores = wh.groupBy("id").agg(
+    scores = wc.groupBy("id").agg(
         *[
             F.sum(
-                2 * (F.shiftright(F.col("hi" if j < 32 else "lo"),
-                                  (31 - j) if j < 32 else (63 - j)).bitwiseAND(F.lit(1)))
-                - 1
+                F.col("cnt")
+                * (
+                    2
+                    * (
+                        F.shiftright(
+                            F.col("hi" if j < 32 else "lo"),
+                            (31 - j) if j < 32 else (63 - j),
+                        ).bitwiseAND(F.lit(1))
+                    )
+                    - 1
+                )
             ).alias(f"s{j}")
             for j in range(64)
         ]
@@ -299,8 +312,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Only rows sharing a band bucket join — the self-join is keyed on
     (band, band_key), so shuffle volume is O(n·bands), not O(n²)."""
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(df, id_col, text_col)
-    keys = lsh_band_keys(sigs, id_col)
+    # persist: both self-join sides would otherwise recompute the whole
+    # signature pipeline; the key table is bands short rows per doc
+    keys = lsh_band_keys(sigs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -416,12 +433,17 @@ def simhash_pairs(
         bounds.append((pos, ln))
         pos += ln
 
+    from pyspark import StorageLevel
+
+    # persist: the a/b sides of the block self-join would otherwise each
+    # recompute the whole signature pipeline (explode + 64-sum agg over
+    # the corpus); the signature table is one short row per doc
     sims = simhash_signatures(df, id_col, text_col).select(
         "id",
         "sim",
         F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
         F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # carry h1/h2 INTO the exploded block rows: the bucket join then has
     # both sides' integers in hand — the signature pipeline runs exactly
     # once and no join-back to sims is needed (two fewer shuffles of the
@@ -518,7 +540,9 @@ def verified_near_dups(
     sigs = minhash_signatures_from_shingles(
         shw.filter(F.col("n_words") >= SHINGLE_WORDS).select("id", "shingle")
     )
-    keys = lsh_band_keys(sigs, "id")
+    # persist: ka/kb would otherwise re-run the signature aggregation
+    # (the shingle scan below them is already cached, but not the aggs)
+    keys = lsh_band_keys(sigs, "id").persist(StorageLevel.MEMORY_AND_DISK)
     ka = keys.select(F.col("id").alias("id_a"), "band", "band_key")
     kb = keys.select(F.col("id").alias("id_b"), "band", "band_key")
     cands = (

@@ -150,6 +150,28 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, cands, cents, k=5).select("qid", "vec_id", "dot", "rn")
 
 
+@query("knn_ivf_trained")  # no oracle: iterative k-means is not SQL-expressible
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse codebook (deterministic Lloyd's
+    k-means, functions/similarity.train_ivf_codebook) instead of the
+    trivial first-NLIST one — the realistic-scale path where the
+    codebook is produced by k-means/Faiss and passed in. Driver check is
+    rows-only (iterative training has no ANSI-SQL equivalent); recall vs
+    brute force is pytest-asserted in tests/test_operators.py."""
+    from polar_spark.functions.similarity import train_ivf_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cb = train_ivf_codebook(qv, "v", "vec_id", nlist=32, iters=2)
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cands = qv.select("vec_id", F.col("v").alias("cv"))
+    return ivf_topk(queries, cands, cb, k=5, nprobe=8).select(
+        "qid", "vec_id", "dot", "rn"
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_BUCKETS_CTE
