@@ -118,6 +118,7 @@ def main() -> None:
         "text_quality_stats",
         "sketch_kmv_distinct_users",
         "rollup_time_multires",
+        "gapfill_hourly_locf",
     ]
     for name in headline:
         fn = QUERIES[name].fn

@@ -296,3 +296,47 @@ SELECT
 FROM _ev_rollup
 GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
 """)
+
+
+@query(
+    "gapfill_hourly_locf",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+    COUNT(*) AS n_rows,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.event_type, g.bucket,
+  COALESCE(b.n_rows, 0) AS n_rows,
+  CAST(last_value(b.sum_cents IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_cents
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket
+""",
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + locf: hourly buckets per
+    event_type, every bucket in each type's span materialized (n_rows=0
+    for gaps) and sum_cents carried forward from the last non-empty
+    bucket (operators/gapfill.py — grid via sequence+explode, one keyed
+    agg + one keyed window, no driver loops)."""
+    from polar_spark.operators.gapfill import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    out = gapfill_locf(
+        ev,
+        key="event_type",
+        ts="ts",
+        bucket_seconds=3600,
+        aggs={"sum_cents": F.sum("cents")},
+        locf_cols=["sum_cents"],
+    )
+    return out.select("event_type", "bucket", "n_rows", "sum_cents")
