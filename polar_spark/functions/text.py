@@ -75,3 +75,73 @@ def doc_fingerprint(col_name: str, shingle_len: int = 8) -> Column:
         f"array_min(transform(sequence(1, greatest(length({col_name}) - {shingle_len - 1}, 1)),"
         f" i -> md5(substring({col_name}, i, {shingle_len}))))"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard training-data /
+    RAG preprocessing op: windows of ``chunk_words`` words advancing by
+    ``chunk_words − overlap``, last window clamped to the doc end.
+
+    Pure codegen (split + sequence + explode + slice): one input row
+    fans out to its chunks inside the task, no shuffle, no Python — at
+    100 TB chunking is a free map stage. Chunk count for n words is
+    1 for n ≤ W, else ⌈(n − W)/step⌉ + 1 (integer form below avoids
+    float division and negative-div engine differences)."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    step = chunk_words - overlap
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "_w",
+            F.expr(
+                f"explode(sequence(cast(0 as bigint), case when size(_w) <= {chunk_words}"
+                f" then cast(0 as bigint)"
+                f" else cast((size(_w) - {chunk_words} - 1) div {step} + 1 as bigint) end))"
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(
+                f"concat_ws(' ', slice(_w, chunk_idx * {step} + 1, {chunk_words}))"
+            ).alias("chunk_text"),
+            F.expr(
+                f"size(slice(_w, chunk_idx * {step} + 1, {chunk_words}))"
+            ).alias("n_words"),
+        )
+    )
+    return out
+
+
+def word_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetitiveness: total/distinct words and the Simpson
+    diversity index 1 − Σcnt²/total² (a boilerplate/spam signal that,
+    unlike entropy, needs no log — both Σ are exact int64 reductions and
+    the single division is correctly-rounded IEEE, so the score is
+    bit-identical in any engine)."""
+    wc = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double")
+        ).alias("simpson"),
+    )

@@ -225,3 +225,56 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wd FROM documents
+), c AS (
+  SELECT doc_id, wd,
+    unnest(range(0, CASE WHEN len(wd) <= 64 THEN 1
+                         ELSE (len(wd) - 65) // 48 + 2 END)) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(wd[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+  CAST(len(wd[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER) AS n_words
+FROM c
+""",
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-word windows, 16-word overlap) — the
+    standard LLM training-data / RAG preprocessing fan-out
+    (functions/text.chunk_documents: pure codegen, no shuffle)."""
+    from polar_spark.functions.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_words=64, overlap=16)
+
+
+@query(
+    "text_word_diversity",
+    oracle="""
+WITH wc AS (
+  SELECT doc_id, wd, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents)
+  GROUP BY doc_id, wd
+)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS total_words,
+  COUNT(*) AS distinct_words,
+  1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
+    AS simpson
+FROM wc GROUP BY doc_id
+""",
+)
+def text_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson word-diversity quality score (repetitiveness / boilerplate
+    detector) — log-free so it is bit-exact across engines
+    (functions/text.word_diversity)."""
+    from polar_spark.functions.text import word_diversity
+
+    d = load_table(spark, sf_dir, "documents")
+    return word_diversity(d, "doc_id", "text")

@@ -422,3 +422,32 @@ def test_trained_ivf_codebook_probe(spark, sf_dir):
         len(per_q[q] & exact_q[q]) for q in exact_q
     ) / sum(len(s) for s in exact_q.values())
     assert recall > 0.3  # probing 8/32 cells beats random ≈ 0.25
+
+
+def test_chunking_covers_every_word_with_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_words=64, overlap=16)
+    rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+    orig = {r["doc_id"]: r["text"].split(" ") for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(orig)
+    for doc_id, ch in by_doc.items():
+        words = orig[doc_id]
+        # reconstruction: chunk i starts at i*step; stitching step-sized
+        # prefixes plus the last chunk's tail reproduces the document
+        step = 64 - 16
+        rebuilt: list[str] = []
+        for r in ch:
+            start = r["chunk_idx"] * step
+            assert r["chunk_text"].split(" ") == words[start : start + 64]
+            assert r["n_words"] == len(words[start : start + 64])
+            rebuilt = rebuilt[: start] + r["chunk_text"].split(" ")
+        assert rebuilt == words  # full coverage, no gaps
+        # every chunk except the last is full-width
+        assert all(r["n_words"] == 64 for r in ch[:-1])
