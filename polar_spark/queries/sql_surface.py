@@ -317,3 +317,50 @@ def quantiles_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.99).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT n.n_name,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+    CAST(COUNT(*) AS DOUBLE) AS n_items
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, metric, value FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+""",
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-nation wide metrics reshaped to long
+    (nation, metric, value) — the inverse of pivot, via DataFrame.unpivot
+    (Spark's UNPIVOT/stack surface). Sums are exact DECIMAL reductions
+    cast to double once, so values are engine-identical."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("qty").cast("double").alias("sum_qty"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -121,3 +121,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_brute_force_topk_no_scored_row_shuffle(spark, sf_dir):
+    """The partial-top-k rewrite contract: candidates are scanned once
+    with NO shuffle before scoring; the only exchange is the final merge
+    over partitions*k*|Q| partial rows (plus AQE bookkeeping) — never the
+    n*|Q| scored rows, and never a cross join."""
+    from polar_spark.functions.similarity import brute_force_topk, quantize
+    from polar_spark.plans.explain import explain_str
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), quantize("embedding").alias("qv")
+    )
+    cands = e.select("vec_id", quantize("embedding").alias("cv"))
+    df = brute_force_topk(queries, cands, k=5)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt
+    # mapInPandas feeds the window merge through exactly one exchange
+    from polar_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(df) == 1
+
+
+def test_gapfill_reuses_key_partitioning(spark, sf_dir):
+    """Gap-fill's agg, span, grid and LOCF stages are all keyed the same;
+    the plan must not fan into per-stage re-shuffles of the raw events."""
+    from polar_spark.operators.gapfill import gapfill_locf
+    from polar_spark.plans.explain import shuffle_count
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    df = gapfill_locf(
+        ev, key="event_type", ts="ts", bucket_seconds=3600,
+        aggs={"sum_cents": F.sum("cents")}, locf_cols=["sum_cents"],
+    )
+    # bucketed agg + span agg + join sides + LOCF window over the same
+    # key: at most 4 exchanges of POST-aggregation (bucket-grain) data;
+    # the raw events are shuffled at most once
+    assert shuffle_count(df) <= 4
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from polar_spark.functions.text import chunk_documents
+    from polar_spark.plans.explain import shuffle_count
+
+    d = load_table(spark, sf_dir, "documents")
+    assert shuffle_count(chunk_documents(d, "doc_id", "text")) == 0
