@@ -1,0 +1,169 @@
+"""Training-data curation operators: deterministic splits, per-source
+quotas, benchmark decontamination, redaction.
+
+The data-mixing / hygiene stage of an LLM data pipeline, each op shaped
+for 100 TB:
+
+- splits are HASH-assigned (md5 of the id), never RNG — reproducible
+  across runs/engines, no seed coordination, and oracle-checkable;
+- quota downsampling is one window per group key, keeping a
+  deterministic prefix per source;
+- decontamination joins each doc's shingles against the (tiny,
+  broadcast) benchmark shingle set — never doc×doc pairs;
+- redaction is pure regexp codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+# md5-nibble → [0, 16) — the engine-portable hash bucket (same construction
+# both sides; DuckDB has no conv(), hence strpos over the hex alphabet)
+_NIB = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+_NIB_DUCK = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+
+
+@query(
+    "split_train_eval_deterministic",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id, lang,
+    CASE WHEN {_NIB_DUCK} < 2 THEN 'eval' ELSE 'train' END AS split,
+    len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS total_words,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM tagged GROUP BY split, lang
+""",
+)
+def split_train_eval_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/8-eval train/eval split by id-hash bucket (the
+    reproducible alternative to seeded sampling: same doc → same split
+    on any engine, any run, any partitioning), summarized per split and
+    language."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.expr(_NIB) < 2, F.lit("eval")).otherwise(F.lit("train")).alias("split"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "quota_downsample_per_source",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_doc
+FROM ranked WHERE rn <= 150 GROUP BY source
+""",
+)
+def quota_downsample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (data mixing): keep at most 150 docs per source,
+    deterministic prefix by doc_id — one window per group key; at scale
+    a hot source costs one partition's sort, and AQE skew-split applies."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 150)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id AS id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i : i + 2], ' ')))) AS shingle
+  FROM documents
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE id < 10
+), hits AS (
+  SELECT s.id AS doc_id, COUNT(*) AS shared_shingles
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.id >= 10 GROUP BY s.id
+), sizes AS (
+  SELECT id AS doc_id, COUNT(*) AS n_shingles FROM sh WHERE id >= 10 GROUP BY id
+)
+SELECT h.doc_id, h.shared_shingles, z.n_shingles,
+  CAST(h.shared_shingles AS DOUBLE) / z.n_shingles AS overlap_ratio
+FROM hits h JOIN sizes z USING (doc_id)
+WHERE CAST(h.shared_shingles AS DOUBLE) / z.n_shingles >= 0.2
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose 3-gram shingles
+    overlap a benchmark set (here docs 0-9) by ≥ 20%. The benchmark
+    shingle set is tiny by construction and BROADCAST into the join, so
+    the corpus never shuffles and no doc×doc pair forms — the standard
+    scale shape for eval-contamination sweeps."""
+    from polar_spark.functions.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text")
+    bench = sh.filter(F.col("id") < 10).select("shingle").distinct()
+    corpus = sh.filter(F.col("id") >= 10)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sizes = corpus.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.col("shared_shingles").cast("double") / F.col("n_shingles")
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "shared_shingles",
+            "n_shingles",
+            ratio.alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= 0.2)
+    )
+
+
+@query(
+    "text_redact_numbers",
+    oracle="""
+SELECT doc_id,
+  md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_digest,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]+', '', 'g')) AS INTEGER)
+    AS digits_removed
+FROM documents
+""",
+)
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing plumbing: redact digit runs (the stand-in for
+    email/phone/SSN patterns — same regexp_replace codegen path, zero
+    Python) and report bytes removed; digest keeps the oracle row
+    small. Pattern restricted to the RE2 ∩ Java-regex dialect so both
+    engines replace identically."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), "[0-9]+", "#")
+    stripped = F.regexp_replace(F.col("text"), "[0-9]+", "")
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_digest"),
+        (F.length("text") - F.length(stripped)).cast("int").alias("digits_removed"),
+    )
