@@ -37,7 +37,6 @@ def gapfill_locf(
     Returns columns: ``key, bucket, n_rows, *aggs`` where ``n_rows`` is
     0 for gap buckets.
     """
-    step = F.expr(f"INTERVAL {bucket_seconds} SECONDS")
     bucketed = (
         df.withColumn(
             "bucket",
@@ -65,5 +64,4 @@ def gapfill_locf(
     )
     for c in locf_cols:
         dense = dense.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    _ = step  # documented shape; sequence() builds the step inline
     return dense
