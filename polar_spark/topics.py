@@ -122,7 +122,7 @@ class TopicCatalog:
         self._write_tails(name, cur)
 
     @contextlib.contextmanager
-    def produce_lock(self, name: str, timeout: float = 30.0, stale: float = 120.0):
+    def produce_lock(self, name: str, timeout: float = 30.0, stale: float = 1800.0):
         """Exclusive produce lock for one topic (O_CREAT|O_EXCL lock file).
 
         The tail ledger is read-modify-write: two concurrent produces to
@@ -130,7 +130,9 @@ class TopicCatalog:
         offsets. The reference gets single-writer semantics from one
         goroutine per (topic, token) (internal/producing/coalescer.go);
         this lock is the multi-process analog. Locks older than ``stale``
-        seconds are presumed crashed and broken."""
+        seconds are presumed crashed and broken — the holder never
+        refreshes mtime, so ``stale`` must comfortably exceed the longest
+        produce job (30 min default), not the typical one."""
         path = os.path.join(self.topic_dir(name), ".produce.lock")
         deadline = time.time() + timeout
         while True:
@@ -220,9 +222,15 @@ class TopicCatalog:
                 if stats is None or not stats.has_min_max:
                     return None
                 mx = stats.max  # datetime for timestamp logical type
-                ts = mx.timestamp() if hasattr(mx, "timestamp") else None
-                if ts is None:
+                if not hasattr(mx, "timestamp"):
                     return None
+                if mx.tzinfo is None:
+                    # stored tz-naive UTC (session convention); a bare
+                    # .timestamp() would interpret it in LOCAL time
+                    import datetime as _dt
+
+                    mx = mx.replace(tzinfo=_dt.timezone.utc)
+                ts = mx.timestamp()
                 best = ts if best is None else max(best, ts)
             return best
         except Exception:  # noqa: BLE001 — stats are an optimization, not truth
