@@ -119,6 +119,9 @@ def main() -> None:
         "sketch_kmv_distinct_users",
         "rollup_time_multires",
         "gapfill_hourly_locf",
+        "chunk_documents_sliding",
+        "contamination_ngram_overlap",
+        "split_train_eval_deterministic",
     ]
     for name in headline:
         fn = QUERIES[name].fn

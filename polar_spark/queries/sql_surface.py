@@ -364,3 +364,32 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "histogram_value_buckets",
+    oracle="""
+SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 50 THEN 26
+            ELSE CAST(floor(value / 2.0) AS INTEGER) + 1 END AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY bucket
+""",
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (25 buckets over [0, 50) +
+    the two overflow buckets) — the profiling/analytics primitive; one
+    hash aggregation, map-side combined. DuckDB has no width_bucket, so
+    the oracle spells out the same single-division floor formula
+    (verified value-identical to Spark's width_bucket on the data)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(50.0), F.lit(25))
+            .cast("int")
+            .alias("bucket"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
