@@ -54,7 +54,12 @@ def shingles_expr(text_col: str, strict: bool = False) -> F.Column:
     ``strict=True`` is the MinHash contract: only full 3-word shingles
     (docs with < 3 words yield an empty array and must be filtered);
     ``strict=False`` is the Jaccard contract, which keeps a trailing
-    short shingle for sub-3-word docs."""
+    short shingle for sub-3-word docs.
+
+    PERF NOTE: this single-expression form re-splits the text inside the
+    transform lambda (no CSE into HOFs) — O(words²) per doc. The hot
+    paths (shingle_table, minhash_signatures) pre-split into an array
+    column instead; prefer that shape for new code."""
     words = f"split({text_col}, ' ')"
     if strict:
         # sequence(1, n) with n < 1 counts DOWN — guard short docs to []
@@ -284,10 +289,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregation means the only shuffle carries one row per (id, seed-min)
     group, the classic Spark reduction shape at any scale."""
     m = MINHASH_PRIME
+    # shingle via the linear Arrow-batched shingler (strict subset =
+    # n_words >= 3); md5 + KM arithmetic + 16-min aggregation stay JVM
+    sh = shingle_table(
+        _spread(df.select(id_col, text_col)), id_col, text_col, with_word_count=True
+    )
     hp = (
-        _spread(df.select(id_col, text_col))
-        .select(F.col(id_col), shingles_expr(text_col, strict=True).alias("shingles"))
-        .select(F.col(id_col), F.explode("shingles").alias("s"))
+        sh.filter(F.col("n_words") >= SHINGLE_WORDS)
+        .select(F.col("id").alias(id_col), F.col("shingle").alias("s"))
         .withColumn("h", F.md5("s"))
         .select(
             id_col,
@@ -334,24 +343,56 @@ def shingle_table(
     """Exploded (id, shingle) table of distinct word n-gram shingles
     (non-strict: sub-3-word docs keep their trailing short shingle).
 
+    Arrow-batched Python shingler (``mapInPandas``): the Catalyst
+    expression form (transform + slice over split) evaluates the lambda
+    interpreted AND CollapseProject re-inlines ``split(text)`` into the
+    lambda body, re-splitting per shingle — O(words²) per doc. Plain C
+    string ops per batch are linear and shuffle-free; hashing and all
+    aggregation stay JVM-side downstream. Semantics are identical to
+    the expression form (split on single space keeps empty tokens,
+    first-occurrence dedup).
+
     ``with_word_count=True`` adds ``n_words`` so a consumer can recover
     the STRICT shingle set by filtering ``n_words >= SHINGLE_WORDS``:
     for docs with ≥ 3 words strict and non-strict shingles coincide, so
     one exploded table serves both the MinHash contract (strict) and the
     Jaccard contract (non-strict)."""
-    shingle_expr = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({text_col},' ')) - {SHINGLE_WORDS - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col},' '), i, {SHINGLE_WORDS}))))"
-    )
-    cols = [F.col(id_col).alias("id"), shingle_expr.alias("shingles")]
+    from pyspark.sql import types as T
+
+    k = SHINGLE_WORDS
+    fields = [T.StructField("id", df.schema[id_col].dataType)]
     if with_word_count:
-        cols.append(F.size(F.split(F.col(text_col), " ")).alias("n_words"))
-    out = df.select(*cols).select(
-        "id",
-        *(["n_words"] if with_word_count else []),
-        F.explode("shingles").alias("shingle"),
-    )
-    return out
+        fields.append(T.StructField("n_words", T.IntegerType()))
+    fields.append(T.StructField("shingle", T.StringType()))
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nws, shs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                n = len(words)
+                if n >= k:
+                    uniq = dict.fromkeys(
+                        " ".join(words[j : j + k]) for j in range(n - k + 1)
+                    )
+                else:
+                    uniq = {" ".join(words): None}
+                for s in uniq:
+                    ids.append(doc_id)
+                    shs.append(s)
+                if with_word_count:
+                    nws.extend([n] * len(uniq))
+            data = {"id": ids}
+            if with_word_count:
+                data["n_words"] = nws
+            data["shingle"] = shs
+            yield pd.DataFrame(data, columns=names)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
 def ngram_jaccard_pairs(

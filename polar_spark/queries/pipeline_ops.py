@@ -118,10 +118,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set is tiny by construction and BROADCAST into the join, so
     the corpus never shuffles and no doc×doc pair forms — the standard
     scale shape for eval-contamination sweeps."""
-    from polar_spark.functions.dedup import shingle_table
+    from pyspark import StorageLevel
+
+    from polar_spark.functions.dedup import _spread, shingle_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d, "doc_id", "text")
+    # _spread: a small corpus arrives as one parquet split — widen before
+    # the CPU-heavy shingle explode so it uses every core (no-op at scale).
+    # persist: the benchmark set, hit counts and sizes all read the
+    # exploded table — without it the corpus explodes three times
+    sh = shingle_table(
+        _spread(d.select("doc_id", "text")), "doc_id", "text"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bench = sh.filter(F.col("id") < 10).select("shingle").distinct()
     corpus = sh.filter(F.col("id") >= 10)
     hits = (
