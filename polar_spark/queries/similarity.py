@@ -258,3 +258,35 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", lsh_bucket(quantize("embedding"), dims=64).alias("bucket")
     )
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+    sqrt(CAST(CAST(list_sum(list_transform({_QV}, x -> x * x)) AS BIGINT) AS DOUBLE))
+      AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+FROM q GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus (normalization
+    sanity check before cosine/IVF): norms from exact int64 squared sums
+    via sq_norm (one Arrow matmul per batch), sqrt correctly rounded —
+    bit-identical across engines; min/max aggregation avoids
+    order-dependent float sums."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.sqrt(sq_norm(quantize("embedding")).cast("double")).alias("norm"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+    )

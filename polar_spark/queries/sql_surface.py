@@ -393,3 +393,52 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
     )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+WITH c AS (
+  SELECT n_name, COUNT(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal > 7000 GROUP BY n_name
+), s AS (
+  SELECT n_name, COUNT(*) AS n_suppliers
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_acctbal > 7000 GROUP BY n_name
+)
+SELECT COALESCE(c.n_name, s.n_name) AS n_name,
+  COALESCE(n_customers, 0) AS n_customers,
+  COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.n_name = s.n_name
+""",
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the registry did
+    not cover): high-balance customer vs supplier counts per nation,
+    keeping nations present on either side only."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cc = c.withColumnRenamed("n_name", "c_name")
+    ss = s.withColumnRenamed("n_name", "s_name")
+    return (
+        cc.join(ss, cc["c_name"] == ss["s_name"], "full_outer")
+        .select(
+            F.coalesce("c_name", "s_name").alias("n_name"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
