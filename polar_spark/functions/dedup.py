@@ -417,7 +417,16 @@ def ngram_jaccard_pairs(
     pruned shingle universe — ubiquitous shingles carry no dedup signal).
     The hot set is tiny by construction, so it broadcasts into a
     left-anti join — no extra shuffle of the shingle table. Default None
-    = exact (oracle-comparable) semantics."""
+    = exact (oracle-comparable) semantics.
+
+    SCALE LIMIT (measured): exact all-pairs Jaccard is inherently
+    O(Σ_s df(s)²) join rows — a 10×-replicated corpus (every doc in a
+    10-dup group) ran 46× slower because every shingle's df rose 10×,
+    while the LSH path (:func:`verified_near_dups`) scaled the same 10×
+    at 1.5×. Use THIS operator for exact verification on modest corpora
+    or post-LSH candidate sets; at 100 TB run exact_dedup first (exact
+    duplicates collapse to one representative) and reach for
+    verified_near_dups for corpus-wide near-dup discovery."""
     sh = shingle_table(df, id_col, text_col)
     if max_df is not None:
         hot = (
