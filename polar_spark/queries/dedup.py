@@ -198,3 +198,68 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(|candidates|)."""
     d = load_table(spark, sf_dir, "documents")
     return verified_near_dups(d, "doc_id", "text", threshold=0.7)
+
+
+@query(
+    "dedup_keep_list",
+    oracle="""
+WITH pairs AS (WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), hp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS a,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(17, 32),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS b
+  FROM sh
+), hs AS (
+  SELECT doc_id, seed, MIN((a + seed * b) % 2147483647) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bandkey AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM hs GROUP BY doc_id, seed // 4
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7)
+SELECT d.doc_id,
+  CASE WHEN dr.id_b IS NULL THEN 1 ELSE 0 END AS kept
+FROM documents d
+LEFT JOIN (SELECT DISTINCT id_b FROM pairs) dr ON dr.id_b = d.doc_id
+""",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DELIVERABLE: a per-doc keep/drop verdict — greedy
+    min-id-wins over the verified near-dup pairs (a doc is dropped iff
+    some lower-id doc is a verified near-duplicate). Training pipelines
+    consume this keep-list, not the pair set; at 100 TB the drop set is
+    one broadcast-able distinct projection of the pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d.select("doc_id").join(drops.withColumn("_d", F.lit(1)), "doc_id", "left") \
+        .select("doc_id", F.when(F.col("_d").isNull(), 1).otherwise(0).alias("kept"))
