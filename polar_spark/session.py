@@ -87,6 +87,10 @@ def ensure_driver_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # every timestamp oracle (date_trunc/unix_timestamp/session
+        # windows) is written against UTC; a host-local session tz would
+        # silently shift bucket boundaries vs the DuckDB side
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # flag may be unsupported in future Spark; reads then decide
     sc = spark.sparkContext
