@@ -169,28 +169,65 @@ class PolarRestServer:
                 self._send(200, "OK")
 
             def _poll(self, cid: str | None):
+                binary = "octet-stream" in (self.headers.get("Accept") or "")
                 with facade._lock:
                     # reference flow: requesting new data commits the
                     # previously served position (auto-commit)
                     facade.engine.commit(cid)
                     results = facade.engine.poll(cid)
                     items = []
+                    bin_items = []
                     for topic, res in results.items():
                         for row in res.json_items().collect():
-                            values = [
-                                _maybe_json(v["value"])
-                                for v in json.loads(row["values"])
-                            ]
-                            items.append(
-                                {
-                                    "topic": topic,
-                                    "token": str(row["partition"]),
-                                    "rangeIndex": 0,
-                                    "version": 1,
-                                    "startOffset": str(row["startOffset"]),
-                                    "values": values,
-                                }
-                            )
+                            recs = json.loads(row["values"])
+                            if binary:
+                                from datetime import datetime, timezone
+
+                                def _us(ts: str) -> int:
+                                    d = datetime.fromisoformat(ts)
+                                    if d.tzinfo is None:
+                                        d = d.replace(tzinfo=timezone.utc)
+                                    return int(d.timestamp() * 1_000_000)
+
+                                bin_items.append(
+                                    {
+                                        "token": int(row["partition"]),
+                                        "range_idx": 0,
+                                        "version": 1,
+                                        "topic": topic,
+                                        "start_offset": int(row["startOffset"]),
+                                        "records": [
+                                            (
+                                                _us(v["timestamp"]) if v["timestamp"] else 0,
+                                                (v["value"] or "").encode(),
+                                            )
+                                            for v in recs
+                                        ],
+                                    }
+                                )
+                            else:
+                                items.append(
+                                    {
+                                        "topic": topic,
+                                        "token": str(row["partition"]),
+                                        "rangeIndex": 0,
+                                        "version": 1,
+                                        "startOffset": str(row["startOffset"]),
+                                        "values": [_maybe_json(v["value"]) for v in recs],
+                                    }
+                                )
+                if binary:
+                    if not bin_items:
+                        return self._send(204)
+                    from polar_spark.sources.frames import encode_poll_response
+
+                    body = encode_poll_response(bin_items)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if not items:
                     return self._send(204)
                 self._send(200, items)

@@ -160,3 +160,100 @@ def decode_produce_frames(df: DataFrame, frames_col: str = "frame") -> DataFrame
             )
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Consumer poll response marshal (docs/developer/NETWORK_FORMATS.md:5-32)
+# ---------------------------------------------------------------------------
+#
+# The reference's binary consumer API returns poll items as
+#   items_len u16 | repeat{ token i64 | range_idx u8 | version u32 |
+#                           topic_len u8 | topic | start_offset i64 |
+#                           payload_len i32 | compressed records }
+# with the payload being the chunk's record stream
+#   repeat{ ts_micros i64 | body_len u32 | body }
+# compressed with zstd (docs/developer/FILE_FORMATS.md:9-37). This
+# container has no python zstd binding, so the codec is gated behind an
+# import-try: zstandard when available, zlib otherwise (same framing,
+# different compressor — flagged in the item flags byte we do NOT have,
+# so the codec choice is a process-level constant, not per-item).
+# Like the produce frames above this is format-shaped after the
+# reference, NOT byte-compatible.
+
+_ITEM_HEAD = struct.Struct(">qBI")  # token, range_idx, version
+_RECORD_HEAD = struct.Struct(">qI")  # ts_micros, body_len
+
+
+def _compressor():
+    try:
+        import zstandard as zstd
+
+        c = zstd.ZstdCompressor()
+        d = zstd.ZstdDecompressor()
+        return c.compress, d.decompress
+    except ImportError:  # container has no zstd binding
+        return zlib.compress, zlib.decompress
+
+
+def encode_poll_response(items: list[dict]) -> bytes:
+    """Marshal poll items to the reference's binary response shape.
+
+    Each item: ``{token, range_idx, version, topic, start_offset,
+    records: [(ts_micros, body_bytes), ...]}``."""
+    compress, _ = _compressor()
+    out = [struct.pack(">H", len(items))]
+    for it in items:
+        payload = b"".join(
+            _RECORD_HEAD.pack(int(ts), len(body)) + body
+            for ts, body in it["records"]
+        )
+        comp = compress(payload)
+        topic = it["topic"].encode()
+        out.append(
+            _ITEM_HEAD.pack(int(it["token"]), int(it["range_idx"]), int(it["version"]))
+            + struct.pack(">B", len(topic))
+            + topic
+            + struct.pack(">q", int(it["start_offset"]))
+            + struct.pack(">i", len(comp))
+            + comp
+        )
+    return b"".join(out)
+
+
+def decode_poll_response(buf: bytes) -> list[dict]:
+    """Inverse of :func:`encode_poll_response`."""
+    _, decompress = _compressor()
+    (n_items,) = struct.unpack_from(">H", buf, 0)
+    pos = 2
+    items = []
+    for _ in range(n_items):
+        token, range_idx, version = _ITEM_HEAD.unpack_from(buf, pos)
+        pos += _ITEM_HEAD.size
+        (tlen,) = struct.unpack_from(">B", buf, pos)
+        pos += 1
+        topic = buf[pos : pos + tlen].decode()
+        pos += tlen
+        (start_offset,) = struct.unpack_from(">q", buf, pos)
+        pos += 8
+        (plen,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        payload = decompress(buf[pos : pos + plen])
+        pos += plen
+        records = []
+        rpos = 0
+        while rpos < len(payload):
+            ts, blen = _RECORD_HEAD.unpack_from(payload, rpos)
+            rpos += _RECORD_HEAD.size
+            records.append((ts, payload[rpos : rpos + blen]))
+            rpos += blen
+        items.append(
+            {
+                "token": token,
+                "range_idx": range_idx,
+                "version": version,
+                "topic": topic,
+                "start_offset": start_offset,
+                "records": records,
+            }
+        )
+    return items

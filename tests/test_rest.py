@@ -111,3 +111,41 @@ def test_http_ndjson_and_errors(server):
     # oversized produce → 400
     big = b"x" * (1024 * 1024 + 1)
     assert _req("POST", f"{u}/v1/topic/t/messages", big)[0] == 400
+
+
+def test_http_binary_poll(server):
+    """Binary consumer response (NETWORK_FORMATS.md:5-32 shape): poll
+    with Accept: application/octet-stream returns compressed record
+    chunks that decode back to the produced payloads in offset order."""
+    from polar_spark.sources.frames import decode_poll_response
+
+    u = server.url
+    for i in range(3):
+        code, _ = _req(
+            "POST",
+            f"{u}/v1/topic/bt/messages?partitionKey=k1",
+            json.dumps({"i": i}).encode(),
+        )
+        assert code == 200
+    _req("PUT", f"{u}/v1/consumer/register?consumerId=b1&group=gb&topic=bt"
+                "&onNewGroup=startFromEarliest")
+    req = urllib.request.Request(f"{u}/v1/consumer/poll?consumerId=b1", method="POST")
+    req.add_header("Accept", "application/octet-stream")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/octet-stream"
+        items = decode_poll_response(resp.read())
+    assert len(items) == 1
+    it = items[0]
+    assert it["topic"] == "bt" and it["start_offset"] == 0 and it["version"] == 1
+    bodies = [json.loads(b.decode()) for _, b in it["records"]]
+    assert [b["i"] for b in bodies] == [0, 1, 2]  # per-key offset order
+    assert all(ts > 0 for ts, _ in it["records"])
+    # drained → 204 on the binary path too
+    req2 = urllib.request.Request(f"{u}/v1/consumer/poll?consumerId=b1", method="POST")
+    req2.add_header("Accept", "application/octet-stream")
+    try:
+        with urllib.request.urlopen(req2) as resp2:
+            assert resp2.status == 204
+    except urllib.error.HTTPError as e:
+        raise AssertionError(f"binary empty poll: {e.code}") from e
