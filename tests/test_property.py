@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure-Python wire codecs and
+formula helpers — no SparkSession needed, so these run in milliseconds
+and cover the input space the example-based tests can't."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polar_spark.sources.frames import (
+    decode_frame,
+    decode_poll_response,
+    encode_frame,
+    encode_poll_response,
+)
+
+# printable-ish payload text; the codecs are byte-transparent but query
+# values are utf-8 strings in practice
+_text = st.text(alphabet=string.printable, max_size=200)
+_ts_us = st.integers(min_value=0, max_value=4_102_444_800_000_000)  # ≤ year 2100
+
+
+@settings(max_examples=200)
+@given(
+    stream_id=st.integers(min_value=0, max_value=65535),
+    key=_text,
+    records=st.lists(st.tuples(_ts_us, _text), min_size=0, max_size=20),
+)
+def test_produce_frame_roundtrip(stream_id, key, records):
+    buf = encode_frame(stream_id, key, records)
+    decoded = decode_frame(buf)
+    assert decoded is not None
+    sid, dkey, recs = decoded
+    assert sid == stream_id and dkey == key
+    assert recs == list(records)
+
+
+@settings(max_examples=100)
+@given(
+    data=st.binary(min_size=12, max_size=200),
+    flip=st.integers(min_value=0, max_value=11),
+)
+def test_produce_frame_rejects_corruption(data, flip):
+    """A frame with a corrupted header/CRC byte must decode to None (the
+    validate-and-skip contract), never raise or return garbage rows."""
+    buf = encode_frame(1, "k", [(1, "v")])
+    corrupted = bytearray(buf)
+    corrupted[flip] ^= 0xFF
+    out = decode_frame(bytes(corrupted))
+    # either detected (None) or — if the flipped byte was in a don't-care
+    # position (e.g. stream id, which is not CRC-covered) — the records
+    # are intact; never an exception or a mutated record
+    if out is not None:
+        assert out[2] == [(1, "v")]
+
+
+@settings(max_examples=100)
+@given(
+    items=st.lists(
+        st.fixed_dictionaries(
+            {
+                "token": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "range_idx": st.integers(min_value=0, max_value=255),
+                "version": st.integers(min_value=0, max_value=2**32 - 1),
+                "topic": st.text(
+                    alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=40
+                ),
+                "start_offset": st.integers(min_value=-1, max_value=2**62),
+                "records": st.lists(
+                    st.tuples(_ts_us, st.binary(max_size=100)), max_size=10
+                ),
+            }
+        ),
+        max_size=8,
+    )
+)
+def test_poll_response_roundtrip(items):
+    buf = encode_poll_response(items)
+    decoded = decode_poll_response(buf)
+    assert decoded == items
+
+
+@settings(max_examples=300)
+@given(n=st.integers(min_value=0, max_value=10_000))
+def test_chunk_count_formula(n):
+    """The integer chunk-count form used by chunk_documents (and its
+    DuckDB oracle) equals the textbook ceil((n-W)/step)+1 for n > W and
+    1 otherwise — no float division, no negative-div traps."""
+    W, step = 64, 48
+    ours = 1 if n <= W else (n - W - 1) // step + 2
+    import math
+
+    textbook = 1 if n <= W else math.ceil((n - W) / step) + 1
+    assert ours == textbook
+    # coverage law: the last chunk reaches the end, no chunk starts past n
+    if n > 0:
+        last_start = (ours - 1) * step  # 0-based
+        assert last_start < n
+        assert last_start + W >= n
