@@ -278,3 +278,28 @@ def text_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return word_diversity(d, "doc_id", "text")
+
+
+@query(
+    "text_regexp_extract_stats",
+    oracle="""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_alpha_runs,
+  regexp_extract(text, '([0-9]+)', 1) AS first_number,
+  CAST(regexp_matches(text, '[0-9]{2,}') AS INTEGER) AS has_multidigit
+FROM documents
+""",
+)
+def text_regexp_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction breadth (extract / extract_all / match test)
+    over patterns in the RE2 ∩ Java dialect, all JVM codegen — the
+    pattern-mining primitive under PII scanning and format sniffing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).alias("n_alpha_runs"),
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
+        F.expr("cast(text rlike '[0-9]{2,}' as int)").alias("has_multidigit"),
+    )
