@@ -269,3 +269,76 @@ def test_stream_stream_join_time_bound(spark, sf_dir):
         & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert len(rows) == batch
+
+
+def test_continuous_rollup_end_to_end(spark, sf_dir, catalog, tmp_path):
+    """The continuous-aggregate loop entirely through engine surfaces:
+    batch produce into a raw topic → readStream format('polar') →
+    hourly counts per event_type → foreachBatch upsert-produce into a
+    rollup TOPIC → rollup contents equal the batch aggregation.
+
+    Update-mode aggregation emits refinements per micro-batch; the sink
+    keeps the LAST value per (hour, event_type) — the standard
+    continuous-aggregate materialization."""
+    from polar_spark.produce import Producer
+    from polar_spark.sources.polar_source import register
+
+    ev = load_table(spark, sf_dir, "events").limit(800)
+    prod = Producer(catalog)
+    prod.produce(ev, "raw_ev", key_col="user_id", value_col="event_type", ts_col="ts")
+
+    register(spark)
+    stream = (
+        spark.readStream.format("polar")
+        .option("root", catalog.root)
+        .option("topic", "raw_ev")
+        .load()
+    )
+    agg = (
+        stream.groupBy(
+            F.date_trunc("hour", "timestamp").alias("hour"),
+            F.col("value").alias("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    latest: dict = {}
+
+    def upsert(batch_df, _epoch):
+        for r in batch_df.collect():
+            latest[(r["hour"], r["event_type"])] = r["n"]
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "rollup_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # materialize the final state as a rollup topic (the continuous
+    # aggregate's storage), then read it back through the engine
+    rollup_rows = [
+        (h.isoformat(), t, int(n)) for (h, t), n in sorted(latest.items())
+    ]
+    rdf = spark.createDataFrame(rollup_rows, "hour string, event_type string, n bigint")
+    prod.produce(
+        rdf.select(
+            F.col("event_type").alias("k"),
+            F.to_json(F.struct("hour", "event_type", "n")).alias("v"),
+        ),
+        "rollup_hourly",
+        key_col="k",
+        value_col="v",
+    )
+    stored = catalog.read("rollup_hourly").count()
+    assert stored == len(rollup_rows) > 0
+
+    expect = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert latest == expect  # streaming rollup state == batch aggregation
