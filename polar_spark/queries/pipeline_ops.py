@@ -175,3 +175,42 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_digest"),
         (F.length("text") - F.length(stripped)).cast("int").alias("digits_removed"),
     )
+
+
+@query(
+    "mixture_resample_by_source",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id, source, {_NIB_DUCK} AS nib FROM documents
+), kept AS (
+  SELECT doc_id, source FROM tagged
+  WHERE nib < CASE
+    WHEN source LIKE 'web%'  THEN 4   -- web: keep 4/16
+    WHEN source LIKE 'wiki%' THEN 16  -- wiki: keep all
+    ELSE 8                            -- everything else: keep 8/16
+  END
+)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM kept GROUP BY source
+""",
+)
+def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture weighting (the data-mixing knob): each
+    source keeps an id-hash fraction — web 4/16, wiki 16/16, rest 8/16.
+    Hash-bucket sampling is reproducible across runs/engines/partitions
+    (no RNG seeds to coordinate) and composes with the train/eval split
+    because both read disjoint md5 nibbles of the same id."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_bound = (
+        F.when(F.col("source").startswith("web"), F.lit(4))
+        .when(F.col("source").startswith("wiki"), F.lit(16))
+        .otherwise(F.lit(8))
+    )
+    kept = d.select("doc_id", "source", F.expr(_NIB).alias("nib")).filter(
+        F.col("nib") < keep_bound
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
