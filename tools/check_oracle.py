@@ -6,12 +6,19 @@ names, and the exact multiset of values (columns sorted by name, floats
 compared bit-exactly — stricter than any value-hash the driver may use).
 
 Usage: python tools/check_oracle.py [name ...]   (default: all)
+
+Set ``POLAR_ORACLE_REPORT=<path>`` to also write a JSON report (one entry
+per query: rows/schema/values match flags) — committed per-round as
+``LOCAL_CORRECTNESS_r{N}.json`` so every registry query has oracle
+evidence even when the external driver samples a subset.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
 import math
+import os
 import sys
 from decimal import Decimal
 
@@ -67,6 +74,7 @@ def main(names: list[str]) -> int:
     oracles = entry_mod.oracle_sql()
     targets = names or list(qs)
     failures = []
+    report: dict[str, dict] = {}
     for name in targets:
         fn = qs[name]
         try:
@@ -75,9 +83,11 @@ def main(names: list[str]) -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"ok": False, "err": f"spark: {e}"[:300]}
             print(f"[FAIL] {name}: spark error: {e}")
             continue
         if name not in oracles:
+            report[name] = {"ok": True, "rows_only": True, "spark_rows": len(s_rows)}
             print(f"[rows-only] {name}: {len(s_rows)} rows (no oracle)")
             continue
         try:
@@ -87,6 +97,7 @@ def main(names: list[str]) -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"ok": False, "err": f"duckdb: {e}"[:300]}
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
         ok = True
@@ -121,11 +132,31 @@ def main(names: list[str]) -> int:
                 print(f"[FAIL] {name}: value mismatch; first diffs:")
                 for a, b in diffs:
                     print(f"    spark={a}\n    duck ={b}")
+        report[name] = {
+            "ok": ok,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+        }
         if ok:
             print(f"[ OK ] {name}: {len(s_rows)} rows")
         else:
             failures.append(name)
     print(f"\n{len(targets) - len(failures)}/{len(targets)} queries match")
+    out = os.environ.get("POLAR_ORACLE_REPORT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "total": len(targets),
+                    "failed": len(failures),
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"report written: {out}")
     return 1 if failures else 0
 
 
