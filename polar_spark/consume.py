@@ -45,6 +45,18 @@ class PollResult:
     df: DataFrame
     # per-partition max offset served by this poll; pass to commit()
     positions: dict[int, int]
+    # True when df is persisted (record-limited polls); call release()
+    # when the batch has been fully consumed
+    _cached: bool = False
+
+    def release(self) -> None:
+        """Unpersist a record-limited poll's cached batch. The cache
+        exists so the served subset is computed exactly once (``limit``
+        is not deterministic across re-executions); once the caller has
+        drained ``df``, release the storage."""
+        if self._cached:
+            self.df.unpersist()
+            self._cached = False
 
     def json_items(self) -> DataFrame:
         """The reference's JSON poll-response shape: one item per
@@ -143,8 +155,22 @@ class ConsumerGroup:
         like the reference's group read queue
         (internal/consuming/group_read_queue.go) — uncommitted data is
         re-delivered only after re-registration/restart.
+
+        Serving-path plan (one Spark job per poll, no global sort): the
+        reference orders records per partition, never across partitions
+        (internal/consuming/group_read_queue.go serves each partition's
+        chunks independently), so the batch is hash-repartitioned by
+        ``partition`` and sorted within — a plain exchange instead of
+        range-sample + range-shuffle. Positions come from the tails
+        ledger (O(1) metadata, read BEFORE the scan so a concurrent
+        producer can only make positions an under-estimate → safe
+        re-delivery, never skipped records); a record-limited poll
+        instead persists the served batch and derives positions from it,
+        because ``limit`` is not deterministic across re-executions.
         """
         committed = self.committed(topic)
+        # tails BEFORE building the scan: served rows ⊇ [committed+1, tail]
+        tails = self.catalog.tails(topic)
         if from_offsets:
             committed = {
                 p: max(off, from_offsets.get(p, -1))
@@ -160,14 +186,26 @@ class ConsumerGroup:
             cond = c if cond is None else (cond | c)
         if cond is None:
             return PollResult(df.limit(0), {})
-        out = df.filter(cond).orderBy("partition", "offset")
-        if max_records is not None:
-            out = out.limit(max_records)
+        out = (
+            df.filter(cond)
+            .repartition("partition")
+            .sortWithinPartitions("partition", "offset")
+        )
+        if max_records is None:
+            # full drain: every record in (committed, tail] is served, so
+            # the tails ledger IS the served position — zero extra jobs
+            pos = {
+                p: tails[p]
+                for p, off in committed.items()
+                if tails.get(p, -1) > off
+            }
+            return PollResult(out, pos)
+        out = out.limit(max_records).persist()
         pos = {
             r["partition"]: r["m"]
             for r in out.groupBy("partition").agg(F.max("offset").alias("m")).collect()
         }
-        return PollResult(out, pos)
+        return PollResult(out, pos, _cached=True)
 
     def commit(self, topic: str, positions: dict[int, int]) -> dict[int, int]:
         """Advance committed offsets (commit-after-deliver = at-least-once:

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Real Spark-side machinery (schema, batching, partitioning) with the
-codec itself stubbed: image/audio libraries are not in this container,
-so ``decode_image_features`` runs a deterministic fake decoder behind
-the same ``mapInPandas`` interface a real libjpeg/ffmpeg UDF would use.
-Swap ``_fake_decode`` for the real library call and nothing else changes.
+codec import-guarded: when Pillow is importable the decode/resize paths
+run the real library; otherwise a deterministic fake decoder runs behind
+the same ``mapInPandas`` interface. Payloads that are NOT decodable
+images (e.g. the synthetic text-derived blobs in the testdata) always
+take the deterministic fallback, so oracle results are identical in
+both modes — the PIL path only activates on genuine image bytes.
 
 Column convention (SURVEY.md §1.2): payload ``BINARY`` + ``mime STRING``
 + per-modality metadata struct — the broker's opaque-bytes model
@@ -18,6 +20,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # the package zip ships to workers, so this evaluates there too
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 FEATURE_SCHEMA = (
     "doc_id bigint, mime string, nbytes int, width int, height int, mean_luma double"
@@ -37,14 +47,32 @@ def attach_blob(df: DataFrame, id_col: str, payload_col: str,
 
 def _fake_decode(blob: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image decoder: derives (width,
-    height, mean luma) from the payload bytes. Replace with PIL/libvips
-    in production — signature and batch shape stay identical."""
+    height, mean luma) from the payload bytes — the fallback when Pillow
+    is absent or the payload isn't a decodable image."""
     if not blob:
         return 0, 0, 0.0
     width = 64 + blob[0] % 192
     height = 64 + blob[-1] % 192
     mean_luma = (sum(blob[:64]) / min(len(blob), 64)) / 255.0
     return width, height, mean_luma
+
+
+def _decode(blob: bytes) -> tuple[int, int, float]:
+    """Real decode when possible (PIL importable + payload decodes),
+    deterministic fake otherwise."""
+    if HAS_PIL and blob:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(blob)) as im:
+                gray = im.convert("L")
+                hist = gray.histogram()
+                npx = gray.width * gray.height
+                luma = sum(i * c for i, c in enumerate(hist)) / (npx * 255.0)
+                return im.width, im.height, luma
+        except Exception:  # noqa: BLE001 — not an image: fall through
+            pass
+    return _fake_decode(blob)
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
@@ -58,7 +86,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[blob_col].map(_fake_decode)
+            feats = pdf[blob_col].map(_decode)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -119,23 +147,38 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over binary payloads via mapInPandas.
 
-    STUB CODEC (deterministic fake — no PIL/libvips in this container):
-    the "resized" payload is the md5 digest of the original bytes; a real
-    decoder swaps in ``Image.open(...).resize((width, height))`` with the
-    identical batch shape, schema, and partitioning."""
+    Import-guarded codec: with Pillow present AND a decodable image
+    payload, the real ``Image.open(...).resize((width, height))`` runs
+    and yields PNG bytes; otherwise (no PIL, or payload isn't an image —
+    all synthetic testdata blobs) the "resized" payload is the
+    deterministic md5 digest of the original bytes. Batch shape, schema,
+    and partitioning are identical in both modes."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def one(b: bytes) -> bytes:
+            if HAS_PIL and b:
+                import io
+
+                try:
+                    with _PILImage.open(io.BytesIO(b)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                        return buf.getvalue()
+                except Exception:  # noqa: BLE001 — not an image
+                    pass
+            return hashlib.md5(b).digest()
+
         for pdf in batches:
-            digests = pdf[blob_col].map(lambda b: hashlib.md5(b).digest())
+            resized = pdf[blob_col].map(one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "resized": digests,
-                    "resized_nbytes": digests.map(len),
+                    "resized": resized,
+                    "resized_nbytes": resized.map(len),
                 }
             )
 

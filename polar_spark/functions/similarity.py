@@ -42,6 +42,9 @@ QUANT = 10000
 N_PLANES = 8
 NLIST = 16  # IVF coarse cells (small by construction: always inlineable)
 NPROBE = 4
+# brute_force_topk collects the query set driver-side; beyond this the
+# closure broadcast + per-batch matmul need the bucketed ANN paths
+MAX_BRUTE_FORCE_QUERIES = 10_000
 
 
 def quantize(col: str | Column) -> Column:
@@ -253,12 +256,27 @@ def brute_force_topk(
        scale killer this avoids).
 
     Tie-break is (dot desc, cand_id asc) at both phases, so results are
-    deterministic and oracle-identical."""
+    deterministic and oracle-identical.
+
+    The query set is collected to the driver and shipped in the UDF
+    closure, so |Q| is hard-capped at ``MAX_BRUTE_FORCE_QUERIES``: beyond
+    that the closure broadcast and the per-batch (n × |Q|) matmul stop
+    being "small side rides along" and the bucketed paths (``ivf_topk``
+    with a trained codebook, or ``lsh_bucket`` prefiltering) are the
+    scale-correct tools — the cap makes the documented contract
+    executable instead of an OOM at 10⁶ queries."""
     from pyspark.sql import types as T
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = queries.select(query_id, query_vec).limit(MAX_BRUTE_FORCE_QUERIES + 1).collect()
     if not qrows:
         raise ValueError("brute_force_topk: empty query set")
+    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds {MAX_BRUTE_FORCE_QUERIES} rows; "
+            "brute force collects queries to the driver and is the baseline for "
+            "small probe sets — use ivf_topk (trained codebook) or an "
+            "lsh_bucket-prefiltered join for large query sets"
+        )
     qids_py = [r[query_id] for r in qrows]
     Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)  # (m, d)
     m = len(qids_py)

@@ -26,6 +26,12 @@ from polar_spark.sources.tables import load_table
 # both sides; DuckDB has no conv(), hence strpos over the hex alphabet)
 _NIB = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
 _NIB_DUCK = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+# second md5 nibble: mixture sampling reads a DIFFERENT hex digit than the
+# train/eval split so the two samples are independent, not nested (a shared
+# nibble would make e.g. "web keeps nib<4" wholly contain "eval = nib<2",
+# i.e. 50% of kept web docs would be eval instead of 1/8)
+_NIB2 = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+_NIB2_DUCK = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
 
 
 @query(
@@ -181,7 +187,7 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_resample_by_source",
     oracle=f"""
 WITH tagged AS (
-  SELECT doc_id, source, {_NIB_DUCK} AS nib FROM documents
+  SELECT doc_id, source, {_NIB2_DUCK} AS nib FROM documents
 ), kept AS (
   SELECT doc_id, source FROM tagged
   WHERE nib < CASE
@@ -198,15 +204,16 @@ def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture weighting (the data-mixing knob): each
     source keeps an id-hash fraction — web 4/16, wiki 16/16, rest 8/16.
     Hash-bucket sampling is reproducible across runs/engines/partitions
-    (no RNG seeds to coordinate) and composes with the train/eval split
-    because both read disjoint md5 nibbles of the same id."""
+    (no RNG seeds to coordinate) and composes independently with the
+    train/eval split: the split reads the FIRST md5 nibble, this reads
+    the SECOND, so within any kept source the eval fraction stays 1/8."""
     d = load_table(spark, sf_dir, "documents")
     keep_bound = (
         F.when(F.col("source").startswith("web"), F.lit(4))
         .when(F.col("source").startswith("wiki"), F.lit(16))
         .otherwise(F.lit(8))
     )
-    kept = d.select("doc_id", "source", F.expr(_NIB).alias("nib")).filter(
+    kept = d.select("doc_id", "source", F.expr(_NIB2).alias("nib")).filter(
         F.col("nib") < keep_bound
     )
     return kept.groupBy("source").agg(

@@ -150,8 +150,6 @@ class PolarRestServer:
             def _produce(self, path: str, q: dict):
                 topic = path[len("/v1/topic/") : -len("/messages")]
                 body = self._body()
-                if len(body) > MAX_MESSAGE_BYTES:
-                    return self._send(400, {"error": "message too large"})
                 key = q.get("partitionKey", [None])[0]
                 ndjson = "ndjson" in (self.headers.get("Content-Type") or "")
                 text = body.decode("utf-8", errors="replace")
@@ -160,6 +158,12 @@ class PolarRestServer:
                     if ndjson
                     else [text]
                 )
+                # reference limit is PER MESSAGE (internal MaxMessageSize):
+                # an NDJSON batch of small messages may exceed 1 MiB in
+                # aggregate; only an individual message over the limit is
+                # rejected
+                if any(len(ln.encode()) > MAX_MESSAGE_BYTES for ln in lines):
+                    return self._send(400, {"error": "message too large"})
                 spark = facade.engine.spark
                 with facade._lock:
                     df = spark.createDataFrame(
@@ -178,7 +182,9 @@ class PolarRestServer:
                     items = []
                     bin_items = []
                     for topic, res in results.items():
-                        for row in res.json_items().collect():
+                        rows = res.json_items().collect()
+                        res.release()
+                        for row in rows:
                             recs = json.loads(row["values"])
                             if binary:
                                 from datetime import datetime, timezone

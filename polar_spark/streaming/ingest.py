@@ -21,11 +21,45 @@ micro-batch is one "coalescer group" with contiguous offsets.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from polar_spark.produce import Producer
 from polar_spark.topics import TopicCatalog
+
+
+def _sink_instance_key(sink_id: str) -> str:
+    """Namespace an epoch-ledger key with a per-checkpoint-instance token.
+
+    The ledger outlives the checkpoint: if a user deletes and recreates
+    the streaming checkpoint to reprocess, epochs restart at 0, and a
+    ledger keyed by path alone would silently skip every replayed batch
+    until the epoch passed the old high-water mark. A token stored
+    INSIDE the checkpoint dir dies with the checkpoint, so a recreated
+    checkpoint gets a fresh ledger namespace and replays apply."""
+    if not os.path.isdir(sink_id):
+        return sink_id
+    tok_path = os.path.join(sink_id, "polar_sink_token")
+    try:
+        with open(tok_path) as f:
+            tok = f.read().strip()
+    except FileNotFoundError:
+        tok = uuid.uuid4().hex
+        tmp = f"{tok_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(tok)
+        try:
+            # O_EXCL-like: if a concurrent sink won, use its token
+            os.link(tmp, tok_path)
+        except FileExistsError:
+            with open(tok_path) as f:
+                tok = f.read().strip()
+        finally:
+            os.unlink(tmp)
+    return f"{sink_id}@{tok}"
 
 
 class StreamingProducer:
@@ -44,6 +78,7 @@ class StreamingProducer:
         ts_col: str | None = None,
         checkpoint_dir: str | None = None,
         trigger_seconds: float | None = None,
+        arrival_cols: list[str] | None = None,
     ) -> StreamingQuery:
         """``foreachBatch`` produce: every micro-batch appends with
         contiguous offsets via the tail ledger.
@@ -63,6 +98,7 @@ class StreamingProducer:
             self.apply_batch(
                 batch_df, epoch, topic, cp,
                 key_col=key_col, value_col=value_col, ts_col=ts_col,
+                arrival_cols=arrival_cols,
             )
 
         writer = stream_df.writeStream.foreachBatch(_sink).option(
@@ -83,16 +119,27 @@ class StreamingProducer:
         key_col: str | None = None,
         value_col: str = "value",
         ts_col: str | None = None,
+        arrival_cols: list[str] | None = None,
     ) -> bool:
         """Apply one micro-batch idempotently; returns False if ``epoch``
-        was already applied by ``sink_id`` (the foreachBatch retry path)."""
-        if self.catalog.last_epoch(topic, sink_id) >= epoch:
+        was already applied by ``sink_id`` (the foreachBatch retry path).
+
+        ``sink_id`` naming a checkpoint directory is namespaced with a
+        token inside that directory (see :func:`_sink_instance_key`);
+        for plain-string sink ids, an epoch REGRESSION to 0 while the
+        ledger is far ahead means the caller's stream restarted from
+        scratch — apply and overwrite rather than silently skip."""
+        key = _sink_instance_key(sink_id)
+        last = self.catalog.last_epoch(topic, key)
+        reset = epoch == 0 and last > 0  # recreated stream, no token file
+        if last >= epoch and not reset:
             return False
         if not batch_df.isEmpty():
             self._producer.produce(
-                batch_df, topic, key_col=key_col, value_col=value_col, ts_col=ts_col
+                batch_df, topic, key_col=key_col, value_col=value_col,
+                ts_col=ts_col, arrival_cols=arrival_cols,
             )
-        self.catalog.record_epoch(topic, sink_id, epoch)
+        self.catalog.record_epoch(topic, key, epoch, force=reset)
         return True
 
 

@@ -112,6 +112,20 @@ def test_http_ndjson_and_errors(server):
     big = b"x" * (1024 * 1024 + 1)
     assert _req("POST", f"{u}/v1/topic/t/messages", big)[0] == 400
 
+    # the limit is PER MESSAGE: a >1 MiB NDJSON batch of small messages
+    # is accepted; one oversized line inside a batch is rejected
+    small_lines = b"\n".join(b'{"n": %d}' % i for i in range(100000))
+    assert len(small_lines) > 1024 * 1024
+    assert _req(
+        "POST", f"{u}/v1/topic/t2/messages?partitionKey=k",
+        small_lines, ctype="application/x-ndjson",
+    )[0] == 200
+    bad_batch = b'{"ok": 1}\n' + b"x" * (1024 * 1024 + 1) + b"\n"
+    assert _req(
+        "POST", f"{u}/v1/topic/t2/messages?partitionKey=k",
+        bad_batch, ctype="application/x-ndjson",
+    )[0] == 400
+
 
 def test_http_binary_poll(server):
     """Binary consumer response (NETWORK_FORMATS.md:5-32 shape): poll

@@ -89,6 +89,66 @@ def test_polar_source_stream_tails_new_data(spark, sf_dir, catalog, tmp_path):
     assert sunk.select("offset", "partition").distinct().count() == 400
 
 
+def test_binary_socket_ingest_end_to_end(spark, sf_dir, catalog, tmp_path):
+    """The reference's binary-protocol round-trip as a live flow
+    (internal/test/integration/roundtrip_test.go:506 — socket produce →
+    consume): frames sent over a real TCP connection, acked by the edge
+    listener, ingested by a RUNNING streaming query
+    (binaryFile spool → decode_produce_frames → Producer.produce), then
+    consumed via the normal poll path. A corrupt-CRC frame is spooled
+    but must be dropped by executor-side validation."""
+    from polar_spark.sources.binary_server import (
+        ACK_OK,
+        BinaryIngestServer,
+        send_frames,
+        start_binary_ingest,
+    )
+    from polar_spark.sources.frames import encode_frame
+
+    spool = str(tmp_path / "spool")
+    srv = BinaryIngestServer(spool).start()
+    try:
+        frames = [
+            encode_frame(7, f"user{i % 3}", [
+                (1_700_000_000_000_000 + i * 1_000_000, f'{{"n": {i}}}'),
+                (1_700_000_000_500_000 + i * 1_000_000, f'{{"n": {i}, "dup": true}}'),
+            ])
+            for i in range(10)
+        ]
+        # one frame with a flipped CRC byte: accepted at the edge (header
+        # is valid), dropped at decode
+        bad = bytearray(encode_frame(9, "evil", [(0, "corrupt")]))
+        bad[-1] ^= 0xFF
+        acks = send_frames(srv.host, srv.port, [*frames, bytes(bad)])
+        assert len(acks) == 11 and all(s == ACK_OK for _sid, s in acks)
+
+        q = start_binary_ingest(catalog, spool, "bin_topic")
+        q.awaitTermination(120)
+
+        g = ConsumerGroup(catalog, "bin_g")
+        g.register("bin_topic", EARLIEST)
+        rows = g.poll("bin_topic").df.collect()
+        assert len(rows) == 20  # 10 frames × 2 records, corrupt one dropped
+        assert {r["key"] for r in rows} == {"user0", "user1", "user2"}
+        assert all("corrupt" not in r["value"] for r in rows)
+        # per-key order: same key → same partition → offsets follow ts
+        by_key: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: r["offset"]):
+            by_key.setdefault(r["key"], []).append(r["timestamp"])
+        for tss in by_key.values():
+            assert tss == sorted(tss)
+
+        # second wave through the SAME spool + fresh query run: epoch
+        # checkpoint means no re-delivery of the first wave
+        more = [encode_frame(8, "late", [(1_700_100_000_000_000, '{"n": 99}')])]
+        assert send_frames(srv.host, srv.port, more) == [(8, ACK_OK)]
+        q2 = start_binary_ingest(catalog, spool, "bin_topic")
+        q2.awaitTermination(120)
+        assert catalog.read("bin_topic").count() == 21
+    finally:
+        srv.stop()
+
+
 def test_streaming_ingest_foreachbatch(spark, sf_dir, catalog, tmp_path):
     ev = load_table(spark, sf_dir, "events").limit(400)
     src_dir = str(tmp_path / "src")
