@@ -209,6 +209,7 @@ def ivf_topk(
     cand_id: str = "vec_id",
     query_vec: str = "qv",
     cand_vec: str = "cv",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign candidates to coarse cells (narrow pass),
     probe only each query's ``nprobe`` nearest cells, exact top-k inside.
@@ -217,8 +218,18 @@ def ivf_topk(
     ``cell``; queries explode to nprobe rows and broadcast, so the big
     side never shuffles and scoring touches nprobe/nlist of the corpus.
     The codebook may be externally trained (Faiss/k-means) and O(10³)
-    cells — it rides the UDF closure; only probes are broadcast-joined."""
-    asg = candidates.withColumn("cell", ivf_cell(cand_vec, centroids))
+    cells — it rides the UDF closure; only probes are broadcast-joined.
+
+    ``cell_col``: name of a PRE-COMPUTED cell column on ``candidates``
+    (the materialized inverted list, built once at ingest with
+    :func:`ivf_cell` and stored/partitioned by cell). Without it, every
+    call pays one O(n) assignment pass over the candidates — fine for a
+    one-shot query, the dominant cost across repeated query batches
+    (measured in tools/ann_scale_experiment.py / SURVEY §9.2)."""
+    if cell_col is not None:
+        asg = candidates.withColumnRenamed(cell_col, "cell")
+    else:
+        asg = candidates.withColumn("cell", ivf_cell(cand_vec, centroids))
     probes = queries.withColumn(
         "cell", F.explode(ivf_probe_cells(query_vec, centroids, nprobe))
     )

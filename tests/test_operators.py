@@ -482,6 +482,13 @@ def test_trained_ivf_codebook_probe(spark, sf_dir):
     ) / sum(len(s) for s in exact_q.values())
     assert recall > 0.3  # probing 8/32 cells beats random ≈ 0.25
 
+    # materialized inverted list (cell_col) must return identical results
+    indexed = cands.withColumn("cell", ivf_cell("cv", cb))
+    via_index = ivf_topk(queries, indexed, cb, k=5, nprobe=8, cell_col="cell")
+    got = {(r["qid"], r["vec_id"], r["dot"]) for r in via_index.collect()}
+    want = {(r["qid"], r["vec_id"], r["dot"]) for r in rows}
+    assert got == want
+
 
 def test_chunking_covers_every_word_with_overlap(spark, sf_dir):
     from pyspark.sql import functions as F
