@@ -28,13 +28,13 @@ DEFAULT_K = 64
 HASH_SPACE = float(1 << 60)
 
 
-def kmv_distinct(
+def kmv_partial(
     df: DataFrame, keys: list[str], value_col: str, k: int = DEFAULT_K
 ) -> DataFrame:
-    """Per-group approximate distinct count of ``value_col``.
-
-    Output: keys…, n_kept (≤ k), est_distinct (double; exact when the
-    group has < k distinct values)."""
+    """Per-group KMV summary: the ≤ k smallest distinct md5-derived
+    hashes of ``value_col`` as (keys…, h) rows — the sketch STATE, the
+    thing a 100 TB pipeline persists per segment/partition/day and later
+    merges without touching raw data again."""
     h = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
         .cast("bigint")
@@ -42,7 +42,14 @@ def kmv_distinct(
     )
     dedup = df.select(*keys, h).groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
     w = Window.partitionBy(*keys).orderBy("h")
-    mins = dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h")
+    )
+
+
+def _kmv_estimate(mins: DataFrame, keys: list[str], k: int) -> DataFrame:
     return (
         mins.groupBy(*keys)
         .agg(
@@ -57,6 +64,37 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame, keys: list[str], value_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``.
+
+    Output: keys…, n_kept (≤ k), est_distinct (double; exact when the
+    group has < k distinct values)."""
+    return _kmv_estimate(kmv_partial(df, keys, value_col, k), keys, k)
+
+
+def kmv_merge(
+    partials: DataFrame, keys: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Union-merge KMV partials down to coarser ``keys`` (must be a
+    subset of the partials' grouping columns; the dropped columns are
+    the merged-away dimension, e.g. month → all-time).
+
+    KMV is losslessly mergeable: every hash among the k smallest of the
+    union is among the k smallest of whichever partial contained it, so
+    re-selecting the k smallest over the unioned summaries gives
+    EXACTLY the sketch of the combined data — merged estimates are
+    bit-identical to direct ones (Bar-Yossef et al. 2002, §2). Merge
+    input is O(k · groups) rows, never the raw data."""
+    dedup = (
+        partials.select(*keys, "h").groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    mins = dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return _kmv_estimate(mins, keys, k)
 
 
 CM_ROWS = 4

@@ -7,6 +7,7 @@ regexp_extract_all / md5) — no Python per row. Designed for the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -122,6 +123,64 @@ def chunk_documents(
         )
     )
     return out
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 3-gram repetition metrics (the Gopher-style repeated-
+    n-gram quality filter): total vs distinct 3-grams, duplicated-gram
+    ratio, and the share of the most frequent gram.
+
+    Repetition is a strictly per-document metric, so the whole
+    computation is ONE shuffle-free ``mapInPandas`` pass — each task
+    counts its own docs' grams in a linear scan (no explode→groupBy; at
+    100 TB nothing crosses tasks). The two ratios are single IEEE
+    divisions of exact int64 counts, bit-identical to the DuckDB oracle.
+    Short docs (< 3 words) count their whole text as one gram, matching
+    the non-strict shingle convention (functions/dedup.py)."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("dup_ratio", T.DoubleType()),
+            T.StructField("top_share", T.DoubleType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            ids, totals, dists, dups, tops = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                n = len(words)
+                if n >= 3:
+                    grams = [" ".join(words[j : j + 3]) for j in range(n - 2)]
+                else:
+                    grams = [" ".join(words)]
+                c = Counter(grams)
+                total, distinct = len(grams), len(c)
+                ids.append(doc_id)
+                totals.append(total)
+                dists.append(distinct)
+                dups.append(1.0 - distinct / total)
+                tops.append(max(c.values()) / total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_grams": pd.Series(totals, dtype="int64"),
+                    "n_distinct": pd.Series(dists, dtype="int64"),
+                    "dup_ratio": pd.Series(dups, dtype="float64"),
+                    "top_share": pd.Series(tops, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(stats, schema=schema)
 
 
 def word_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

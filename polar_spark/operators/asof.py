@@ -29,13 +29,23 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows enriched with the latest right row
-    at-or-before the left timestamp, per ``on`` key.
+    """As-of join: left rows enriched with the nearest right row per
+    ``on`` key — ``direction="backward"`` (default) takes the latest
+    right row at-or-before the left timestamp; ``"forward"`` takes the
+    earliest right row at-or-after it (pandas ``merge_asof`` directions;
+    both include exact-timestamp matches). Forward is the same one-
+    shuffle carry-forward plan with the scan order mirrored (time
+    descending), so the scale shape is identical.
 
     ``right_cols``: right columns to carry (default: all but key/ts).
-    ``tiebreak``: right column ordering ties on equal right_ts.
+    ``tiebreak``: right column ordering ties on equal right_ts —
+    backward keeps the greatest, forward the smallest (the "nearest"
+    row from each side of the tie).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -56,11 +66,14 @@ def asof_join(
     cols = [on, "_ts", "_side", "_r"] + [c for c in left.columns if c != on]
     unioned = lhs.select(cols).unionByName(rhs.select(cols))
 
-    order = [F.col("_ts"), F.col("_side")]
+    ts_ord = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    order = [ts_ord, F.col("_side")]
     if tiebreak is not None:
-        # right rows with equal ts: greatest tiebreak wins → sort ascending
-        # so the last-seen right row is the winner
-        order = [F.col("_ts"), F.col("_side"), F.col(f"_r.{tiebreak}")]
+        # equal right_ts ties: the last-seen right row in scan order wins,
+        # so sort the tiebreak ascending (backward → greatest wins) or
+        # descending (forward → smallest wins)
+        tb = F.col(f"_r.{tiebreak}")
+        order = [ts_ord, F.col("_side"), tb if direction == "backward" else tb.desc()]
     w = (
         Window.partitionBy(on)
         .orderBy(*order)

@@ -410,6 +410,57 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).toDF("event_id", "user_id", "ts", "click_event_id", "click_ts")
 
 
+@query(
+    "asof_click_next_purchase",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT user_id, ts, event_id, side,
+    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id,
+    LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts DESC, side, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, purchase_event_id, purchase_ts FROM m WHERE side = 1
+""",
+)
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click enriched with the user's first
+    purchase at or after it (operators/asof.py direction="forward" —
+    the same single-shuffle carry plan as backward, scan order
+    mirrored; completes the pandas merge_asof direction pair)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_event_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_cols=["purchase_event_id"],
+        tiebreak="purchase_event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "right_purchase_event_id",
+        "right_pts",
+    ).toDF("event_id", "user_id", "ts", "purchase_event_id", "purchase_ts")
+
+
 # ---------------------------------------------------------------------------
 @query(
     "range_join_value_bands",

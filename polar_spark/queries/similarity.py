@@ -290,3 +290,53 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm").alias("min_norm"),
         F.max("norm").alias("max_norm"),
     )
+
+
+@query(
+    "embedding_outlier_centroid",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, label, {_QV} AS v FROM embeddings
+), x AS (
+  SELECT vec_id, label, i AS dim, v[i] AS x
+  FROM c, (SELECT unnest(range(1, 65)) AS i) idx
+), cent AS (
+  SELECT label, dim,
+    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+  FROM x GROUP BY label, dim
+), d2 AS (
+  SELECT vec_id, x.label,
+    CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS dist2
+  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+  GROUP BY vec_id, x.label
+)
+SELECT vec_id, label, dist2 FROM d2 ORDER BY dist2 DESC, vec_id LIMIT 20
+""",
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier detection: the 20 vectors farthest
+    (L2², quantized-exact) from their label's centroid — the standard
+    mislabeled/garbage-embedding sweep before training.
+
+    Scale shape: one (n·dims)-row explode → per-(label, dim) integer
+    centroid (map-side combine; output is labels·dims rows) → broadcast
+    centroid join → per-vector distance agg → TakeOrdered top-20 (no
+    global sort; Spark's orderBy+limit does a per-partition top-k
+    merge). Centroid = floor(sum/count) with the division in double:
+    both engines floor the same correctly-rounded quotient of exact
+    int64s, so results are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", quantize("embedding").alias("v"))
+    x = q.select(
+        "vec_id", "label", F.posexplode("v").alias("dim0", "x")
+    ).withColumn("dim", F.col("dim0") + 1).drop("dim0")
+    cent = x.groupBy("label", "dim").agg(
+        F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).alias("cx")
+    )
+    diff = F.col("x") - F.col("cx")
+    d2 = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist2"))
+    )
+    return d2.orderBy(F.col("dist2").desc(), "vec_id").limit(20)

@@ -303,3 +303,74 @@ def text_regexp_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
         F.expr("cast(text rlike '[0-9]{2,}' as int)").alias("has_multidigit"),
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i : i + 2], ' ')) AS grams
+  FROM documents
+), x AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM x GROUP BY doc_id, gram
+)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+  COUNT(*) AS n_distinct,
+  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS dup_ratio,
+  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+FROM c GROUP BY doc_id
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-3-gram quality metrics per doc — duplicated
+    gram ratio and top-gram share, computed in one shuffle-free
+    mapInPandas pass (functions/text.repetition_stats)."""
+    from polar_spark.functions.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+@query(
+    "sketch_kmv_merged_months",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv
+  FROM events
+), mins AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS h_k
+  FROM mins WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 / (h_k / 1152921504606846976.0) END AS est_distinct
+FROM agg
+""",
+)
+def sketch_kmv_merged_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY (the property that matters at 100 TB): build
+    per-(event_type, month) KMV partials — the O(k)-per-segment state a
+    pipeline persists incrementally — then union-merge them down to
+    per-event_type. KMV merge is lossless, so the oracle is simply the
+    DIRECT all-time sketch: merged ≡ direct, bit-for-bit
+    (functions/sketches.kmv_partial / kmv_merge)."""
+    from polar_spark.functions.sketches import kmv_merge, kmv_partial
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_trunc("month", "ts")
+    )
+    partials = kmv_partial(ev, ["event_type", "month"], "user_id", k=64)
+    return kmv_merge(partials, ["event_type"], k=64)
