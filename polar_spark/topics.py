@@ -314,8 +314,10 @@ class TopicCatalog:
         Files are written offset-sorted so parquet row-group stats on
         ``offset`` stay tight (the index-file analog — consumers seek by
         offset predicate). Like the reference's single writer per token,
-        compaction must not run concurrently with produce on the same
-        topic. Returns (files_before, files_after)."""
+        compaction is serialized against produce via the topic's produce
+        lock — a produce landing between the read and the directory swap
+        would otherwise be silently discarded with the old directory.
+        Returns (files_before, files_after)."""
         d = self.data_dir(name)
 
         def _count(p: str) -> int:
@@ -328,24 +330,25 @@ class TopicCatalog:
 
         if not os.path.isdir(d):
             return (0, 0)
-        before = _count(d)
-        tmp = d + ".compact_tmp"
-        old = d + ".compact_old"
-        df = self.spark.read.schema(TOPIC_SCHEMA).parquet(d)
-        (
-            df.repartition("partition")
-            .sortWithinPartitions("offset")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", target_records_per_file)
-            .partitionBy("partition")
-            .parquet(tmp)
-        )
-        os.rename(d, old)
-        os.rename(tmp, d)
-        import shutil
+        with self.produce_lock(name):
+            before = _count(d)
+            tmp = d + ".compact_tmp"
+            old = d + ".compact_old"
+            df = self.spark.read.schema(TOPIC_SCHEMA).parquet(d)
+            (
+                df.repartition("partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", target_records_per_file)
+                .partitionBy("partition")
+                .parquet(tmp)
+            )
+            os.rename(d, old)
+            os.rename(tmp, d)
+            import shutil
 
-        shutil.rmtree(old, ignore_errors=True)
-        return before, _count(d)
+            shutil.rmtree(old, ignore_errors=True)
+            return before, _count(d)
 
 
 def normalize_events(

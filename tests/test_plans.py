@@ -170,3 +170,26 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     assert shuffle_count(chunk_documents(d, "doc_id", "text")) == 0
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    """Repetition is per-doc: the whole metric must compute in the scan
+    stage — zero exchanges, and the scan reads only (doc_id, text)."""
+    from polar_spark.functions.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    df = repetition_stats(d, "doc_id", "text")
+    assert shuffle_count(df) == 0
+    for cols in scan_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_outlier_centroid_broadcasts_and_takeordered(spark, sf_dir):
+    """Centroids (labels×dims rows) must broadcast, and the top-20 must
+    be a TakeOrdered partial top-k, not a global sort."""
+    from polar_spark.queries.similarity import embedding_outlier_centroid
+
+    df = embedding_outlier_centroid(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

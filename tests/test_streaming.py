@@ -89,6 +89,44 @@ def test_polar_source_stream_tails_new_data(spark, sf_dir, catalog, tmp_path):
     assert sunk.select("offset", "partition").distinct().count() == 400
 
 
+def test_topic_to_topic_streaming_processor(spark, sf_dir, catalog, tmp_path):
+    """The stream-processor loop (consume topic A → transform → produce
+    topic B) as one running pipeline: the downstream topic is itself a
+    first-class topic (pollable, offset-ordered), and a second run
+    re-delivers nothing (checkpoint + epoch ledger compose across the
+    chain)."""
+    _seed_topic(spark, sf_dir, catalog, topic="raw", n=400)
+    sp = StreamingProducer(catalog)
+
+    def run():
+        src = catalog.read_stream("raw")
+        enriched = src.filter(F.col("key").isNotNull()).withColumn(
+            "value", F.concat(F.lit('{"enriched":'), "value", F.lit("}"))
+        )
+        q = sp.start(
+            enriched, "derived",
+            key_col="key", value_col="value", ts_col="timestamp",
+            checkpoint_dir=str(tmp_path / "cp_proc"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    n_src = catalog.read("raw").count()
+    out = catalog.read("derived")
+    assert out.count() == n_src == 400
+    assert out.filter(~F.col("value").startswith('{"enriched":')).count() == 0
+    # same key → same partition in BOTH topics (hash law is topic-independent)
+    src_parts = {
+        (r["key"], r["partition"]) for r in catalog.read("raw").collect()
+    }
+    dst_parts = {(r["key"], r["partition"]) for r in out.collect()}
+    assert {k for k, _ in src_parts} == {k for k, _ in dst_parts}
+    assert src_parts == dst_parts
+    # re-running the processor from its checkpoint re-delivers nothing
+    run()
+    assert catalog.read("derived").count() == 400
+
+
 def test_binary_socket_ingest_end_to_end(spark, sf_dir, catalog, tmp_path):
     """The reference's binary-protocol round-trip as a live flow
     (internal/test/integration/roundtrip_test.go:506 — socket produce →
