@@ -151,6 +151,14 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         timings["ingest_events"] = round(t_ingest, 3)
         extra["ingest_msgs_per_sec"] = round(n_events / t_ingest)
 
+        # keyless (unkeyed) write — the reference's peak-throughput mode:
+        # no per-key ordering contract, so produce takes the shuffle-free
+        # arithmetic-offset path (produce.py _produce_keyless)
+        t0 = time.perf_counter()
+        prod.produce(big, "bench_unkeyed", value_col="props", ts_col="ts")
+        t_unkeyed = time.perf_counter() - t0
+        extra["ingest_unkeyed_msgs_per_sec"] = round(n_events / t_unkeyed)
+
         g = ConsumerGroup(cat, "bench_group")
         g.register("bench", EARLIEST)
         t0 = time.perf_counter()

@@ -84,6 +84,13 @@ class Producer:
             # reference rejects messages > 1 MiB with 400
             ev = ev.filter(F.octet_length("value") <= MAX_MESSAGE_BYTES)
 
+        if key_col is None and arrival_cols is None:
+            # keyless produce has NO ordering guarantee in the reference
+            # (internal/discovery/discoverer.go:370-380 — round-robin), so
+            # the per-partition arrival sort the keyed path pays is pure
+            # waste here: take the shuffle-free arithmetic path instead
+            return self._produce_keyless(ev, topic, p)
+
         if arrival_cols:
             order_cols = [F.col(c) for c in arrival_cols]
             keyless_spread = F.xxhash64(*[F.col(c) for c in arrival_cols])
@@ -131,6 +138,79 @@ class Producer:
             finally:
                 out.unpersist()
             self.catalog.advance_tails(topic, new_tails)
+            return self.catalog.tails(topic)
+
+    def _produce_keyless(self, ev: DataFrame, topic: str, p: int) -> dict[int, int]:
+        """Shuffle-free keyless produce: task-granular round-robin
+        placement with arithmetic offset assignment.
+
+        The keyed path needs a hash shuffle + per-partition sort because
+        offsets must follow per-key arrival order. Keyless records carry
+        no ordering contract (the reference round-robins them per
+        request, internal/discovery/discoverer.go:370-380 — a task is
+        our "request"), so everything becomes codegen arithmetic over
+        ``monotonically_increasing_id()`` (task id in the upper bits, a
+        consecutive per-task record number in the lower 33):
+
+            partition = task mod p
+            offset    = base[task] + 1 + idx
+
+        Bases come from one O(tasks)-row count job plus a driver-side
+        prefix sum; each task owns a disjoint contiguous offset range in
+        its partition, so uniqueness and per-partition contiguity hold
+        with ZERO data shuffle, no window sort, one output file per
+        task, and tails known arithmetically (no post-write scan). Two
+        jobs read the input, but the count job only needs rows-per-task
+        — and since bases depend on COUNTS alone, an input whose
+        within-partition row order is not deterministic (e.g. a shuffle
+        output) still cannot collide offsets; only the (irrelevant, by
+        contract) row↔offset mapping varies.
+
+        Locally this is write-bound like the keyed path (parquet+zstd
+        dominates at 1M rows on NVMe); the structural win is on a real
+        cluster, where the keyed path's full-batch network shuffle is
+        the bottleneck this path simply does not have."""
+        mid = F.monotonically_increasing_id()
+        tagged = ev.withColumn("_tid", F.shiftright(mid, 33)).withColumn(
+            "_idx", mid.bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        with self.catalog.produce_lock(topic):
+            tails = self.catalog.tails(topic)
+            counts = {
+                int(r["_tid"]): int(r["c"])
+                for r in tagged.groupBy("_tid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            if not counts:
+                return self.catalog.tails(topic)
+            run = dict(tails)
+            bases: dict[int, int] = {}
+            for t in sorted(counts):
+                q = t % p
+                bases[t] = run.get(q, -1)
+                run[q] = run.get(q, -1) + counts[t]
+            base_map = F.create_map(
+                *[x for t, b in bases.items() for x in (F.lit(t), F.lit(b))]
+            )
+            out = tagged.withColumn(
+                "partition", F.pmod(F.col("_tid"), F.lit(p)).cast("int")
+            ).select(
+                "topic",
+                "partition",
+                (F.element_at(base_map, F.col("_tid")) + 1 + F.col("_idx"))
+                .cast("long")
+                .alias("offset"),
+                "timestamp",
+                "key",
+                "value",
+            )
+            out.write.mode("append").partitionBy("partition").parquet(
+                self.catalog.data_dir(topic)
+            )
+            self.catalog.advance_tails(
+                topic, {q: t for q, t in run.items() if t > tails.get(q, -1)}
+            )
             return self.catalog.tails(topic)
 
     def produce_ndjson(self, df: DataFrame, topic: str, body_col: str = "body",

@@ -285,6 +285,44 @@ def test_produce_lock_excludes_second_writer(spark, sf_dir, tmp_path):
     assert sum(cat.tails("tl").values()) + 12 == 100  # tails are -1-based
 
 
+def test_keyless_produce_shuffle_free_path(spark, sf_dir, tmp_path):
+    """key_col=None takes the arithmetic fast path (no shuffle, no
+    window): offsets must still be unique and contiguous per partition,
+    tails exact, records spread across partitions, and appends must
+    stack on existing tails — including over a shuffle-derived input."""
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).repartition(8)  # multi-task, shuffle-derived
+    prod.produce(ev, "kf", value_col="props", ts_col="ts")
+    t = cat.read("kf")
+    assert t.count() == 1000
+    assert t.groupBy("partition", "offset").count().filter("count > 1").count() == 0
+    per = {
+        r["partition"]: (r["mn"], r["mx"], r["c"])
+        for r in t.groupBy("partition")
+        .agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"),
+             F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert len(per) > 1  # spread, not hot-spotted
+    assert all(mn == 0 and mx - mn + 1 == c for mn, mx, c in per.values())
+    assert {q for q, _ in cat.tails("kf").items() if _ >= 0} == set(per)
+    # append continues contiguously
+    prod.produce(ev.limit(200), "kf", value_col="props", ts_col="ts")
+    t2 = cat.read("kf")
+    assert t2.count() == 1200
+    assert t2.groupBy("partition", "offset").count().filter("count > 1").count() == 0
+    per2 = {
+        r["partition"]: (r["mn"], r["mx"], r["c"])
+        for r in t2.groupBy("partition")
+        .agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"),
+             F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert all(mn == 0 and mx - mn + 1 == c for mn, mx, c in per2.values())
+    tails = cat.tails("kf")
+    assert all(tails[q] == mx for q, (_mn, mx, _c) in per2.items())
+
+
 def test_produce_lock_stale_break_single_winner(spark, tmp_path):
     """Two waiters contending over a STALE lock: exactly one breaks it
     and holds at a time — the rename-tombstone break can't double-unlink
