@@ -26,10 +26,17 @@ def stream_stream_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: right events that occur in ``[left_ts, left_ts +
-    within]`` for the same key. Both sides watermarked so join state is
-    evicted once the window can no longer match."""
+    """Join right events that occur in ``[left_ts, left_ts + within]``
+    for the same key. Both sides watermarked so join state is evicted
+    once the window can no longer match.
+
+    ``how``: ``inner`` (default) or ``leftOuter`` — the outer variant
+    emits unmatched left rows (right columns null) only once the
+    watermark passes their join window, i.e. once no future right event
+    can still match; this is Spark's state-store-backed outer emission,
+    the streaming analog of a left join with bounded regret."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -37,4 +44,4 @@ def stream_stream_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

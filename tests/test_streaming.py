@@ -369,6 +369,63 @@ def test_stream_stream_join_time_bound(spark, sf_dir):
     assert len(rows) == batch
 
 
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unmatched click must emit (with
+    null purchase columns) only after the watermark passes its join
+    window — driven across two availableNow runs sharing a checkpoint,
+    the second advancing the watermark."""
+    import datetime as dt
+
+    from polar_spark.streaming.joins import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cschema = "user_id long, cts timestamp, click_id long"
+    pschema = "user_id long, pts timestamp, purchase_id long"
+    spark.createDataFrame(
+        [(1, t0, 100), (2, t0, 200)], cschema
+    ).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), 900)], pschema
+    ).write.mode("append").parquet(pdir)
+
+    emitted: list[tuple] = []
+
+    def run():
+        clicks = spark.readStream.schema(cschema).parquet(cdir)
+        purch = spark.readStream.schema(pschema).parquet(pdir)
+        j = stream_stream_join(
+            clicks, purch, "user_id", "cts", "pts",
+            within="1 hour", watermark="10 minutes", how="leftOuter",
+        ).select("click_id", "purchase_id")
+        q = (
+            j.writeStream.foreachBatch(
+                lambda df, _e: emitted.extend(
+                    (r["click_id"], r["purchase_id"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert (100, 900) in emitted       # matched pair emits promptly
+    assert (200, None) not in emitted  # outer row must WAIT for the watermark
+    # late-arriving far-future rows push both watermarks past the window
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=10), 999)], cschema
+    ).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=10), 998)], pschema
+    ).write.mode("append").parquet(pdir)
+    run()
+    run()  # one more cycle: outer emission happens on the batch AFTER advance
+    assert (200, None) in emitted      # unmatched click flushed with nulls
+
+
 def test_continuous_rollup_end_to_end(spark, sf_dir, catalog, tmp_path):
     """The continuous-aggregate loop entirely through engine surfaces:
     batch produce into a raw topic → readStream format('polar') →
