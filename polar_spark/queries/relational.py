@@ -523,3 +523,55 @@ def pivot_user_cohort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, types)
     )
     return out
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS {_DEC})) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+  CAST(CAST(o.o_totalprice AS {_DEC}) AS DOUBLE) AS o_totalprice,
+  CAST(SUM(CAST(l.l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: customers whose orders exceed a total-quantity
+    threshold — a HAVING-filtered self-semi-join on the fact table.
+
+    Scale: the heavy side (lineitem) aggregates FIRST (map-side partial
+    sums into one row per orderkey); the surviving "big order" keyset is
+    tiny and broadcast back against orders/lineitem, so the fact table
+    is never shuffled by a join key it doesn't already aggregate on."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    li = l.select(F.col("l_orderkey").alias("li_orderkey"), "l_quantity")
+    j = (
+        o.join(F.broadcast(big), o.o_orderkey == big.big_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li, li.li_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")).select(
+        "c_name",
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        "sum_qty",
+    )

@@ -340,3 +340,36 @@ def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(diff * diff).cast("bigint").alias("dist2"))
     )
     return d2.orderBy(F.col("dist2").desc(), "vec_id").limit(20)
+
+
+@query(
+    "embedding_coverage_by_source",
+    oracle="""
+SELECT d.source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_embedded,
+  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS coverage,
+  MIN(CASE WHEN e.vec_id IS NULL THEN d.doc_id END) AS first_missing_doc
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.source
+""",
+)
+def embedding_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table pipeline integrity: per source, how much of the
+    corpus has an embedding row (docs join embeddings on id), plus the
+    first missing doc id — the is-everything-embedded sweep run before
+    any training job. Left join with the embedding side broadcast
+    (id-only projection): the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(F.broadcast(e), d.doc_id == e.vec_id, "left")
+    has = F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has).cast("bigint").alias("n_embedded"),
+        (F.sum(has).cast("double") / F.count(F.lit(1))).alias("coverage"),
+        F.min(F.when(F.col("vec_id").isNull(), F.col("doc_id"))).alias(
+            "first_missing_doc"
+        ),
+    )

@@ -442,3 +442,54 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "stats_moments_by_type",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(12,3))) AS sx,
+    SUM(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(sx AS DOUBLE) / n AS mean_value,
+  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * (n - 1)) AS var_value,
+  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_value
+FROM s
+""",
+)
+def stats_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean/variance/stddev) per event_type —
+    deterministically. Spark's native var_samp/stddev over doubles is
+    order-dependent (float summation), so it can never hash-match an
+    oracle; instead the power sums Σx and Σx² accumulate as DECIMAL
+    (exact, order-independent, map-side combinable) and the moments are
+    derived with a fixed sequence of double ops both engines execute
+    identically. Scale is capped at 3 (products at 6) so every sum's
+    SCALED integer stays < 2⁵³: DuckDB casts decimal→double via
+    hugeint-over-10^scale double division, which is only guaranteed to
+    match Spark's correctly-rounded BigDecimal cast while the scaled
+    integer is double-exact. Same shuffle shape as any groupBy agg."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,3)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    var = (n * sxxd - sxd * sxd) / (n.cast("double") * (n - 1))
+    return s.select(
+        "event_type",
+        "n",
+        (sxd / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
