@@ -575,3 +575,64 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("o_totalprice").cast("double").alias("o_totalprice"),
         "sum_qty",
     )
+
+
+@query(
+    "q7_cross_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS {_DEC})
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))))
+       AS DOUBLE) AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+  AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def q7_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between nation pairs by year —
+    the same dimension table joined in TWO roles (supplier's nation and
+    customer's nation).
+
+    Scale: all four dimension sides (supplier, customer, nation ×2)
+    broadcast; the only shuffle is lineitem⋈orders on orderkey plus the
+    final small-group agg. The nation filter reaches the dim scans
+    before the broadcast, so the hash tables carry 3 rows, not 25."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(6,4)")
+    j = (
+        l.join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(F.col("n1_key") != F.col("n2_key"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(6,4)"))
+        )
+        .cast("double")
+        .alias("volume"),
+    )

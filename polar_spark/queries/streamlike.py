@@ -340,3 +340,64 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         locf_cols=["sum_cents"],
     )
     return out.select("event_type", "bucket", "n_rows", "sum_cents")
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS c_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_click f JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND p.ts >= f.c_ts AND p.ts <= f.c_ts + INTERVAL 1 HOUR
+)
+SELECT CAST(dayofweek(f.c_ts) + 1 AS INTEGER) AS dow,
+  COUNT(*) AS n_clicked,
+  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_converted,
+  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS conversion_rate
+FROM first_click f LEFT JOIN converted c ON f.user_id = c.user_id
+GROUP BY dayofweek(f.c_ts) + 1
+""",
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: of users whose FIRST click happened on
+    each weekday, how many purchased within the following hour — the
+    product-analytics conversion query.
+
+    Scale shape: first-click is one keyed agg; the conversion probe
+    joins events once on user_id (both sides hash-partition on the same
+    key, no broadcast needed at corpus scale); the weekday rollup is a
+    7-row aggregate. Weekday numbering: Spark dayofweek is 1=Sunday,
+    DuckDB's is 0=Sunday — the oracle adds 1 to align."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    j = first_click.join(converted, "user_id", "left")
+    conv = F.when(F.col("_conv").isNotNull(), 1).otherwise(0)
+    return j.groupBy(F.dayofweek("c_ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_clicked"),
+        F.sum(conv).cast("bigint").alias("n_converted"),
+        (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )
