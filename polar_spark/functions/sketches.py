@@ -28,6 +28,21 @@ DEFAULT_K = 64
 HASH_SPACE = float(1 << 60)
 
 
+def _k_smallest_hashes(hashed: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Per-group k smallest DISTINCT values of column ``h`` — the
+    selection shared by sketch build and sketch merge (they must stay
+    identical or merged ≠ direct)."""
+    dedup = (
+        hashed.select(*keys, "h").groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h")
+    )
+
+
 def kmv_partial(
     df: DataFrame, keys: list[str], value_col: str, k: int = DEFAULT_K
 ) -> DataFrame:
@@ -40,13 +55,7 @@ def kmv_partial(
         .cast("bigint")
         .alias("h")
     )
-    dedup = df.select(*keys, h).groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        dedup.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(*keys, "h")
-    )
+    return _k_smallest_hashes(df.select(*keys, h), keys, k)
 
 
 def _kmv_estimate(mins: DataFrame, keys: list[str], k: int) -> DataFrame:
@@ -89,12 +98,7 @@ def kmv_merge(
     EXACTLY the sketch of the combined data — merged estimates are
     bit-identical to direct ones (Bar-Yossef et al. 2002, §2). Merge
     input is O(k · groups) rows, never the raw data."""
-    dedup = (
-        partials.select(*keys, "h").groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
-    )
-    w = Window.partitionBy(*keys).orderBy("h")
-    mins = dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return _kmv_estimate(mins, keys, k)
+    return _kmv_estimate(_k_smallest_hashes(partials, keys, k), keys, k)
 
 
 CM_ROWS = 4

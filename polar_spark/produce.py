@@ -79,7 +79,14 @@ class Producer:
         meta = self.catalog.ensure_topic(topic)
         p = meta.num_partitions
 
-        ev = normalize_events(df, topic, key_col, value_col, ts_col)
+        # arrival columns beyond the record shape (e.g. a frame decoder's
+        # record_idx) ride through normalization for ordering only
+        extras = [
+            c
+            for c in (arrival_cols or [])
+            if c not in ("topic", "key", "value", "timestamp") and c in df.columns
+        ]
+        ev = normalize_events(df, topic, key_col, value_col, ts_col, extra_cols=extras)
         if validate_size:
             # reference rejects messages > 1 MiB with 400
             ev = ev.filter(F.octet_length("value") <= MAX_MESSAGE_BYTES)
@@ -159,59 +166,88 @@ class Producer:
         prefix sum; each task owns a disjoint contiguous offset range in
         its partition, so uniqueness and per-partition contiguity hold
         with ZERO data shuffle, no window sort, one output file per
-        task, and tails known arithmetically (no post-write scan). Two
-        jobs read the input, but the count job only needs rows-per-task
-        — and since bases depend on COUNTS alone, an input whose
-        within-partition row order is not deterministic (e.g. a shuffle
-        output) still cannot collide offsets; only the (irrelevant, by
-        contract) row↔offset mapping varies.
+        task, and tails known arithmetically (no post-write scan). The
+        batch is persisted so the count job and the write observe
+        identical per-task counts even for nondeterministic inputs
+        (limit/sample). The mapping rotates by the topic's produced
+        total so successive small (single-task) batches spread across
+        partitions instead of hot-spotting partition 0.
 
         Locally this is write-bound like the keyed path (parquet+zstd
         dominates at 1M rows on NVMe); the structural win is on a real
         cluster, where the keyed path's full-batch network shuffle is
         the bottleneck this path simply does not have."""
         mid = F.monotonically_increasing_id()
+        # the count job and the write job MUST observe identical per-task
+        # row counts, or offsets come out NULL/colliding. Plain scans and
+        # cached inputs repeat counts exactly; plans containing count- or
+        # placement-unstable operators (limit, sample, repartition, any
+        # shuffle) are pinned with persist() first. Conditional because
+        # the pin costs a full materialization (~2x on the 1M-row bench)
+        # that deterministic inputs don't need.
+        import re as _re
+
+        plan = ev._jdf.queryExecution().analyzed().toString()
+        pin = bool(
+            _re.search(
+                r"GlobalLimit|LocalLimit|Sample|Repartition|RebalancePartitions"
+                r"|Exchange|Join|Aggregate|Window|Generate.*posexplode",
+                plan,
+            )
+        )
         tagged = ev.withColumn("_tid", F.shiftright(mid, 33)).withColumn(
             "_idx", mid.bitwiseAND(F.lit((1 << 33) - 1))
         )
-        with self.catalog.produce_lock(topic):
-            tails = self.catalog.tails(topic)
-            counts = {
-                int(r["_tid"]): int(r["c"])
-                for r in tagged.groupBy("_tid")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            }
-            if not counts:
+        if pin:
+            tagged = tagged.persist()
+        try:
+            with self.catalog.produce_lock(topic):
+                tails = self.catalog.tails(topic)
+                counts = {
+                    int(r["_tid"]): int(r["c"])
+                    for r in tagged.groupBy("_tid")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                }
+                if not counts:
+                    return self.catalog.tails(topic)
+                # rotate the task→partition mapping by the topic's total
+                # produced count so successive small batches (often a
+                # single task, which would otherwise ALL land in
+                # partition 0) round-robin across partitions — the
+                # per-call analog of the reference's rotating cursor
+                rot = sum(t + 1 for t in tails.values()) % p
+                run = dict(tails)
+                bases: dict[int, int] = {}
+                for t in sorted(counts):
+                    q = (t + rot) % p
+                    bases[t] = run.get(q, -1)
+                    run[q] = run.get(q, -1) + counts[t]
+                base_map = F.create_map(
+                    *[x for t, b in bases.items() for x in (F.lit(t), F.lit(b))]
+                )
+                out = tagged.withColumn(
+                    "partition", F.pmod(F.col("_tid") + rot, F.lit(p)).cast("int")
+                ).select(
+                    "topic",
+                    "partition",
+                    (F.element_at(base_map, F.col("_tid")) + 1 + F.col("_idx"))
+                    .cast("long")
+                    .alias("offset"),
+                    "timestamp",
+                    "key",
+                    "value",
+                )
+                out.write.mode("append").partitionBy("partition").parquet(
+                    self.catalog.data_dir(topic)
+                )
+                self.catalog.advance_tails(
+                    topic, {q: t for q, t in run.items() if t > tails.get(q, -1)}
+                )
                 return self.catalog.tails(topic)
-            run = dict(tails)
-            bases: dict[int, int] = {}
-            for t in sorted(counts):
-                q = t % p
-                bases[t] = run.get(q, -1)
-                run[q] = run.get(q, -1) + counts[t]
-            base_map = F.create_map(
-                *[x for t, b in bases.items() for x in (F.lit(t), F.lit(b))]
-            )
-            out = tagged.withColumn(
-                "partition", F.pmod(F.col("_tid"), F.lit(p)).cast("int")
-            ).select(
-                "topic",
-                "partition",
-                (F.element_at(base_map, F.col("_tid")) + 1 + F.col("_idx"))
-                .cast("long")
-                .alias("offset"),
-                "timestamp",
-                "key",
-                "value",
-            )
-            out.write.mode("append").partitionBy("partition").parquet(
-                self.catalog.data_dir(topic)
-            )
-            self.catalog.advance_tails(
-                topic, {q: t for q, t in run.items() if t > tails.get(q, -1)}
-            )
-            return self.catalog.tails(topic)
+        finally:
+            if pin:
+                tagged.unpersist()
 
     def produce_ndjson(self, df: DataFrame, topic: str, body_col: str = "body",
                        key_col: str | None = None, ts_col: str | None = None) -> dict[int, int]:

@@ -152,18 +152,20 @@ class PolarRestServer:
                 body = self._body()
                 key = q.get("partitionKey", [None])[0]
                 ndjson = "ndjson" in (self.headers.get("Content-Type") or "")
-                text = body.decode("utf-8", errors="replace")
-                lines = (
-                    [ln for ln in text.split("\n") if ln.strip()]
-                    if ndjson
-                    else [text]
-                )
                 # reference limit is PER MESSAGE (internal MaxMessageSize):
                 # an NDJSON batch of small messages may exceed 1 MiB in
                 # aggregate; only an individual message over the limit is
-                # rejected
-                if any(len(ln.encode()) > MAX_MESSAGE_BYTES for ln in lines):
+                # rejected. Measured on the RAW bytes — a decode with
+                # errors='replace' would inflate invalid UTF-8 3× and
+                # reject messages that are actually under the limit
+                raw_msgs = (
+                    [ln for ln in body.split(b"\n") if ln.strip()]
+                    if ndjson
+                    else [body]
+                )
+                if any(len(m) > MAX_MESSAGE_BYTES for m in raw_msgs):
                     return self._send(400, {"error": "message too large"})
+                lines = [m.decode("utf-8", errors="replace") for m in raw_msgs]
                 spark = facade.engine.spark
                 with facade._lock:
                     df = spark.createDataFrame(

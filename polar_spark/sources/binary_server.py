@@ -172,5 +172,5 @@ def start_binary_ingest(
         ts_col="timestamp",
         checkpoint_dir=checkpoint_dir,
         trigger_seconds=trigger_seconds,
-        arrival_cols=["timestamp", "value"],
+        arrival_cols=["timestamp", "record_idx", "value"],
     )
