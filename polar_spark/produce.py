@@ -38,6 +38,31 @@ MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
 # (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
 
 
+def keyless_offset_plan(
+    counts: dict[int, int], tails: dict[int, int], p: int
+) -> tuple[int, dict[int, int], dict[int, int]]:
+    """Pure arithmetic of the keyless fast path (property-tested in
+    tests/test_property.py): given per-task row ``counts``, current
+    ``tails``, and ``p`` partitions, return (rot, bases, new_tails).
+
+    - ``rot``: task→partition rotation = total records produced so far
+      mod p, so successive small batches round-robin across partitions
+      instead of all landing where task 0 maps.
+    - ``bases[t]``: the offset BEFORE task t's first record; task t
+      writes offsets [bases[t]+1, bases[t]+counts[t]] into partition
+      (t + rot) % p. Ranges are disjoint and stack contiguously on the
+      partition's prior tail.
+    - ``new_tails``: per-partition tails after the batch."""
+    rot = sum(t + 1 for t in tails.values()) % p
+    run = dict(tails)
+    bases: dict[int, int] = {}
+    for t in sorted(counts):
+        q = (t + rot) % p
+        bases[t] = run.get(q, -1)
+        run[q] = run.get(q, -1) + counts[t]
+    return rot, bases, run
+
+
 class Producer:
     def __init__(self, catalog: TopicCatalog):
         self.catalog = catalog
@@ -211,18 +236,7 @@ class Producer:
                 }
                 if not counts:
                     return self.catalog.tails(topic)
-                # rotate the task→partition mapping by the topic's total
-                # produced count so successive small batches (often a
-                # single task, which would otherwise ALL land in
-                # partition 0) round-robin across partitions — the
-                # per-call analog of the reference's rotating cursor
-                rot = sum(t + 1 for t in tails.values()) % p
-                run = dict(tails)
-                bases: dict[int, int] = {}
-                for t in sorted(counts):
-                    q = (t + rot) % p
-                    bases[t] = run.get(q, -1)
-                    run[q] = run.get(q, -1) + counts[t]
+                rot, bases, run = keyless_offset_plan(counts, tails, p)
                 base_map = F.create_map(
                     *[x for t, b in bases.items() for x in (F.lit(t), F.lit(b))]
                 )

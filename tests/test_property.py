@@ -99,3 +99,47 @@ def test_chunk_count_formula(n):
         last_start = (ours - 1) * step  # 0-based
         assert last_start < n
         assert last_start + W >= n
+
+
+@settings(max_examples=300)
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=63),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=32,
+    ),
+    prior=st.lists(
+        st.integers(min_value=0, max_value=5_000), min_size=1, max_size=16
+    ),
+    p=st.integers(min_value=1, max_value=16),
+)
+def test_keyless_offset_plan_invariants(counts, prior, p):
+    """The keyless fast path's arithmetic offset allocation: for ANY
+    per-task counts, prior tails, and partition count — task ranges are
+    disjoint, stack contiguously per partition starting at the prior
+    tail, and new tails equal old tail + rows routed to that partition."""
+    from polar_spark.produce import keyless_offset_plan
+
+    tails = {q: prior[q] - 1 if q < len(prior) else -1 for q in range(p)}
+    rot, bases, new_tails = keyless_offset_plan(counts, tails, p)
+
+    # reconstruct every (partition, offset) pair a task would write
+    seen: dict[int, list] = {}
+    for t, n in counts.items():
+        q = (t + rot) % p
+        lo, hi = bases[t] + 1, bases[t] + n
+        seen.setdefault(q, []).append((lo, hi))
+    for q, ranges in seen.items():
+        ranges.sort()
+        # stacks on the prior tail...
+        assert ranges[0][0] == tails.get(q, -1) + 1
+        # ...with disjoint, gap-free ranges
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert lo2 == hi1 + 1
+        # and the final tail is exact
+        assert new_tails[q] == ranges[-1][1]
+    # partitions receiving nothing keep their tail
+    for q in range(p):
+        if q not in seen:
+            assert new_tails[q] == tails.get(q, -1)
