@@ -27,12 +27,24 @@ ledger read/write is O(P) driver-side metadata, not a data-path operation.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polar_spark.hashing import partition_col
-from polar_spark.topics import TopicCatalog, normalize_events
+from polar_spark.topics import TOPIC_SCHEMA, TopicCatalog, normalize_events
+
+
+def _parquet_files(root: str) -> set[str]:
+    return {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(root)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
 
 MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
 # (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
@@ -204,22 +216,22 @@ class Producer:
         the bottleneck this path simply does not have."""
         mid = F.monotonically_increasing_id()
         # the count job and the write job MUST observe identical per-task
-        # row counts, or offsets come out NULL/colliding. Plain scans and
-        # cached inputs repeat counts exactly; plans containing count- or
-        # placement-unstable operators (limit, sample, repartition, any
-        # shuffle) are pinned with persist() first. Conditional because
-        # the pin costs a full materialization (~2x on the 1M-row bench)
-        # that deterministic inputs don't need.
+        # row counts, or offsets come out NULL/colliding. Only plans made
+        # exclusively of row-stable nodes (scan + deterministic row-wise
+        # ops) are trusted to repeat counts; ANYTHING else — limit,
+        # sample, sort (whose range shuffle the count job's aggregate
+        # elides via EliminateSorts!), distinct, joins, python UDFs — is
+        # pinned with persist() AND validated post-write (the persist is
+        # best-effort: a lost cache block recomputes the input). The
+        # whitelist inverts the earlier blocklist, which missed Sort and
+        # could never match physical-only node names.
         import re as _re
 
         plan = ev._jdf.queryExecution().analyzed().toString()
-        pin = bool(
-            _re.search(
-                r"GlobalLimit|LocalLimit|Sample|Repartition|RebalancePartitions"
-                r"|Exchange|Join|Aggregate|Window|Generate.*posexplode",
-                plan,
-            )
-        )
+        _STABLE = {"Project", "Filter", "Generate", "Relation", "SubqueryAlias",
+                   "View", "InMemoryRelation", "LogicalRDD"}
+        nodes = set(_re.findall(r"^[+:\-\s]*([A-Za-z]+)", plan, _re.M))
+        pin = bool(nodes - _STABLE - {""}) or "pythonUDF" in plan
         tagged = ev.withColumn("_tid", F.shiftright(mid, 33)).withColumn(
             "_idx", mid.bitwiseAND(F.lit((1 << 33) - 1))
         )
@@ -252,9 +264,42 @@ class Producer:
                     "key",
                     "value",
                 )
-                out.write.mode("append").partitionBy("partition").parquet(
-                    self.catalog.data_dir(topic)
-                )
+                ddir = self.catalog.data_dir(topic)
+                before_files = _parquet_files(ddir) if pin else set()
+                out.write.mode("append").partitionBy("partition").parquet(ddir)
+                if pin:
+                    # persist is best-effort (a lost cache block recomputes
+                    # the nondeterministic input mid-produce): validate the
+                    # NEW files against the plan and roll them back on any
+                    # mismatch rather than leaving corrupt offsets behind
+                    new_files = sorted(_parquet_files(ddir) - before_files)
+                    written = {
+                        r["partition"]: (r["c"], r["m"])
+                        for r in self.catalog.spark.read.schema(TOPIC_SCHEMA)
+                        # basePath: the partition column is directory-derived;
+                        # without it, reading leaf files yields partition=NULL
+                        .option("basePath", ddir)
+                        .parquet(*new_files)
+                        .groupBy("partition")
+                        .agg(F.count(F.lit(1)).alias("c"), F.max("offset").alias("m"))
+                        .collect()
+                    }
+                    expect = {
+                        q: (t - tails.get(q, -1), t)
+                        for q, t in run.items()
+                        if t > tails.get(q, -1)
+                    }
+                    if written != expect:
+                        for f in new_files:
+                            with contextlib.suppress(FileNotFoundError):
+                                os.unlink(f)
+                        raise RuntimeError(
+                            f"keyless produce to {topic!r}: input row placement "
+                            "changed between the offset-planning pass and the "
+                            "write (nondeterministic input recomputed, e.g. "
+                            "cache loss under limit/sample) — batch rolled "
+                            "back; retry, or materialize the input first"
+                        )
                 self.catalog.advance_tails(
                     topic, {q: t for q, t in run.items() if t > tails.get(q, -1)}
                 )

@@ -122,7 +122,7 @@ class TopicCatalog:
         self._write_tails(name, cur)
 
     @contextlib.contextmanager
-    def _file_lock(self, path: str, what: str, timeout: float, stale: float = 0.0):
+    def _file_lock(self, path: str, what: str, timeout: float):
         """Exclusive advisory lock via ``flock`` on a persistent file.
 
         The lock-FILE protocols tried first (O_EXCL create + mtime-based
@@ -134,9 +134,9 @@ class TopicCatalog:
         acquisitions — across processes OR across threads, each with its
         own open file description — genuinely exclude each other. The
         file persists between uses; its content is a debugging aid
-        (last holder's pid), not protocol state. ``stale`` is kept in
-        the signature for callers but is obsolete — crash release is
-        automatic."""
+        (last holder's pid), not protocol state. There is no staleness
+        parameter — crash release is automatic, and a live-but-slow
+        holder simply makes waiters time out instead of being broken."""
         import fcntl
 
         deadline = time.time() + timeout
@@ -164,7 +164,7 @@ class TopicCatalog:
                     fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def produce_lock(self, name: str, timeout: float = 30.0, stale: float = 1800.0):
+    def produce_lock(self, name: str, timeout: float = 30.0):
         """Exclusive produce lock for one topic.
 
         The tail ledger is read-modify-write: two concurrent produces to
@@ -175,7 +175,7 @@ class TopicCatalog:
         of the produce job, auto-released by the kernel if the holder
         crashes."""
         path = os.path.join(self.topic_dir(name), ".produce.lock")
-        return self._file_lock(path, f"produce({name})", timeout, stale)
+        return self._file_lock(path, f"produce({name})", timeout)
 
     # -- sink epoch ledger (idempotent foreachBatch) -----------------------
     def _epochs_path(self, name: str) -> str:
@@ -199,7 +199,7 @@ class TopicCatalog:
         overwrites instead of taking the max — used when a sink instance
         is detected as reset (checkpoint recreated)."""
         ep = self._epochs_path(name)
-        with self._file_lock(ep + ".lock", f"epochs({name})", timeout=30.0, stale=60.0):
+        with self._file_lock(ep + ".lock", f"epochs({name})", timeout=30.0):
             try:
                 with open(ep) as f:
                     d = json.load(f)
