@@ -41,7 +41,16 @@ import uuid
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from polar_spark.sources.frames import _HEADER, FRAME_VERSION
+from polar_spark.sources.frames import (
+    _HEADER,
+    FRAME_VERSION,
+    OP_ERROR,
+    OP_HEARTBEAT,
+    OP_PRODUCE,
+    OP_READY,
+    OP_STARTUP,
+    encode_control_frame,
+)
 from polar_spark.streaming.ingest import StreamingProducer
 from polar_spark.topics import TopicCatalog
 
@@ -92,12 +101,18 @@ class BinaryIngestServer:
             self._threads.append(t)
 
     def _serve(self, conn: socket.socket) -> None:
+        """Connection protocol, mirroring the reference's handler loop
+        (internal/producing/binary_server.go:21-118): a startup(1) frame
+        is answered with ready(2); heartbeat(6) frames are answered in
+        kind; produce(4) frames are spooled and acked; anything else
+        gets an error(3) control frame and the connection stays open
+        (framing is intact — only an invalid header is unrecoverable)."""
         with conn:
             while not self._stop.is_set():
                 head = _read_exact(conn, _HEADER.size)
                 if head is None:
                     return
-                version, _flags, stream_id, _op, body_len = _HEADER.unpack(head)
+                version, _flags, stream_id, op, body_len = _HEADER.unpack(head)
                 if version != FRAME_VERSION:
                     # unrecoverable: framing is lost without a valid header
                     conn.sendall(_ACK.pack(FRAME_VERSION, stream_id, ACK_BAD_HEADER))
@@ -105,6 +120,15 @@ class BinaryIngestServer:
                 rest = _read_exact(conn, body_len + 4)  # body + crc32
                 if rest is None:
                     return
+                if op == OP_STARTUP:
+                    conn.sendall(encode_control_frame(OP_READY, stream_id))
+                    continue
+                if op == OP_HEARTBEAT:
+                    conn.sendall(encode_control_frame(OP_HEARTBEAT, stream_id))
+                    continue
+                if op != OP_PRODUCE:
+                    conn.sendall(encode_control_frame(OP_ERROR, stream_id))
+                    continue
                 # spool atomically: write tmp then rename, so the
                 # binaryFile source never lists a half-written frame
                 name = f"{time.time_ns()}_{uuid.uuid4().hex}.frame"
@@ -119,11 +143,32 @@ class BinaryIngestServer:
         self._sock.close()
 
 
-def send_frames(host: str, port: int, frames: list[bytes]) -> list[tuple[int, int]]:
+def _read_control(conn: socket.socket) -> int | None:
+    """Read one empty-body control frame; returns its opcode."""
+    head = _read_exact(conn, _HEADER.size)
+    if head is None:
+        return None
+    _v, _f, _sid, op, body_len = _HEADER.unpack(head)
+    if _read_exact(conn, body_len + 4) is None:  # body (empty) + crc
+        return None
+    return op
+
+
+def send_frames(
+    host: str, port: int, frames: list[bytes], handshake: bool = False
+) -> list[tuple[int, int]]:
     """Client helper: send frames over one connection, collect acks as
-    (stream_id, status) — the reference client's write/ack loop."""
+    (stream_id, status) — the reference client's write/ack loop.
+
+    ``handshake=True`` performs the reference's startup→ready exchange
+    before producing (binary_server.go connection setup) and raises if
+    the server does not answer ready."""
     acks = []
     with socket.create_connection((host, port)) as conn:
+        if handshake:
+            conn.sendall(encode_control_frame(OP_STARTUP))
+            if _read_control(conn) != OP_READY:
+                raise ConnectionError("binary server did not answer ready")
         for fr in frames:
             conn.sendall(fr)
             raw = _read_exact(conn, _ACK.size)

@@ -43,8 +43,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 FRAME_VERSION = 1
+# reference opcode table (internal/producing/binary_messages.go:23-28)
+OP_STARTUP = 1
+OP_READY = 2
+OP_ERROR = 3
 OP_PRODUCE = 4
+OP_PRODUCE_RESPONSE = 5
+OP_HEARTBEAT = 6
 _HEADER = struct.Struct(">BBHBI")  # version, flags, stream_id, opcode, body_len
+
+
+def encode_control_frame(opcode: int, stream_id: int = 0, flags: int = 0) -> bytes:
+    """Empty-body control frame (startup/ready/error/heartbeat) — header
+    + zero-length body + CRC of the empty body."""
+    header = _HEADER.pack(FRAME_VERSION, flags, stream_id, opcode, 0)
+    return header + struct.pack(">I", zlib.crc32(b"") & 0xFFFFFFFF)
 
 DECODED_SCHEMA = (
     "stream_id int, record_idx int, timestamp timestamp, key string, value string"

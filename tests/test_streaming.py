@@ -127,6 +127,55 @@ def test_topic_to_topic_streaming_processor(spark, sf_dir, catalog, tmp_path):
     assert catalog.read("derived").count() == 400
 
 
+def test_binary_socket_control_protocol(spark, tmp_path):
+    """Reference connection protocol (binary_server.go): startup →
+    ready handshake, heartbeat echo, error frame for foreign opcodes —
+    all on one connection that then produces successfully, with only
+    produce frames reaching the spool."""
+    import os
+    import socket as _socket
+
+    from polar_spark.sources.binary_server import (
+        ACK_OK,
+        _ACK,
+        _read_control,
+        _read_exact,
+        BinaryIngestServer,
+        send_frames,
+    )
+    from polar_spark.sources.frames import (
+        OP_ERROR,
+        OP_HEARTBEAT,
+        OP_READY,
+        OP_STARTUP,
+        encode_control_frame,
+        encode_frame,
+    )
+
+    spool = str(tmp_path / "spool")
+    srv = BinaryIngestServer(spool).start()
+    try:
+        with _socket.create_connection((srv.host, srv.port)) as conn:
+            conn.sendall(encode_control_frame(OP_STARTUP))
+            assert _read_control(conn) == OP_READY
+            conn.sendall(encode_control_frame(OP_HEARTBEAT))
+            assert _read_control(conn) == OP_HEARTBEAT
+            conn.sendall(encode_control_frame(99))  # foreign opcode
+            assert _read_control(conn) == OP_ERROR
+            conn.sendall(encode_frame(3, "k", [(0, "v")]))
+            raw = _read_exact(conn, _ACK.size)
+            assert _ACK.unpack(raw) == (1, 3, ACK_OK)
+        # the handshake variant of the client helper works end-to-end
+        acks = send_frames(
+            srv.host, srv.port, [encode_frame(4, "k", [(0, "w")])], handshake=True
+        )
+        assert acks == [(4, ACK_OK)]
+        # only the two produce frames were spooled
+        assert len([f for f in os.listdir(spool) if f.endswith(".frame")]) == 2
+    finally:
+        srv.stop()
+
+
 def test_binary_socket_ingest_end_to_end(spark, sf_dir, catalog, tmp_path):
     """The reference's binary-protocol round-trip as a live flow
     (internal/test/integration/roundtrip_test.go:506 — socket produce →
