@@ -44,9 +44,14 @@ class PolarEngine:
     def __init__(self, spark: SparkSession, root: str,
                  num_partitions: int = DEFAULT_PARTITIONS,
                  inactivity_timeout: float = 120.0):
+        import threading
+
+        from polar_spark.metrics import Metrics
+
         self.spark = spark
         self.catalog = TopicCatalog(spark, root)
-        self.producer = Producer(self.catalog)
+        self.metrics = Metrics()
+        self.producer = Producer(self.catalog, metrics=self.metrics)
         self.num_partitions = num_partitions
         # reference ConsumerInactivityTimeout: 2 min idle → unregistered
         # (internal/conf/config.go:273-276)
@@ -54,6 +59,10 @@ class PolarEngine:
         self._consumers: dict[str, _ConsumerState] = {}
         # consumer → topic → in-memory served positions (group read queue)
         self._pending: dict[str, dict[str, dict[int, int]]] = {}
+        # guards the in-memory membership/pending dicts only (microsecond
+        # holds); Spark jobs never run under it — request-level mutual
+        # exclusion is the facade's per-topic/per-consumer locks
+        self._state_lock = threading.RLock()
 
     # -- produce ----------------------------------------------------------
     def produce(self, topic: str, df: DataFrame, key_col: str | None = None,
@@ -80,10 +89,11 @@ class PolarEngine:
         re-delivered from the committed offset (the reference's restart
         redelivery, docs/rest_api/consumer_flow/README.md:30-38)."""
         self.evict_inactive()
-        self._pending.pop(consumer_id, None)
-        self._consumers[consumer_id] = _ConsumerState(
-            consumer_id, group, list(topics), on_new_group
-        )
+        with self._state_lock:
+            self._pending.pop(consumer_id, None)
+            self._consumers[consumer_id] = _ConsumerState(
+                consumer_id, group, list(topics), on_new_group
+            )
         for t in topics:
             self.catalog.ensure_topic(t, self.num_partitions)
             ConsumerGroup(self.catalog, group).register(t, on_new_group)
@@ -92,13 +102,17 @@ class PolarEngine:
         """Partitions this consumer may poll, per topic (deterministic
         round-robin over the group's sorted member ids)."""
         st = self._require(consumer_id)
-        members = [c.consumer_id for c in self._consumers.values() if c.group == st.group]
+        with self._state_lock:
+            members = [
+                c.consumer_id for c in self._consumers.values() if c.group == st.group
+            ]
         return {
             t: assign_partitions(members, self.num_partitions).get(consumer_id, [])
             for t in st.topics
         }
 
-    def poll(self, consumer_id: str, max_records: int | None = None) -> dict[str, PollResult]:
+    def poll(self, consumer_id: str, max_records: int | None = None,
+             max_bytes: int | None = None) -> dict[str, PollResult]:
         """POST /v1/consumer/poll — next records from the consumer's
         assigned partitions, in offset order.
 
@@ -117,15 +131,19 @@ class PolarEngine:
         out: dict[str, PollResult] = {}
         assigned = self.assignment(consumer_id)
         for t in st.topics:
-            served = self._pending.setdefault(consumer_id, {}).setdefault(t, {})
+            with self._state_lock:
+                served = self._pending.setdefault(consumer_id, {}).setdefault(t, {})
+                frozen = dict(served)
             res = group.poll(
                 t,
                 max_records=max_records,
                 partitions=assigned[t],
-                from_offsets=served,
+                from_offsets=frozen,
+                max_bytes=max_bytes,
             )
-            for p, off in res.positions.items():
-                served[p] = max(served.get(p, -1), off)
+            with self._state_lock:
+                for p, off in res.positions.items():
+                    served[p] = max(served.get(p, -1), off)
             out[t] = res
         return out
 
@@ -133,16 +151,22 @@ class PolarEngine:
         """Manual commit of every position served since the last commit."""
         st = self._require(consumer_id)
         group = ConsumerGroup(self.catalog, st.group)
-        for t, positions in self._pending.get(consumer_id, {}).items():
+        with self._state_lock:
+            pending = {
+                t: dict(p) for t, p in self._pending.get(consumer_id, {}).items()
+            }
+        for t, positions in pending.items():
             if positions:
                 group.commit(t, positions)
-        self._pending.pop(consumer_id, None)
+        with self._state_lock:
+            self._pending.pop(consumer_id, None)
 
     def goodbye(self, consumer_id: str) -> None:
         """POST /v1/consumer/goodbye — commit and leave; remaining members
         re-acquire the departed consumer's partitions."""
         self.commit(consumer_id)
-        self._consumers.pop(consumer_id, None)
+        with self._state_lock:
+            self._consumers.pop(consumer_id, None)
 
     def evict_inactive(self, timeout_seconds: float | None = None) -> list[str]:
         """Reference: consumers idle > 2 min are unregistered and their
@@ -154,10 +178,13 @@ class PolarEngine:
         """
         timeout = self.inactivity_timeout if timeout_seconds is None else timeout_seconds
         now = time.time()
-        gone = [c for c, st in self._consumers.items() if now - st.last_seen > timeout]
-        for c in gone:
-            self._consumers.pop(c, None)
-            self._pending.pop(c, None)
+        with self._state_lock:
+            gone = [
+                c for c, st in self._consumers.items() if now - st.last_seen > timeout
+            ]
+            for c in gone:
+                self._consumers.pop(c, None)
+                self._pending.pop(c, None)
         return gone
 
     # -- discovery ---------------------------------------------------------
@@ -165,13 +192,18 @@ class PolarEngine:
         """GET /v1/brokers — cluster metadata. Spark has no broker ring;
         we report the session's parallelism as the 'cluster'."""
         sc = self.spark.sparkContext
+        with self._state_lock:
+            groups = sorted({st.group for st in self._consumers.values()})
         return {
             "baseName": "polar_spark",
             "length": sc.defaultParallelism,
             "partitions_per_topic": self.num_partitions,
             "topics": self.catalog.list_topics(),
-            "groups": sorted({st.group for st in self._consumers.values()}),
+            "groups": groups,
         }
+
+    def consumer_group(self, consumer_id: str) -> str:
+        return self._require(consumer_id).group
 
     def _require(self, consumer_id: str) -> _ConsumerState:
         if consumer_id not in self._consumers:

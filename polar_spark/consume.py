@@ -107,13 +107,18 @@ class ConsumerGroup:
         path = self._ledger_path(topic)
         if os.path.exists(path):
             return self.committed(topic)
-        tails = self.catalog.tails(topic)
-        if on_new_group == LATEST:
-            committed = dict(tails)
-        else:
-            committed = dict.fromkeys(tails, -1)
-        self._write(topic, committed)
-        return committed
+        # serialize ledger creation: two consumers registering the same
+        # (group, topic) concurrently must initialize it exactly once
+        with self.catalog._file_lock(path + ".lock", f"group({self.group})", 30.0):
+            if os.path.exists(path):
+                return self.committed(topic)
+            tails = self.catalog.tails(topic)
+            if on_new_group == LATEST:
+                committed = dict(tails)
+            else:
+                committed = dict.fromkeys(tails, -1)
+            self._write(topic, committed)
+            return committed
 
     def committed(self, topic: str) -> dict[int, int]:
         path = self._ledger_path(topic)
@@ -139,15 +144,28 @@ class ConsumerGroup:
         max_records: int | None = None,
         partitions: list[int] | None = None,
         from_offsets: dict[int, int] | None = None,
+        max_bytes: int | None = None,
     ) -> PollResult:
-        """Next unconsumed records in (partition, offset) order.
+        """Next unconsumed records, ordered per topic-partition.
 
-        ``max_records`` is the analog of the reference's ~2 MiB
-        ConsumerReadThreshold poll budget
-        (internal/consuming/group_read_queue.go:115-138). The filter
-        ``offset > committed`` is pushed to the Parquet scan per
-        partition (OR of per-partition conjuncts keeps it
-        pushdown-eligible).
+        (Ordering contract: records are in offset order WITHIN each
+        partition — the reference likewise serves each partition's
+        chunks independently and never orders across partitions,
+        internal/consuming/group_read_queue.go. Collect ``df`` directly
+        and you get hash-partition order; use :meth:`PollResult.
+        json_items` for a per-partition-ordered serving shape.)
+
+        ``max_records`` + ``max_bytes`` are the analog of the
+        reference's ~2 MiB ConsumerReadThreshold poll budget
+        (internal/consuming/group_read_queue.go:115-138;
+        ConsumerReadThreshold, internal/conf/config.go). ``max_bytes``
+        cuts the batch at the record where cumulative value bytes cross
+        the budget (always serving at least one record so a poll loop
+        makes progress); it requires/implies a record cap — when given
+        alone, ``max_records`` defaults to ``max_bytes`` (a record
+        serves ≥1 byte of budget). The filter ``offset > committed`` is
+        pushed to the Parquet scan per partition (OR of per-partition
+        conjuncts keeps it pushdown-eligible).
 
         ``from_offsets`` overrides the read position per partition
         (clamped to ≥ committed): the engine facade passes its in-memory
@@ -191,7 +209,7 @@ class ConsumerGroup:
             .repartition("partition")
             .sortWithinPartitions("partition", "offset")
         )
-        if max_records is None:
+        if max_records is None and max_bytes is None:
             # full drain: every record in (committed, tail] is served, so
             # the tails ledger IS the served position — zero extra jobs
             pos = {
@@ -200,7 +218,28 @@ class ConsumerGroup:
                 if tails.get(p, -1) > off
             }
             return PollResult(out, pos)
-        out = out.limit(max_records).persist()
+        if max_records is None:
+            max_records = max_bytes  # every record consumes ≥1 budget byte
+        out = out.limit(max_records)
+        if max_bytes is not None:
+            # byte budget over the already-record-capped batch: cumulative
+            # value bytes in (partition, offset) order; the single-task
+            # window is bounded by max_records rows, not the backlog
+            from pyspark.sql.window import Window as _W
+
+            w = _W.orderBy("partition", "offset")
+            out = (
+                out.withColumn(
+                    "_cum",
+                    F.sum(F.coalesce(F.octet_length("value"), F.lit(0))).over(
+                        w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+                    ),
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_cum") <= max_bytes) | (F.col("_rn") == 1))
+                .drop("_cum", "_rn")
+            )
+        out = out.persist()
         pos = {
             r["partition"]: r["m"]
             for r in out.groupBy("partition").agg(F.max("offset").alias("m")).collect()
@@ -210,12 +249,18 @@ class ConsumerGroup:
     def commit(self, topic: str, positions: dict[int, int]) -> dict[int, int]:
         """Advance committed offsets (commit-after-deliver = at-least-once:
         a crash between poll and commit re-delivers, matching the
-        reference's manual-commit flow)."""
-        committed = self.committed(topic)
-        for p, off in positions.items():
-            committed[p] = max(committed.get(p, -1), off)
-        self._write(topic, committed)
-        return committed
+        reference's manual-commit flow). The read-modify-write is
+        flock-serialized: two members of one group committing different
+        partitions concurrently must both land (max-merge, no lost
+        update — the reference serializes this in its offset state,
+        internal/consuming/offset_state.go:456-490)."""
+        path = self._ledger_path(topic)
+        with self.catalog._file_lock(path + ".lock", f"group({self.group})", 30.0):
+            committed = self.committed(topic)
+            for p, off in positions.items():
+                committed[p] = max(committed.get(p, -1), off)
+            self._write(topic, committed)
+            return committed
 
     def lag(self, topic: str) -> dict[int, int]:
         """Per-partition unconsumed record count estimate (tail - committed)."""

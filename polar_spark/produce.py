@@ -12,11 +12,14 @@ shuffle and replication into the DFS:
            → append Parquet partitioned by `partition`, zstd
 
 Offset contiguity under concurrency — the reference gets it free from a
-single-writer goroutine per (topic, token); we get it from the tail ledger:
-each produce batch reads the per-partition tails, assigns
-``tail + row_number()``, writes, then advances the tails. One produce
-batch = one "coalescer group"; within a batch arrival order is the input
-row order (captured with a monotonic id BEFORE the shuffle so the
+single-writer goroutine per (topic, token); we get it from the catalog's
+reservation ledger: each produce batch counts rows per partition, reserves
+``[tail+1, tail+count]`` ranges under a short per-topic lock, writes to a
+private staging dir OUTSIDE the lock, validates the staged files' footer
+stats against the plan, then publishes (file moves + tails advance) in
+reservation order. Concurrent producers overlap their write jobs. One
+produce batch = one "coalescer group"; within a batch arrival order is the
+input row order (captured with a monotonic id BEFORE the shuffle so the
 per-partition ordering is stable and reproducible).
 
 Scale note: the only shuffle is the hash-partition by key — exactly the
@@ -27,24 +30,12 @@ ledger read/write is O(P) driver-side metadata, not a data-path operation.
 
 from __future__ import annotations
 
-import contextlib
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polar_spark.hashing import partition_col
-from polar_spark.topics import TOPIC_SCHEMA, TopicCatalog, normalize_events
-
-
-def _parquet_files(root: str) -> set[str]:
-    return {
-        os.path.join(dp, fn)
-        for dp, _dn, fns in os.walk(root)
-        for fn in fns
-        if fn.endswith(".parquet")
-    }
+from polar_spark.topics import TopicCatalog, normalize_events
 
 MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
 # (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
@@ -76,8 +67,11 @@ def keyless_offset_plan(
 
 
 class Producer:
-    def __init__(self, catalog: TopicCatalog):
+    def __init__(self, catalog: TopicCatalog, metrics=None):
         self.catalog = catalog
+        # optional polar_spark.metrics.Metrics sink (counters mirror the
+        # reference's polar_producer_* series, internal/metrics/metrics.go:13-27)
+        self.metrics = metrics
 
     def produce(
         self,
@@ -102,10 +96,14 @@ class Producer:
           output is not) — the same constraint any at-least-once sink has
           on replayed input.
 
-        Offset *uniqueness* under concurrent produce calls is enforced by
-        the catalog's per-topic produce lock around the tail-ledger
-        read-modify-write (one writer per topic, like the reference's
-        per-(topic, token) coalescer goroutine).
+        Offset *uniqueness* under concurrent produce calls comes from
+        the catalog's reservation ledger: per-partition offset ranges
+        are reserved under a short per-topic lock, the parquet write
+        runs OUTSIDE the lock into a private staging dir, and batches
+        publish (move + tails advance) in reservation order — so
+        concurrent producers to one topic overlap their write jobs,
+        like the reference's independent per-(topic, token) coalescer
+        lanes (internal/producing/coalescer.go:164-170).
 
         NULL keys spread round-robin over partitions (keyless produce has
         no ordering guarantee in the reference,
@@ -150,39 +148,97 @@ class Producer:
             ).otherwise(F.pmod(keyless_spread, F.lit(p)).cast("int")),
         )
 
-        with self.catalog.produce_lock(topic):
-            tails = self.catalog.tails(topic)
-            base = F.create_map(
-                *[x for kv in tails.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-            )
-            w = Window.partitionBy("partition").orderBy(*order_cols)
-            out = keyed.withColumn(
-                "offset",
-                (F.element_at(base, F.col("partition")) + F.row_number().over(w)).cast(
-                    "long"
-                ),
-            ).select("topic", "partition", "offset", "timestamp", "key", "value")
-
-            # persist the batch so the tail aggregation below reuses it
-            # instead of re-reading the whole topic — tails advance in
-            # O(batch), not O(topic) (the reference's producer.offset file
-            # is likewise updated from the in-flight chunk,
-            # internal/data/index_file_writer.go)
-            out = out.persist()
-            try:
-                out.write.mode("append").partitionBy("partition").parquet(
-                    self.catalog.data_dir(topic)
+        # persist the batch so the count job, the write, and (on retry)
+        # the offset window all observe the same rows — and so the count
+        # advances tails in O(batch), not O(topic) (the reference's
+        # producer.offset file is likewise updated from the in-flight
+        # chunk, internal/data/index_file_writer.go)
+        keyed = keyed.persist()
+        try:
+            stats = {
+                int(r["partition"]): (int(r["c"]), int(r["b"] or 0))
+                for r in keyed.groupBy("partition")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.coalesce(F.octet_length("value"), F.lit(0))).alias("b"),
                 )
+                .collect()
+            }
+            if not stats:
+                return self.catalog.tails(topic)
+            counts = {q: c for q, (c, _b) in stats.items()}
+
+            def plan(reserved: dict[int, int]):
                 new_tails = {
-                    r["partition"]: r["tail"]
-                    for r in out.groupBy("partition")
-                    .agg(F.max("offset").alias("tail"))
-                    .collect()
+                    q: reserved.get(q, -1) + n for q, n in counts.items()
                 }
-            finally:
-                out.unpersist()
-            self.catalog.advance_tails(topic, new_tails)
+                bases = {q: reserved.get(q, -1) for q in counts}
+                return new_tails, bases
+
+            # reservation RMW under the lock; the write job runs OUTSIDE
+            # it so concurrent producers to one topic overlap their jobs
+            seq, _ends, bases = self.catalog.reserve(topic, plan)
+            staging = self.catalog.staging_dir(topic, seq)
+            try:
+                base = F.create_map(
+                    *[x for kv in bases.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+                )
+                w = Window.partitionBy("partition").orderBy(*order_cols)
+                out = keyed.withColumn(
+                    "offset",
+                    (F.element_at(base, F.col("partition")) + F.row_number().over(w))
+                    .cast("long"),
+                ).select("topic", "partition", "offset", "timestamp", "key", "value")
+                out.write.mode("overwrite").partitionBy("partition").parquet(staging)
+                # footer-only validation: the window's hash exchange puts
+                # each partition in exactly one task → one file covering
+                # [base+1, base+count]; a recomputed input that changed
+                # row placement between the count job and the write is
+                # caught here, before anything becomes visible
+                expect = {
+                    q: [(n, bases[q] + 1, bases[q] + n)] for q, n in counts.items()
+                }
+                self._validate_staging(topic, staging, expect)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                self.catalog.publish(topic, seq, staging=None)  # abort → gap
+                raise
+            self.catalog.publish(topic, seq, staging=staging)
+            if self.metrics is not None:
+                self.metrics.on_produce(
+                    topic,
+                    sum(counts.values()),
+                    sum(b for _c, b in stats.values()),
+                )
             return self.catalog.tails(topic)
+        finally:
+            keyed.unpersist()
+
+    def _validate_staging(
+        self,
+        topic: str,
+        staging: str,
+        expect: dict[int, list[tuple[int, int, int]]],
+    ) -> None:
+        """Compare the staged files' footer stats against the planned
+        per-task offset ranges. Per-FILE ranges (not per-partition
+        aggregates) close the validation hole where a recomputed
+        nondeterministic input redistributes rows across tasks mapped to
+        the same partition while preserving (count, max): every file must
+        cover exactly one planned contiguous range."""
+        got = self.catalog.staged_file_ranges(staging)
+        norm_got = {q: sorted(v) for q, v in got.items()}
+        norm_exp = {q: sorted(v) for q, v in expect.items()}
+        if norm_got != norm_exp:
+            raise RuntimeError(
+                f"produce to {topic!r}: staged files do not match the "
+                "reserved offset plan (input row placement changed between "
+                "the offset-planning pass and the write — nondeterministic "
+                "input recomputed, e.g. cache loss under limit/sample) — "
+                "batch rolled back; retry, or materialize the input first"
+            )
 
     def _produce_keyless(self, ev: DataFrame, topic: str, p: int) -> dict[int, int]:
         """Shuffle-free keyless produce: task-granular round-robin
@@ -238,17 +294,28 @@ class Producer:
         if pin:
             tagged = tagged.persist()
         try:
-            with self.catalog.produce_lock(topic):
-                tails = self.catalog.tails(topic)
-                counts = {
-                    int(r["_tid"]): int(r["c"])
-                    for r in tagged.groupBy("_tid")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .collect()
-                }
-                if not counts:
-                    return self.catalog.tails(topic)
-                rot, bases, run = keyless_offset_plan(counts, tails, p)
+            agg = {
+                int(r["_tid"]): (int(r["c"]), int(r["b"] or 0))
+                for r in tagged.groupBy("_tid")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.coalesce(F.octet_length("value"), F.lit(0))).alias("b"),
+                )
+                .collect()
+            }
+            if not agg:
+                return self.catalog.tails(topic)
+            counts = {t: c for t, (c, _b) in agg.items()}
+
+            def plan(reserved: dict[int, int]):
+                rot, bases, run = keyless_offset_plan(counts, reserved, p)
+                return run, (rot, bases)
+
+            # short critical section: arithmetic reservation only; the
+            # write job below overlaps other producers' writes
+            seq, _ends, (rot, bases) = self.catalog.reserve(topic, plan)
+            staging = self.catalog.staging_dir(topic, seq)
+            try:
                 base_map = F.create_map(
                     *[x for t, b in bases.items() for x in (F.lit(t), F.lit(b))]
                 )
@@ -264,46 +331,35 @@ class Producer:
                     "key",
                     "value",
                 )
-                ddir = self.catalog.data_dir(topic)
-                before_files = _parquet_files(ddir) if pin else set()
-                out.write.mode("append").partitionBy("partition").parquet(ddir)
-                if pin:
-                    # persist is best-effort (a lost cache block recomputes
-                    # the nondeterministic input mid-produce): validate the
-                    # NEW files against the plan and roll them back on any
-                    # mismatch rather than leaving corrupt offsets behind
-                    new_files = sorted(_parquet_files(ddir) - before_files)
-                    written = {
-                        r["partition"]: (r["c"], r["m"])
-                        for r in self.catalog.spark.read.schema(TOPIC_SCHEMA)
-                        # basePath: the partition column is directory-derived;
-                        # without it, reading leaf files yields partition=NULL
-                        .option("basePath", ddir)
-                        .parquet(*new_files)
-                        .groupBy("partition")
-                        .agg(F.count(F.lit(1)).alias("c"), F.max("offset").alias("m"))
-                        .collect()
-                    }
-                    expect = {
-                        q: (t - tails.get(q, -1), t)
-                        for q, t in run.items()
-                        if t > tails.get(q, -1)
-                    }
-                    if written != expect:
-                        for f in new_files:
-                            with contextlib.suppress(FileNotFoundError):
-                                os.unlink(f)
-                        raise RuntimeError(
-                            f"keyless produce to {topic!r}: input row placement "
-                            "changed between the offset-planning pass and the "
-                            "write (nondeterministic input recomputed, e.g. "
-                            "cache loss under limit/sample) — batch rolled "
-                            "back; retry, or materialize the input first"
-                        )
-                self.catalog.advance_tails(
-                    topic, {q: t for q, t in run.items() if t > tails.get(q, -1)}
+                out.write.mode("overwrite").partitionBy("partition").parquet(staging)
+                # per-FILE footer validation (staging is private, so this
+                # is race-free even with concurrent producers): task t's
+                # file must cover exactly [bases[t]+1, bases[t]+counts[t]]
+                # in partition (t+rot)%p. Per-file ranges also close the
+                # hole where a recomputed input redistributes rows across
+                # tasks of the same partition while preserving (count,
+                # max) — duplicate+missing offsets can't fake disjoint
+                # exact ranges (ADVICE r3). Validated on EVERY keyless
+                # produce — footer metadata only, no data pages.
+                expect: dict[int, list[tuple[int, int, int]]] = {}
+                for t, n in counts.items():
+                    q = (t + rot) % p
+                    expect.setdefault(q, []).append(
+                        (n, bases[t] + 1, bases[t] + n)
+                    )
+                self._validate_staging(topic, staging, expect)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                self.catalog.publish(topic, seq, staging=None)  # abort → gap
+                raise
+            self.catalog.publish(topic, seq, staging=staging)
+            if self.metrics is not None:
+                self.metrics.on_produce(
+                    topic, sum(counts.values()), sum(b for _c, b in agg.values())
                 )
-                return self.catalog.tails(topic)
+            return self.catalog.tails(topic)
         finally:
             if pin:
                 tagged.unpersist()

@@ -54,9 +54,27 @@ class PolarRestServer:
     per broker; a single Spark driver has no per-broker routing to do.
     """
 
-    def __init__(self, engine: PolarEngine, host: str = "127.0.0.1", port: int = 0):
+    # reference ConsumerReadThreshold: each poll response is bounded to
+    # ~2 MiB of record bodies (internal/consuming/group_read_queue.go:
+    # 115-138; internal/conf/config.go) — a consumer registered
+    # startFromEarliest against a deep topic drains it across many
+    # bounded polls instead of collecting the whole backlog into the
+    # facade process
+    DEFAULT_MAX_POLL_BYTES = 2 * 1024 * 1024
+    DEFAULT_MAX_POLL_RECORDS = 8192
+
+    def __init__(self, engine: PolarEngine, host: str = "127.0.0.1", port: int = 0,
+                 max_poll_records: int = DEFAULT_MAX_POLL_RECORDS,
+                 max_poll_bytes: int = DEFAULT_MAX_POLL_BYTES):
         self.engine = engine
-        self._lock = threading.Lock()
+        self.max_poll_records = max_poll_records
+        self.max_poll_bytes = max_poll_bytes
+        # per-topic and per-consumer locks (reference serves concurrent
+        # producer/consumer connections, internal/consuming/server.go:
+        # 115-178 — only same-key requests serialize); the registry dict
+        # itself is guarded by a short mutex
+        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._locks_guard = threading.Lock()
         facade = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -91,9 +109,17 @@ class PolarRestServer:
                 path = urlparse(self.path).path
                 if path == "/status":
                     self._send(200, "OK")
+                elif path == "/metrics":
+                    # reference serves Prometheus metrics on its metrics
+                    # port (main.go:85; internal/metrics/metrics.go:13-71)
+                    m = facade.engine.metrics
+                    m.set(
+                        "polar_consumer_active",
+                        v=float(len(facade.engine._consumers)),
+                    )
+                    self._send(200, m.render())
                 elif path == "/v1/brokers":
-                    with facade._lock:
-                        d = facade.engine.discovery()
+                    d = facade.engine.discovery()
                     self._send(
                         200,
                         {
@@ -119,7 +145,7 @@ class PolarRestServer:
                         return self._send(400, {"error": "consumerId and topic required"})
                     group = q.get("group", ["default"])[0]
                     on_new = q.get("onNewGroup", [LATEST])[0]
-                    with facade._lock:
+                    with facade._key_lock("consumer", cid):
                         facade.engine.register(cid, group, topics, on_new_group=on_new)
                     self._send(200, "OK")
                 else:
@@ -135,11 +161,11 @@ class PolarRestServer:
                     if path == "/v1/consumer/poll":
                         return self._poll(cid)
                     if path == "/v1/consumer/commit":
-                        with facade._lock:
+                        with facade._key_lock("consumer", cid):
                             facade.engine.commit(cid)
                         return self._send(204)
                     if path == "/v1/consumer/goodbye":
-                        with facade._lock:
+                        with facade._key_lock("consumer", cid):
                             facade.engine.goodbye(cid)
                         return self._send(200, "OK")
                 except ValueError:
@@ -167,7 +193,12 @@ class PolarRestServer:
                     return self._send(400, {"error": "message too large"})
                 lines = [m.decode("utf-8", errors="replace") for m in raw_msgs]
                 spark = facade.engine.spark
-                with facade._lock:
+                # per-topic lock: concurrent produce to DIFFERENT topics
+                # (and any poll) proceed in parallel; the engine's
+                # reservation ledger already makes same-topic produce
+                # safe, but serializing per topic keeps facade batches
+                # small and bounded
+                with facade._key_lock("topic", topic):
                     df = spark.createDataFrame(
                         [(key, ln) for ln in lines], "key string, value string"
                     )
@@ -175,12 +206,22 @@ class PolarRestServer:
                 self._send(200, "OK")
 
             def _poll(self, cid: str | None):
+                import time as _time
+
                 binary = "octet-stream" in (self.headers.get("Accept") or "")
-                with facade._lock:
+                t0 = _time.monotonic()
+                served_counts: dict[str, tuple[int, int]] = {}
+                with facade._key_lock("consumer", cid):
                     # reference flow: requesting new data commits the
                     # previously served position (auto-commit)
                     facade.engine.commit(cid)
-                    results = facade.engine.poll(cid)
+                    # bounded batch per poll (ConsumerReadThreshold): the
+                    # client loops; never the whole backlog in one response
+                    results = facade.engine.poll(
+                        cid,
+                        max_records=facade.max_poll_records,
+                        max_bytes=facade.max_poll_bytes,
+                    )
                     items = []
                     bin_items = []
                     for topic, res in results.items():
@@ -188,6 +229,11 @@ class PolarRestServer:
                         res.release()
                         for row in rows:
                             recs = json.loads(row["values"])
+                            n, b = served_counts.get(topic, (0, 0))
+                            served_counts[topic] = (
+                                n + len(recs),
+                                b + sum(len(v["value"] or "") for v in recs),
+                            )
                             if binary:
                                 from datetime import datetime, timezone
 
@@ -224,6 +270,10 @@ class PolarRestServer:
                                         "values": [_maybe_json(v["value"]) for v in recs],
                                     }
                                 )
+                m = facade.engine.metrics
+                for t_name, (n, b) in served_counts.items():
+                    m.on_poll(facade.engine.consumer_group(cid), t_name, n, b)
+                m.observe("polar_consumer_poll_seconds", _time.monotonic() - t0)
                 if binary:
                     if not bin_items:
                         return self._send(204)
@@ -244,6 +294,17 @@ class PolarRestServer:
         self.host = host
         self.port = self._server.server_address[1]
         self._thread: threading.Thread | None = None
+
+    def _key_lock(self, kind: str, name: str | None) -> threading.Lock:
+        """Lock scoped to one topic or one consumer — requests touching
+        different keys run concurrently (reference: concurrent HTTP/2
+        consumer connections, internal/consuming/server.go:115-178)."""
+        key = (kind, name or "")
+        with self._locks_guard:
+            lk = self._locks.get(key)
+            if lk is None:
+                lk = self._locks[key] = threading.Lock()
+            return lk
 
     @property
     def url(self) -> str:

@@ -1,0 +1,102 @@
+"""Background retention: the reference's datalog cleaner loop.
+
+The reference deletes expired segments every 5 minutes on a background
+goroutine (internal/data/datalog_cleaner.go:16-41, default period 5 min,
+retention from config). :class:`RetentionScheduler` is the driver-side
+analog: a daemon thread that periodically invokes
+:meth:`polar_spark.topics.TopicCatalog.vacuum` on every topic (and
+optionally :meth:`~polar_spark.topics.TopicCatalog.compact` when a topic
+has accumulated enough small files), so retention needs no caller
+involvement.
+
+Scale shape: vacuum is footer-stats + unlink — O(files) metadata work,
+no Spark job; compact is one Spark job per compacted topic, serialized
+against produce by the topic's publish lock. On a real cluster this
+thread runs wherever the catalog's coordination view lives (the driver),
+exactly like the reference's cleaner runs on each broker.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from polar_spark.topics import TopicCatalog
+
+
+class RetentionScheduler:
+    """Periodic vacuum (and optional compaction) over a catalog's topics.
+
+    ``period_seconds`` mirrors the reference's 5-minute cleaner interval;
+    ``compact_min_files`` (None = never compact) triggers a compaction
+    when a topic's parquet file count reaches the threshold — the
+    operational analog of segment rolling keeping scans healthy under
+    many small micro-batch appends.
+    """
+
+    def __init__(
+        self,
+        catalog: TopicCatalog,
+        period_seconds: float = 300.0,
+        retention_hours: float | None = None,
+        compact_min_files: int | None = None,
+    ) -> None:
+        self.catalog = catalog
+        self.period_seconds = period_seconds
+        self.retention_hours = retention_hours
+        self.compact_min_files = compact_min_files
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.cycles = 0  # completed sweeps (observability/tests)
+        self.removed_files = 0
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "RetentionScheduler":
+        if self._thread is not None:
+            return self
+        self._thread = threading.Thread(
+            target=self._run, name="polar-retention", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+
+    def __enter__(self) -> "RetentionScheduler":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- sweep -------------------------------------------------------------
+    def sweep_once(self) -> int:
+        """One pass over all topics; returns files removed. Never raises:
+        a topic whose vacuum/compact fails (e.g. concurrently deleted)
+        is skipped this cycle, like the reference's per-segment error
+        handling keeps its cleaner loop alive."""
+        removed = 0
+        for topic in self.catalog.list_topics():
+            try:
+                removed += self.catalog.vacuum(topic, self.retention_hours)
+                if self.compact_min_files is not None:
+                    n_files = sum(
+                        1
+                        for _dp, _dn, fns in os.walk(self.catalog.data_dir(topic))
+                        for fn in fns
+                        if fn.endswith(".parquet")
+                    )
+                    if n_files >= self.compact_min_files:
+                        self.catalog.compact(topic)
+            except Exception:  # noqa: BLE001 — keep the loop alive
+                continue
+        self.removed_files += removed
+        self.cycles += 1
+        return removed
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.period_seconds):
+            self.sweep_once()

@@ -50,6 +50,16 @@ DEFAULT_PARTITIONS = 12  # reference default: 3 brokers × 4 consumer ranges
 # (internal/conf/config.go:248-250 — ConsumerRanges default 4)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 @dataclass
 class TopicMeta:
     name: str
@@ -82,18 +92,31 @@ class TopicCatalog:
 
     # -- lifecycle ---------------------------------------------------------
     def ensure_topic(self, name: str, num_partitions: int = DEFAULT_PARTITIONS) -> TopicMeta:
-        """Implicit creation on first use (reference Exists() == always true)."""
+        """Implicit creation on first use (reference Exists() == always true).
+
+        Creation is serialized by a flock with a double-check so two
+        concurrent first-producers can't both initialize the topic (the
+        loser would reset the winner's tails ledger); meta.json is
+        written via tmp+rename so concurrent readers never observe a
+        partial file."""
         mp = self._meta_path(name)
         if os.path.exists(mp):
             with open(mp) as f:
                 d = json.load(f)
             return TopicMeta(**d)
-        os.makedirs(self.data_dir(name), exist_ok=True)
-        meta = TopicMeta(name=name, num_partitions=num_partitions)
-        with open(mp, "w") as f:
-            json.dump(meta.__dict__, f)
-        self._write_tails(name, dict.fromkeys(range(num_partitions), -1))
-        return meta
+        os.makedirs(self.topic_dir(name), exist_ok=True)
+        with self._file_lock(mp + ".lock", f"create({name})", timeout=30.0):
+            if os.path.exists(mp):  # lost the creation race: reuse
+                with open(mp) as f:
+                    return TopicMeta(**json.load(f))
+            os.makedirs(self.data_dir(name), exist_ok=True)
+            meta = TopicMeta(name=name, num_partitions=num_partitions)
+            self._write_tails(name, dict.fromkeys(range(num_partitions), -1))
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta.__dict__, f)
+            os.replace(tmp, mp)  # meta LAST: its existence implies init done
+            return meta
 
     def list_topics(self) -> list[str]:
         base = os.path.join(self.root, "topics")
@@ -165,17 +188,177 @@ class TopicCatalog:
             os.close(fd)
 
     def produce_lock(self, name: str, timeout: float = 30.0):
-        """Exclusive produce lock for one topic.
+        """Exclusive produce-coordination lock for one topic.
 
-        The tail ledger is read-modify-write: two concurrent produces to
-        the same topic would read the same tails and assign overlapping
-        offsets. The reference gets single-writer semantics from one
-        goroutine per (topic, token) (internal/producing/coalescer.go);
-        this flock is the multi-process analog — held for the duration
-        of the produce job, auto-released by the kernel if the holder
-        crashes."""
+        The tail/reservation ledgers are read-modify-write: two
+        concurrent produces to the same topic would read the same tails
+        and assign overlapping offsets. The reference gets single-writer
+        semantics from one goroutine per (topic, token)
+        (internal/producing/coalescer.go); this flock is the
+        multi-process analog. Held only for ledger RMWs and the
+        staged-file publish — NOT across the write job itself, so
+        concurrent producers to one topic overlap their Spark writes
+        (the reference's independent coalescer lanes)."""
         path = os.path.join(self.topic_dir(name), ".produce.lock")
         return self._file_lock(path, f"produce({name})", timeout)
+
+    # -- offset reservations (concurrent produce) --------------------------
+    # Offset ranges are RESERVED under the produce lock (arithmetic over
+    # per-partition counts), the parquet write runs OUTSIDE the lock into
+    # a private staging dir, and the batch is PUBLISHED (files moved into
+    # the data dir + public tails advanced) in reservation order — the
+    # Spark analog of the reference's per-(topic, token) coalescer lanes,
+    # which assign offsets serially but write/replicate concurrently
+    # (internal/producing/coalescer.go:164-170). Readers only ever see
+    # fully published batches; an aborted reservation becomes an offset
+    # gap (like an aborted produce in any offset-reserving log), never a
+    # duplicate or an out-of-order publish.
+
+    def _reservations_path(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "reservations.json")
+
+    def _load_reservations(self, name: str) -> dict:
+        try:
+            with open(self._reservations_path(name)) as f:
+                st = json.load(f)
+        except FileNotFoundError:
+            st = {"next_seq": 0, "published_seq": -1, "reserved_tails": None,
+                  "pending": {}}
+        if st["reserved_tails"] is None:
+            st["reserved_tails"] = {str(k): v for k, v in self.tails(name).items()}
+        return st
+
+    def _save_reservations(self, name: str, st: dict) -> None:
+        tmp = self._reservations_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._reservations_path(name))
+
+    def reserve(self, name: str, plan_fn):
+        """Atomically reserve an offset range for one produce batch.
+
+        ``plan_fn(reserved_tails: dict[int, int]) -> (new_tails, payload)``
+        runs under the produce lock against the RESERVED tails (public
+        tails plus every in-flight reservation) and must return the
+        per-partition tails after this batch. Returns ``(seq, ends,
+        payload)`` where ``ends`` is the per-partition end offset of this
+        reservation (what publish() will advance the public tails to)."""
+        with self.produce_lock(name):
+            st = self._load_reservations(name)
+            cur = {int(k): v for k, v in st["reserved_tails"].items()}
+            new_tails, payload = plan_fn(cur)
+            ends = {p: t for p, t in new_tails.items() if t > cur.get(p, -1)}
+            seq = st["next_seq"]
+            st["next_seq"] = seq + 1
+            merged = dict(cur)
+            merged.update(new_tails)
+            st["reserved_tails"] = {str(k): v for k, v in merged.items()}
+            st["pending"][str(seq)] = {
+                "ends": {str(k): v for k, v in ends.items()},
+                "pid": os.getpid(),
+            }
+            self._save_reservations(name, st)
+            return seq, ends, payload
+
+    def publish(self, name: str, seq: int, staging: str | None,
+                timeout: float = 300.0) -> None:
+        """Publish reservation ``seq``: move its staged files into the
+        data dir and advance the public tails — strictly in reservation
+        order, so a reader never observes tail T with an earlier batch's
+        offsets < T still unwritten. ``staging=None`` aborts the
+        reservation (its range becomes a gap). A reservation whose owner
+        process died before publishing is detected (pid liveness) and
+        aborted by whoever is waiting behind it — the flock-style
+        "crashed holder releases automatically" property, extended to
+        the reservation queue."""
+        deadline = time.time() + timeout
+        while True:
+            with self.produce_lock(name):
+                st = self._load_reservations(name)
+                turn = st["published_seq"] + 1
+                if turn == seq:
+                    ent = st["pending"].pop(str(seq), None)
+                    if staging is not None:
+                        self._ingest_staged(name, staging)
+                        if ent:
+                            self.advance_tails(
+                                name, {int(k): v for k, v in ent["ends"].items()}
+                            )
+                    st["published_seq"] = seq
+                    self._save_reservations(name, st)
+                    return
+                blocker = st["pending"].get(str(turn))
+                if blocker is not None and not _pid_alive(blocker["pid"]):
+                    # owner died between reserve and publish: abort its
+                    # reservation (offset gap) so the queue drains
+                    st["pending"].pop(str(turn), None)
+                    st["published_seq"] = turn
+                    self._save_reservations(name, st)
+                    continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"publish({name}, seq={seq}): reservation {seq - 1} "
+                    "never published (live producer stalled?)"
+                )
+            time.sleep(0.02)
+
+    def staging_dir(self, name: str, seq: int) -> str:
+        return os.path.join(self.topic_dir(name), f".staging-{seq}")
+
+    def _ingest_staged(self, name: str, staging: str) -> None:
+        """Move a staged write's partition=*/part files into the data
+        dir (same-filesystem renames, O(files) metadata ops) and drop
+        the staging dir. Part-file names carry the write job's UUID, so
+        moves from concurrent batches never collide."""
+        import shutil
+
+        ddir = self.data_dir(name)
+        if not os.path.isdir(staging):
+            return
+        for entry in os.scandir(staging):
+            if not (entry.is_dir() and entry.name.startswith("partition=")):
+                continue
+            dst_dir = os.path.join(ddir, entry.name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(entry.path):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(entry.path, fn), os.path.join(dst_dir, fn)
+                    )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    @staticmethod
+    def staged_file_ranges(staging: str) -> dict[int, list[tuple[int, int, int]]]:
+        """Per-partition multiset of (rows, min_offset, max_offset) for
+        every staged parquet file, from footer metadata only (no data
+        pages). Used to validate a staged write against its reservation
+        before publishing — each write task's file must cover exactly its
+        planned contiguous range (per-file, not per-partition, so a
+        recomputed nondeterministic input that redistributes rows across
+        tasks while preserving partition totals is still caught)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, list[tuple[int, int, int]]] = {}
+        for dirpath, _dn, fns in os.walk(staging):
+            base = os.path.basename(dirpath)
+            if not base.startswith("partition="):
+                continue
+            part = int(base.split("=", 1)[1])
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("offset")
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = stats.min if lo is None else min(lo, stats.min)
+                    hi = stats.max if hi is None else max(hi, stats.max)
+                out.setdefault(part, []).append((md.num_rows, lo, hi))
+        return out
 
     # -- sink epoch ledger (idempotent foreachBatch) -----------------------
     def _epochs_path(self, name: str) -> str:

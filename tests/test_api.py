@@ -148,3 +148,62 @@ def test_vacuum_uses_record_time_not_mtime(spark, sf_dir, tmp_path):
     removed = cat.vacuum("t", retention_hours=24.0)
     assert removed > 0
     assert cat.read("t").count() == 0
+
+
+def test_retention_scheduler_deletes_without_explicit_calls(spark, sf_dir, tmp_path):
+    """Background retention (reference datalog cleaner 5-min loop,
+    internal/data/datalog_cleaner.go:16-41): expired files disappear
+    while the scheduler runs, with no caller-invoked vacuum."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from polar_spark.produce import Producer
+    from polar_spark.retention import RetentionScheduler
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    old = ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 DAYS"))
+    prod.produce(old, "rt", key_col="user_id", value_col="props", ts_col="ts")
+    fresh = ev.limit(50).withColumn("ts", F.current_timestamp())
+    prod.produce(fresh, "rt", key_col="user_id", value_col="props", ts_col="ts")
+    assert cat.read("rt").count() == 250
+
+    with RetentionScheduler(cat, period_seconds=0.2, retention_hours=24.0) as sched:
+        deadline = _time.time() + 30
+        while sched.removed_files == 0 and _time.time() < deadline:
+            _time.sleep(0.05)
+    assert sched.removed_files > 0 and sched.cycles >= 1
+    # expired records gone, fresh records retained
+    assert cat.read("rt").count() == 50
+
+
+def test_retention_scheduler_compacts_fragmented_topics(spark, sf_dir, tmp_path):
+    import os as _os
+
+    from polar_spark.produce import Producer
+    from polar_spark.retention import RetentionScheduler
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    ev = load_table(spark, sf_dir, "events").limit(150)
+    for i in range(3):  # three appends → ≥3 files per touched partition
+        # current timestamps so nothing falls past the topic's retention
+        prod.produce(ev, "rc", key_col="user_id", value_col="props")
+
+    def n_files() -> int:
+        return sum(
+            1
+            for _dp, _dn, fns in _os.walk(cat.data_dir("rc"))
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+
+    before = n_files()
+    sched = RetentionScheduler(cat, period_seconds=3600.0, compact_min_files=2)
+    removed = sched.sweep_once()
+    assert removed == 0  # nothing expired
+    assert n_files() < before  # but the fragmented topic was compacted
+    assert cat.read("rc").count() == 450

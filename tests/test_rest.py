@@ -127,6 +127,139 @@ def test_http_ndjson_and_errors(server):
     )[0] == 400
 
 
+def test_poll_response_bounded_over_deep_backlog(spark, tmp_path):
+    """A consumer registered startFromEarliest against a deep topic must
+    drain it across MANY bounded responses (reference
+    ConsumerReadThreshold ~2 MiB, internal/consuming/group_read_queue.go:
+    115-138) — never the whole backlog in one facade collect."""
+    from pyspark.sql import functions as F
+
+    eng = PolarEngine(spark, str(tmp_path))
+    # ~40k records × ~60 B ≈ 2.4 MB backlog, budget 256 KiB → ≥9 polls
+    src = (
+        spark.range(40_000)
+        .select(
+            F.col("id").cast("string").alias("key"),
+            F.concat(F.lit('{"pad": "' + "x" * 40 + '", "i": '),
+                     F.col("id"), F.lit("}")).alias("value"),
+        )
+    )
+    eng.produce("deep", src, key_col="key", value_col="value")
+    srv = PolarRestServer(eng, max_poll_bytes=256 * 1024).start()
+    try:
+        u = srv.url
+        _req("PUT", f"{u}/v1/consumer/register?consumerId=d1&group=gd&topic=deep"
+                    "&onNewGroup=startFromEarliest")
+        total, polls = 0, 0
+        while True:
+            code, body = _req("POST", f"{u}/v1/consumer/poll?consumerId=d1")
+            if code == 204:
+                break
+            assert code == 200
+            polls += 1
+            items = json.loads(body)
+            batch_vals = [v for it in items for v in it["values"]]
+            batch_bytes = sum(len(json.dumps(v)) for v in batch_vals)
+            # bounded response: budget + one record of slack
+            assert batch_bytes <= 256 * 1024 + 1024, batch_bytes
+            total += len(batch_vals)
+            assert polls < 1000, "poll loop not making progress"
+        assert polls >= 5  # genuinely chunked, not one mega-response
+        assert total == 40_000  # every record served exactly once (clean run)
+    finally:
+        srv.stop()
+
+
+def test_metrics_counters_advance(server):
+    """GET /metrics serves Prometheus text (reference main.go:85,
+    internal/metrics/metrics.go:13-71) and the produce/consume counters
+    advance across a produce → poll round-trip."""
+    u = server.url
+
+    def scrape() -> dict[str, float]:
+        code, body = _req("GET", f"{u}/metrics")
+        assert code == 200
+        out = {}
+        for ln in body.decode().splitlines():
+            if ln.startswith("#") or not ln.strip():
+                continue
+            name, val = ln.rsplit(" ", 1)
+            out[name] = float(val)
+        return out
+
+    before = scrape()
+    for i in range(5):
+        assert _req(
+            "POST", f"{u}/v1/topic/mt/messages?partitionKey=k",
+            json.dumps({"i": i}).encode(),
+        )[0] == 200
+    _req("PUT", f"{u}/v1/consumer/register?consumerId=m1&group=gm&topic=mt"
+                "&onNewGroup=startFromEarliest")
+    assert _req("POST", f"{u}/v1/consumer/poll?consumerId=m1")[0] == 200
+    after = scrape()
+
+    prod_key = 'polar_coalescer_messages_total{topic="mt"}'
+    cons_key = 'polar_consumer_messages_served_total{group="gm",topic="mt"}'
+    assert after[prod_key] - before.get(prod_key, 0.0) == 5.0
+    assert after[cons_key] - before.get(cons_key, 0.0) == 5.0
+    assert after['polar_producer_requests_body_bytes_total{topic="mt"}'] > 0
+    assert after["polar_consumer_poll_seconds_count"] >= 1.0
+    assert after["polar_consumer_active"] >= 1.0
+
+
+def test_parallel_produce_and_poll_distinct_keys(server):
+    """Per-topic/per-consumer facade locks: produce to two topics and a
+    poll loop on a third proceed concurrently from multiple client
+    threads without deadlock or data loss (the old global facade lock
+    serialized every request; reference serves concurrent connections,
+    internal/consuming/server.go:115-178)."""
+    import threading
+
+    u = server.url
+    errors: list[Exception] = []
+
+    def producer(topic: str, n: int):
+        try:
+            for i in range(n):
+                code, _ = _req(
+                    "POST", f"{u}/v1/topic/{topic}/messages?partitionKey=p{i % 3}",
+                    json.dumps({"t": topic, "i": i}).encode(),
+                )
+                assert code == 200
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    _req("PUT", f"{u}/v1/consumer/register?consumerId=pp1&group=gp&topic=ta"
+                "&onNewGroup=startFromEarliest")
+    got: list[dict] = []
+
+    def consumer():
+        try:
+            for _ in range(40):
+                code, body = _req("POST", f"{u}/v1/consumer/poll?consumerId=pp1")
+                if code == 200:
+                    got.extend(
+                        v for it in json.loads(body) for v in it["values"]
+                    )
+                if len(got) >= 6:
+                    return
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=producer, args=("ta", 6)),
+        threading.Thread(target=producer, args=("tb", 6)),
+        threading.Thread(target=consumer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert not any(t.is_alive() for t in threads), "facade deadlocked"
+    assert sorted(v["i"] for v in got if v["t"] == "ta") == list(range(6))
+
+
 def test_http_binary_poll(server):
     """Binary consumer response (NETWORK_FORMATS.md:5-32 shape): poll
     with Accept: application/octet-stream returns compressed record

@@ -390,6 +390,104 @@ def test_produce_lock_crashed_holder_auto_releases(spark, tmp_path):
         pass  # re-acquirable immediately
 
 
+def test_concurrent_produce_overlapping_writes(spark, sf_dir, tmp_path):
+    """The produce lock covers only the offset reservation, not the
+    write job: while one reservation is unpublished, a second producer
+    must be able to reserve AND finish its entire write (staging files
+    on disk), blocking only in the ordered publish step. The old design
+    (lock across the write) serialized producers end-to-end."""
+    import json as _json
+    import os
+    import threading
+    import time as _time
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("cw")
+    # producer A: reserve 10 offsets in partition 0, never write
+    seq_a, ends_a, _ = cat.reserve("cw", lambda cur: ({0: cur.get(0, -1) + 10}, None))
+    assert seq_a == 0 and ends_a == {0: 9}
+
+    done = []
+
+    def produce_b():
+        prod.produce(
+            _events(spark, sf_dir).limit(300), "cw",
+            key_col="user_id", value_col="props", ts_col="ts",
+        )
+        done.append(True)
+
+    t = threading.Thread(target=produce_b)
+    t.start()
+    # B's write must COMPLETE (staging on disk) while A is unpublished
+    staging_b = cat.staging_dir("cw", 1)
+    deadline = _time.time() + 60
+    while not os.path.exists(os.path.join(staging_b, "_SUCCESS")):
+        assert _time.time() < deadline, "producer B never wrote its staging"
+        _time.sleep(0.02)
+    # B is write-complete but unpublished: tails must not have advanced
+    assert not done
+    assert all(v == -1 for v in cat.tails("cw").values())
+    with open(cat._reservations_path("cw")) as f:
+        st = _json.load(f)
+    assert st["next_seq"] == 2 and st["published_seq"] == -1
+    # A aborts → its range becomes a gap; B publishes and lands
+    cat.publish("cw", seq_a, staging=None)
+    t.join(timeout=60)
+    assert done
+    rows = cat.read("cw").select("partition", "offset").collect()
+    assert len(rows) == 300
+    by_p: dict[int, list[int]] = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    for p, offs in by_p.items():
+        offs.sort()
+        start = 10 if p == 0 else 0  # A's aborted range is a gap at p0
+        assert offs == list(range(start, start + len(offs)))
+    assert cat.tails("cw")[0] == by_p[0][-1] if 0 in by_p else True
+
+
+def test_concurrent_produce_offsets_unique_and_contiguous(spark, sf_dir, tmp_path):
+    """Four producers to one topic in parallel: offsets must stay unique
+    and contiguous per partition (reservation ledger), with all rows
+    delivered exactly once."""
+    import threading
+
+    cat, prod = _engine(spark, tmp_path)
+    ev = _events(spark, sf_dir).limit(800)
+    errors = []
+
+    def run(i):
+        try:
+            prod.produce(
+                ev.filter(F.col("event_id") % 4 == i), "cc",
+                key_col="user_id", value_col="event_id", ts_col="ts",
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    t_df = cat.read("cc")
+    assert t_df.count() == 800
+    assert (
+        t_df.groupBy("partition", "offset").count().filter("count > 1").count() == 0
+    )
+    per = {
+        r["partition"]: (r["mn"], r["mx"], r["c"])
+        for r in t_df.groupBy("partition")
+        .agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"),
+             F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert all(mn == 0 and mx - mn + 1 == c for mn, mx, c in per.values())
+    tails = cat.tails("cc")
+    assert all(tails[p] == mx for p, (_mn, mx, _c) in per.items())
+
+
 def test_record_epoch_concurrent_sinks_no_lost_update(spark, tmp_path):
     """Two sinks recording epochs concurrently must both land in the
     ledger (the unserialized read-modify-write lost one)."""
