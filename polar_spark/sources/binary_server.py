@@ -25,8 +25,12 @@ binaryFile source batches files per trigger, and decoding is
 Arrow-batched on executors — the accept loop only ever moves bytes.
 
 Ack wire format (ours): ``version u8 | stream_id u16 | status u8`` per
-received frame; status 0 = spooled. Like the frame codec this is
-format-shaped after the reference, NOT byte-compatible.
+received frame; status 0 = spooled, 1 = bad header, 2 = body too large,
+3 = unsupported opcode. EVERY non-control frame is answered with this
+fixed-size ack (control frames — startup/heartbeat — get control-frame
+replies), so a producer's fixed-size ack loop never desynchronizes.
+Like the frame codec this is format-shaped after the reference, NOT
+byte-compatible.
 """
 
 from __future__ import annotations
@@ -57,16 +61,29 @@ from polar_spark.topics import TopicCatalog
 _ACK = struct.Struct(">BHB")  # version, stream_id, status
 ACK_OK = 0
 ACK_BAD_HEADER = 1
+ACK_TOO_LARGE = 2
+ACK_UNSUPPORTED = 3
+
+# body_len arrives as an UNTRUSTED u32 off the wire: bound it before
+# allocating, or one client frame could pin ~4 GiB of edge memory. The
+# reference coalesces produce groups to ~2 MiB (MaxGroupSize); frames
+# batch records, so allow a few coalesced groups plus per-record
+# overhead — anything larger is a protocol error, not data.
+MAX_FRAME_BODY_BYTES = 4 * 1024 * 1024
 
 
 def _read_exact(conn: socket.socket, n: int) -> bytes | None:
-    buf = b""
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
-        if not chunk:
+    """Read exactly ``n`` bytes into a pre-sized buffer (recv_into — no
+    O(n²) bytes concatenation on large frames)."""
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = conn.recv_into(view[got:])
+        if r == 0:
             return None
-        buf += chunk
-    return buf
+        got += r
+    return bytes(buf)
 
 
 class BinaryIngestServer:
@@ -98,15 +115,19 @@ class BinaryIngestServer:
                 return
             t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
             t.start()
+            # prune finished connection threads so a long-lived listener
+            # doesn't leak one entry per historical connection
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve(self, conn: socket.socket) -> None:
         """Connection protocol, mirroring the reference's handler loop
         (internal/producing/binary_server.go:21-118): a startup(1) frame
         is answered with ready(2); heartbeat(6) frames are answered in
-        kind; produce(4) frames are spooled and acked; anything else
-        gets an error(3) control frame and the connection stays open
-        (framing is intact — only an invalid header is unrecoverable)."""
+        kind; produce(4) frames are spooled and acked; any other opcode
+        gets a fixed-size unsupported ack and the connection stays open
+        (framing is intact — an invalid header or an over-bound
+        body_len is unrecoverable and closes the connection)."""
         with conn:
             while not self._stop.is_set():
                 head = _read_exact(conn, _HEADER.size)
@@ -116,6 +137,12 @@ class BinaryIngestServer:
                 if version != FRAME_VERSION:
                     # unrecoverable: framing is lost without a valid header
                     conn.sendall(_ACK.pack(FRAME_VERSION, stream_id, ACK_BAD_HEADER))
+                    return
+                if body_len > MAX_FRAME_BODY_BYTES:
+                    # untrusted u32: refuse BEFORE reading/allocating the
+                    # body; skipping it would still stream the attacker's
+                    # bytes, so close — the client must reconnect
+                    conn.sendall(_ACK.pack(FRAME_VERSION, stream_id, ACK_TOO_LARGE))
                     return
                 rest = _read_exact(conn, body_len + 4)  # body + crc32
                 if rest is None:
@@ -127,7 +154,11 @@ class BinaryIngestServer:
                     conn.sendall(encode_control_frame(OP_HEARTBEAT, stream_id))
                     continue
                 if op != OP_PRODUCE:
-                    conn.sendall(encode_control_frame(OP_ERROR, stream_id))
+                    # fixed-size ack with a distinct status — NOT a control
+                    # frame: a producer's ack loop reads _ACK-sized acks,
+                    # and a 13-byte control frame here would desynchronize
+                    # it after one unexpected opcode (ADVICE r3)
+                    conn.sendall(_ACK.pack(FRAME_VERSION, stream_id, ACK_UNSUPPORTED))
                     continue
                 # spool atomically: write tmp then rename, so the
                 # binaryFile source never lists a half-written frame

@@ -129,14 +129,19 @@ def test_topic_to_topic_streaming_processor(spark, sf_dir, catalog, tmp_path):
 
 def test_binary_socket_control_protocol(spark, tmp_path):
     """Reference connection protocol (binary_server.go): startup →
-    ready handshake, heartbeat echo, error frame for foreign opcodes —
-    all on one connection that then produces successfully, with only
-    produce frames reaching the spool."""
+    ready handshake, heartbeat echo, fixed-size unsupported ack for
+    foreign opcodes (so a produce ack loop never desynchronizes) — all
+    on one connection that then produces successfully, with only
+    produce frames reaching the spool. Oversized body_len headers are
+    refused before the body is read."""
     import os
     import socket as _socket
 
     from polar_spark.sources.binary_server import (
         ACK_OK,
+        ACK_TOO_LARGE,
+        ACK_UNSUPPORTED,
+        MAX_FRAME_BODY_BYTES,
         _ACK,
         _read_control,
         _read_exact,
@@ -144,7 +149,8 @@ def test_binary_socket_control_protocol(spark, tmp_path):
         send_frames,
     )
     from polar_spark.sources.frames import (
-        OP_ERROR,
+        _HEADER,
+        FRAME_VERSION,
         OP_HEARTBEAT,
         OP_READY,
         OP_STARTUP,
@@ -160,11 +166,23 @@ def test_binary_socket_control_protocol(spark, tmp_path):
             assert _read_control(conn) == OP_READY
             conn.sendall(encode_control_frame(OP_HEARTBEAT))
             assert _read_control(conn) == OP_HEARTBEAT
-            conn.sendall(encode_control_frame(99))  # foreign opcode
-            assert _read_control(conn) == OP_ERROR
+            # foreign opcode → fixed-size ack (distinct status), NOT a
+            # control frame: the ack loop stays in sync
+            conn.sendall(encode_control_frame(99))
+            raw = _read_exact(conn, _ACK.size)
+            assert _ACK.unpack(raw) == (1, 0, ACK_UNSUPPORTED)
             conn.sendall(encode_frame(3, "k", [(0, "v")]))
             raw = _read_exact(conn, _ACK.size)
             assert _ACK.unpack(raw) == (1, 3, ACK_OK)
+        # untrusted u32 body_len beyond the bound: refused without
+        # reading the body, connection closed
+        with _socket.create_connection((srv.host, srv.port)) as conn:
+            conn.sendall(
+                _HEADER.pack(FRAME_VERSION, 0, 5, 4, MAX_FRAME_BODY_BYTES + 1)
+            )
+            raw = _read_exact(conn, _ACK.size)
+            assert _ACK.unpack(raw) == (1, 5, ACK_TOO_LARGE)
+            assert conn.recv(1) == b""  # server closed the connection
         # the handshake variant of the client helper works end-to-end
         acks = send_frames(
             srv.host, srv.port, [encode_frame(4, "k", [(0, "w")])], handshake=True
