@@ -6,6 +6,8 @@ Quantization contract with the oracle: dots are computed on
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -104,9 +106,7 @@ WITH c AS (
 """
 
 
-@query(
-    "knn_ivf_probe",
-    oracle=f"""
+_IVF_PROBE_ORACLE = f"""
 WITH c AS (SELECT vec_id, {_QV} AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < {NLIST}),
 asg AS (
@@ -130,8 +130,10 @@ probe AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM dots
 )
 SELECT qid, vec_id, dot, rn FROM ranked WHERE rn <= 5
-""",
-)
+"""
+
+
+@query("knn_ivf_probe", oracle=_IVF_PROBE_ORACLE)
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (Faiss-style coarse quantizer, deterministic codebook =
     the first NLIST vectors): candidates assigned to nearest cell in one
@@ -148,6 +150,42 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = qv.select("vec_id", F.col("v").alias("cv"))
     return ivf_topk(queries, cands, cents, k=5).select("qid", "vec_id", "dot", "rn")
+
+
+@query("knn_ivf_stored_cells", oracle=_IVF_PROBE_ORACLE)
+def knn_ivf_stored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a MATERIALIZED IVF index: cells are assigned at ingest
+    (sources/ivf_index.write_ivf_index — one narrow pass) and stored as
+    the parquet partition layout; the query reads them back and probes
+    WITHOUT any full-corpus assignment pass (plan-asserted in
+    tests/test_plans.py). Same deterministic first-NLIST codebook as
+    knn_ivf_probe, so the oracle is identical — proving stored cells ≡
+    computed cells end-to-end through the ingest→read→probe path."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from polar_spark.sources.ivf_index import ivf_topk_stored, write_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    # ingest step: rebuild per (sf_dir, session start) — cheap one-pass
+    # write locally; in production this is done once by the ingest
+    # pipeline (batch or stream_ivf_index) and queries only read
+    tag = _hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"polar_ivf_index_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ivf_index(qv, path, cents, vec_col="v", id_col="vec_id")
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return ivf_topk_stored(spark, path, queries, k=5).select(
+        "qid", "vec_id", "dot", "rn"
+    )
 
 
 @query("knn_ivf_trained")  # no oracle: iterative k-means is not SQL-expressible

@@ -1,0 +1,151 @@
+"""Materialized IVF index: cell assignment at INGEST, not at query time.
+
+The §9.2 ANN scale experiment's conclusion made durable: assigning every
+candidate vector to its nearest coarse cell costs one narrow O(n) pass,
+so it belongs in the ingest path — queries then open only the
+``nprobe`` inverted lists they probe, and the corpus is never
+re-assigned per query batch. This module is that ingest path:
+
+- :func:`write_ivf_index` — batch ingest: quantized vectors + their
+  ``cell`` id written as parquet **partitioned by cell** (the inverted
+  list IS the directory layout), with the codebook stored alongside in
+  ``_codebook.json`` so readers score probes against the exact same
+  centroids.
+- :func:`stream_ivf_index` — streaming ingest: the same layout fed by a
+  Structured Streaming query (parquet sink + checkpoint = exactly-once
+  file output), cell derived per micro-batch.
+- :func:`read_ivf_index` — read back (cell comes from the directory
+  column: NO assignment pass), returning the codebook with it.
+- :func:`ivf_topk_stored` — ANN over the stored index via
+  :func:`polar_spark.functions.similarity.ivf_topk` with
+  ``cell_col="cell"``.
+
+100 TB shape: cell partitioning means a query batch's probe join prunes
+to nprobe/nlist of the files (static or dynamic partition pruning — the
+probe set is a broadcast build side); the only per-query Python work is
+probing the O(nlist) codebook and scoring the pruned candidates. The
+reference has no ANN surface — this is part of the beyond-reference
+LLM-pipeline operator set (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from polar_spark.functions.similarity import NPROBE, ivf_cell, ivf_topk
+
+CODEBOOK_FILE = "_codebook.json"
+
+
+def _save_codebook(path: str, centroids: list[tuple[int, list[int]]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, CODEBOOK_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump([[int(cid), [int(x) for x in v]] for cid, v in centroids], f)
+    os.replace(tmp, os.path.join(path, CODEBOOK_FILE))
+
+
+def load_codebook(path: str) -> list[tuple[int, list[int]]]:
+    with open(os.path.join(path, CODEBOOK_FILE)) as f:
+        return [(int(cid), [int(x) for x in v]) for cid, v in json.load(f)]
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[int]]],
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    extra_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Batch ingest: one narrow assignment pass (codebook rides the UDF
+    closure — zero shuffle), then a cell-partitioned parquet write.
+    ``df[vec_col]`` must already be quantized int64 (the
+    functions.similarity contract)."""
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols or []],
+        F.col(vec_col),
+        ivf_cell(vec_col, centroids).alias("cell"),
+    )
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+    _save_codebook(path, centroids)
+
+
+def stream_ivf_index(
+    stream_df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[int]]],
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+) -> StreamingQuery:
+    """Streaming ingest into the same cell-partitioned layout: the
+    parquet sink's checkpoint gives exactly-once file output, and each
+    micro-batch pays only its own O(batch) assignment."""
+    _save_codebook(path, centroids)
+    out = stream_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell(vec_col, centroids).alias("cell"),
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(path, "_checkpoint"),
+        )
+        .partitionBy("cell")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """The stored inverted lists: ``cell`` is the parquet partition
+    column (directory-derived — reading performs NO assignment pass),
+    plus the codebook the index was built with."""
+    return spark.read.parquet(path), load_codebook(path)
+
+
+def ivf_topk_stored(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    cand_id: str = "vec_id",
+    cand_vec: str = "v",
+) -> DataFrame:
+    """ANN over a materialized index: probe-join against the stored
+    cells (partition-pruned), exact top-k inside the probed lists. The
+    candidate side's plan contains no Python evaluation before the join
+    — asserted in tests/test_plans.py."""
+    cands, centroids = read_ivf_index(spark, path)
+    return ivf_topk(
+        queries,
+        cands,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+        cand_id=cand_id,
+        query_vec=query_vec,
+        cand_vec=cand_vec,
+        cell_col="cell",
+    )

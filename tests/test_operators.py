@@ -517,3 +517,63 @@ def test_chunking_covers_every_word_with_overlap(spark, sf_dir):
         assert rebuilt == words  # full coverage, no gaps
         # every chunk except the last is full-width
         assert all(r["n_words"] == 64 for r in ch[:-1])
+
+
+def test_ivf_index_batch_and_stream_ingest_match(spark, sf_dir, tmp_path):
+    """Ingest-time cell materialization (sources/ivf_index): the batch
+    writer and the streaming writer must produce the same inverted
+    lists, read back with cells from the directory layout (no
+    assignment pass), and stored-cell ANN must equal query-time-assigned
+    ANN exactly."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import NLIST, ivf_topk, quantize
+    from polar_spark.queries.similarity import knn_ivf_probe
+    from polar_spark.sources.ivf_index import (
+        ivf_topk_stored,
+        read_ivf_index,
+        stream_ivf_index,
+        write_ivf_index,
+    )
+    from polar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+
+    # batch ingest
+    bpath = str(tmp_path / "ivf_batch")
+    write_ivf_index(qv, bpath, cents, vec_col="v", id_col="vec_id")
+    bidx, loaded = read_ivf_index(spark, bpath)
+    assert loaded == [(cid, list(v)) for cid, v in cents]
+    assert "cell" in bidx.columns
+
+    # streaming ingest over the same rows (parquet stream source)
+    src_dir = str(tmp_path / "stream_src")
+    qv.write.parquet(src_dir)
+    spath = str(tmp_path / "ivf_stream")
+    stream = spark.readStream.schema(qv.schema).parquet(src_dir)
+    q = stream_ivf_index(stream, spath, cents, vec_col="v", id_col="vec_id")
+    q.awaitTermination(120)
+    sidx, _ = read_ivf_index(spark, spath)
+
+    # identical inverted lists from both ingest paths
+    b_rows = sorted((r["vec_id"], r["cell"]) for r in bidx.select("vec_id", "cell").collect())
+    s_rows = sorted((r["vec_id"], r["cell"]) for r in sidx.select("vec_id", "cell").collect())
+    assert b_rows == s_rows and len(b_rows) == qv.count()
+
+    # stored-cell ANN ≡ query-time-assigned ANN
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    stored = sorted(
+        (r["qid"], r["rn"], r["vec_id"], r["dot"])
+        for r in ivf_topk_stored(spark, bpath, queries, k=5).collect()
+    )
+    live = sorted(
+        (r["qid"], r["rn"], r["vec_id"], r["dot"])
+        for r in knn_ivf_probe(spark, sf_dir).collect()
+    )
+    assert stored == live

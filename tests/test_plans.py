@@ -193,3 +193,25 @@ def test_outlier_centroid_broadcasts_and_takeordered(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_stored_cells_no_candidate_assignment_pass(spark, sf_dir):
+    """The materialized IVF index (sources/ivf_index): cells come from
+    the parquet partition layout, so the candidate side must carry NO
+    Python evaluation before the probe join — the only ArrowEvalPython
+    nodes are the query-side probe and the pair-dot scoring — and the
+    index scan must be partition-pruned by the probe set (dynamic
+    partition pruning on ``cell``)."""
+    from polar_spark.queries.similarity import knn_ivf_stored_cells
+
+    df = knn_ivf_stored_cells(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    arrow_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert arrow_lines  # probes(qv) + dot scoring exist
+    # the ivf_cell assignment UDF (named `cell`) must NOT appear: cells
+    # come from the stored partition layout (exact node count varies
+    # with subquery/exchange reuse, so assert the absence, not a count)
+    assert not any("cell(" in ln for ln in arrow_lines), arrow_lines
+    # the candidate scan reads the stored index with runtime cell pruning
+    assert "polar_ivf_index_" in plan
+    assert "dynamicpruning" in plan
