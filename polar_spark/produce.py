@@ -41,6 +41,24 @@ MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
 # (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
 
 
+def _plan_is_row_stable(df: DataFrame) -> bool:
+    """True when ``df``'s plan is made exclusively of row-stable nodes
+    (scan + deterministic row-wise ops), so re-executing it yields the
+    identical row multiset AND placement. ANYTHING else — limit, sample,
+    sort (whose range shuffle a downstream aggregate elides via
+    EliminateSorts!), distinct, joins, python UDFs — must be pinned with
+    persist() before a multi-job produce. The whitelist inverts an
+    earlier blocklist, which missed Sort and could never match
+    physical-only node names."""
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    stable = {"Project", "Filter", "Generate", "Relation", "SubqueryAlias",
+              "View", "InMemoryRelation", "LogicalRDD"}
+    nodes = set(_re.findall(r"^[+:\-\s]*([A-Za-z]+)", plan, _re.M))
+    return not (bool(nodes - stable - {""}) or "pythonUDF" in plan)
+
+
 def keyless_offset_plan(
     counts: dict[int, int], tails: dict[int, int], p: int
 ) -> tuple[int, dict[int, int], dict[int, int]]:
@@ -148,12 +166,15 @@ class Producer:
             ).otherwise(F.pmod(keyless_spread, F.lit(p)).cast("int")),
         )
 
-        # persist the batch so the count job, the write, and (on retry)
-        # the offset window all observe the same rows — and so the count
-        # advances tails in O(batch), not O(topic) (the reference's
-        # producer.offset file is likewise updated from the in-flight
-        # chunk, internal/data/index_file_writer.go)
-        keyed = keyed.persist()
+        # the count job and the write job must observe identical per-
+        # partition counts. Row-stable plans (scan + narrow ops) repeat
+        # identically, so they skip the persist — the hot ingest path
+        # stays two plain passes over the source with no cache
+        # write+read cycle; anything nondeterministic is pinned, and the
+        # per-file staging validation backstops cache loss either way
+        pin = not _plan_is_row_stable(ev)
+        if pin:
+            keyed = keyed.persist()
         try:
             stats = {
                 int(r["partition"]): (int(r["c"]), int(r["b"] or 0))
@@ -214,7 +235,8 @@ class Producer:
                 )
             return self.catalog.tails(topic)
         finally:
-            keyed.unpersist()
+            if pin:
+                keyed.unpersist()
 
     def _validate_staging(
         self,

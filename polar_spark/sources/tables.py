@@ -31,6 +31,18 @@ TABLES = (
 
 @lru_cache(maxsize=256)
 def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
+    if os.path.isdir(path):
+        # directory-shaped parquet (e.g. a Spark-written scaled corpus):
+        # inspect the first part file's footer
+        parts = sorted(
+            os.path.join(dp, fn)
+            for dp, _dn, fns in os.walk(path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     out = []
     for field in schema:

@@ -336,28 +336,42 @@ class TopicCatalog:
         planned contiguous range (per-file, not per-partition, so a
         recomputed nondeterministic input that redistributes rows across
         tasks while preserving partition totals is still caught)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: dict[int, list[tuple[int, int, int]]] = {}
+        files: list[tuple[int, str]] = []
         for dirpath, _dn, fns in os.walk(staging):
             base = os.path.basename(dirpath)
             if not base.startswith("partition="):
                 continue
             part = int(base.split("=", 1)[1])
-            for fn in fns:
-                if not fn.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
-                idx = md.schema.to_arrow_schema().get_field_index("offset")
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    stats = md.row_group(rg).column(idx).statistics
-                    if stats is None or not stats.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = stats.min if lo is None else min(lo, stats.min)
-                    hi = stats.max if hi is None else max(hi, stats.max)
-                out.setdefault(part, []).append((md.num_rows, lo, hi))
+            files.extend(
+                (part, os.path.join(dirpath, fn))
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+
+        def _one(item: tuple[int, str]) -> tuple[int, tuple[int, int, int]]:
+            part, path = item
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("offset")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    lo = hi = None
+                    break
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+            return part, (md.num_rows, lo, hi)
+
+        out: dict[int, list[tuple[int, int, int]]] = {}
+        if files:
+            # footer opens are tiny independent reads: overlap them
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                for part, rng in ex.map(_one, files):
+                    out.setdefault(part, []).append(rng)
         return out
 
     # -- sink epoch ledger (idempotent foreachBatch) -----------------------
