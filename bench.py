@@ -151,9 +151,13 @@ def _build_scaled_corpus(spark, dst: str) -> None:
         .withColumn("_w", F.split("text", " "))
         .withColumn(
             "text",
+            # clamp both slice lengths: a doc with fewer words than
+            # SCALE_FACTOR would otherwise pass a negative length and
+            # crash the corpus build (testdata regenerates per round)
             F.expr(
-                "concat_ws(' ', slice(_w, _rep + 1, size(_w) - _rep),"
-                " slice(_w, 1, _rep))"
+                "concat_ws(' ', slice(_w, least(_rep, size(_w)) + 1,"
+                " greatest(0, size(_w) - _rep)),"
+                " slice(_w, 1, least(_rep, size(_w))))"
             ),
         )
         .withColumn("n_chars", F.length("text"))

@@ -205,6 +205,29 @@ class PolarEngine:
     def consumer_group(self, consumer_id: str) -> str:
         return self._require(consumer_id).group
 
+    # -- served-position snapshot (facade crash consistency) ---------------
+    def pending_snapshot(self, consumer_id: str) -> dict[str, dict[int, int]]:
+        """Deep copy of the consumer's in-memory served positions. A
+        facade takes this BEFORE serving a poll and restores it if the
+        response fails mid-flight — otherwise the next poll's
+        auto-commit would commit positions for records the client never
+        received (at-least-once broken)."""
+        with self._state_lock:
+            return {
+                t: dict(p) for t, p in self._pending.get(consumer_id, {}).items()
+            }
+
+    def restore_pending(
+        self, consumer_id: str, snapshot: dict[str, dict[int, int]]
+    ) -> None:
+        with self._state_lock:
+            if snapshot:
+                self._pending[consumer_id] = {
+                    t: dict(p) for t, p in snapshot.items()
+                }
+            else:
+                self._pending.pop(consumer_id, None)
+
     def _require(self, consumer_id: str) -> _ConsumerState:
         if consumer_id not in self._consumers:
             raise ValueError(

@@ -29,17 +29,20 @@ class Metrics:
         self._lock = threading.Lock()
         # name -> { labels(frozen tuple of kv pairs) -> float }
         self._series: dict[str, dict[tuple, float]] = {}
+        self._types: dict[str, str] = {}  # name -> counter | gauge
 
     # -- primitive ops -----------------------------------------------------
     def inc(self, name: str, labels: dict[str, str] | None = None, v: float = 1.0):
         key = tuple(sorted((labels or {}).items()))
         with self._lock:
+            self._types.setdefault(name, "counter")
             s = self._series.setdefault(name, {})
             s[key] = s.get(key, 0.0) + v
 
     def set(self, name: str, labels: dict[str, str] | None = None, v: float = 0.0):
         key = tuple(sorted((labels or {}).items()))
         with self._lock:
+            self._types[name] = "gauge"  # set() implies non-monotonic
             self._series.setdefault(name, {})[key] = v
 
     def observe(self, name: str, v: float, labels: dict[str, str] | None = None):
@@ -76,15 +79,24 @@ class Metrics:
         )
 
     # -- exposition --------------------------------------------------------
+    @staticmethod
+    def _escape(v: str) -> str:
+        """Prometheus label-value escaping (backslash, quote, newline) —
+        topic names are caller-controlled strings."""
+        return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
     def render(self) -> str:
-        """Prometheus text exposition format (one line per sample)."""
+        """Prometheus text exposition format (one line per sample).
+        Series written with set() expose as gauges (they can decrease —
+        typing them counter would make rate() see resets); inc()/observe
+        series are counters."""
         lines: list[str] = []
         with self._lock:
             for name in sorted(self._series):
-                lines.append(f"# TYPE {name} counter")
+                lines.append(f"# TYPE {name} {self._types.get(name, 'counter')}")
                 for key, val in sorted(self._series[name].items()):
                     if key:
-                        lbl = ",".join(f'{k}="{v}"' for k, v in key)
+                        lbl = ",".join(f'{k}="{self._escape(v)}"' for k, v in key)
                         lines.append(f"{name}{{{lbl}}} {val}")
                     else:
                         lines.append(f"{name} {val}")

@@ -167,6 +167,7 @@ class PolarRestServer:
                     if path == "/v1/consumer/goodbye":
                         with facade._key_lock("consumer", cid):
                             facade.engine.goodbye(cid)
+                        facade._drop_lock("consumer", cid)
                         return self._send(200, "OK")
                 except ValueError:
                     # unregistered consumer → reference answers 409 Conflict
@@ -215,64 +216,78 @@ class PolarRestServer:
                     # reference flow: requesting new data commits the
                     # previously served position (auto-commit)
                     facade.engine.commit(cid)
-                    # bounded batch per poll (ConsumerReadThreshold): the
-                    # client loops; never the whole backlog in one response
-                    results = facade.engine.poll(
-                        cid,
-                        max_records=facade.max_poll_records,
-                        max_bytes=facade.max_poll_bytes,
-                    )
-                    items = []
-                    bin_items = []
-                    for topic, res in results.items():
-                        rows = res.json_items().collect()
-                        res.release()
-                        for row in rows:
-                            recs = json.loads(row["values"])
-                            n, b = served_counts.get(topic, (0, 0))
-                            served_counts[topic] = (
-                                n + len(recs),
-                                b + sum(len(v["value"] or "") for v in recs),
-                            )
-                            if binary:
-                                from datetime import datetime, timezone
-
-                                def _us(ts: str) -> int:
-                                    d = datetime.fromisoformat(ts)
-                                    if d.tzinfo is None:
-                                        d = d.replace(tzinfo=timezone.utc)
-                                    return int(d.timestamp() * 1_000_000)
-
-                                bin_items.append(
-                                    {
-                                        "token": int(row["partition"]),
-                                        "range_idx": 0,
-                                        "version": 1,
-                                        "topic": topic,
-                                        "start_offset": int(row["startOffset"]),
-                                        "records": [
-                                            (
-                                                _us(v["timestamp"]) if v["timestamp"] else 0,
-                                                (v["value"] or "").encode(),
-                                            )
-                                            for v in recs
-                                        ],
-                                    }
+                    group = facade.engine.consumer_group(cid)
+                    # snapshot served positions: if serving fails partway
+                    # (a later topic's collect throws), restore — or the
+                    # retry's auto-commit would commit records the client
+                    # never received
+                    snap = facade.engine.pending_snapshot(cid)
+                    try:
+                        # bounded batch per poll (ConsumerReadThreshold):
+                        # the client loops; never the whole backlog in
+                        # one response
+                        results = facade.engine.poll(
+                            cid,
+                            max_records=facade.max_poll_records,
+                            max_bytes=facade.max_poll_bytes,
+                        )
+                        items = []
+                        bin_items = []
+                        for topic, res in results.items():
+                            rows = res.json_items().collect()
+                            res.release()
+                            for row in rows:
+                                recs = json.loads(row["values"])
+                                n, b = served_counts.get(topic, (0, 0))
+                                served_counts[topic] = (
+                                    n + len(recs),
+                                    b + sum(len(v["value"] or "") for v in recs),
                                 )
-                            else:
-                                items.append(
-                                    {
-                                        "topic": topic,
-                                        "token": str(row["partition"]),
-                                        "rangeIndex": 0,
-                                        "version": 1,
-                                        "startOffset": str(row["startOffset"]),
-                                        "values": [_maybe_json(v["value"]) for v in recs],
-                                    }
-                                )
+                                if binary:
+                                    from datetime import datetime, timezone
+
+                                    def _us(ts: str) -> int:
+                                        d = datetime.fromisoformat(ts)
+                                        if d.tzinfo is None:
+                                            d = d.replace(tzinfo=timezone.utc)
+                                        return int(d.timestamp() * 1_000_000)
+
+                                    bin_items.append(
+                                        {
+                                            "token": int(row["partition"]),
+                                            "range_idx": 0,
+                                            "version": 1,
+                                            "topic": topic,
+                                            "start_offset": int(row["startOffset"]),
+                                            "records": [
+                                                (
+                                                    _us(v["timestamp"]) if v["timestamp"] else 0,
+                                                    (v["value"] or "").encode(),
+                                                )
+                                                for v in recs
+                                            ],
+                                        }
+                                    )
+                                else:
+                                    items.append(
+                                        {
+                                            "topic": topic,
+                                            "token": str(row["partition"]),
+                                            "rangeIndex": 0,
+                                            "version": 1,
+                                            "startOffset": str(row["startOffset"]),
+                                            "values": [_maybe_json(v["value"]) for v in recs],
+                                        }
+                                    )
+                    except BaseException:
+                        # serving failed mid-flight: roll back the served
+                        # positions so the retry re-delivers instead of
+                        # auto-committing unreceived records
+                        facade.engine.restore_pending(cid, snap)
+                        raise
                 m = facade.engine.metrics
                 for t_name, (n, b) in served_counts.items():
-                    m.on_poll(facade.engine.consumer_group(cid), t_name, n, b)
+                    m.on_poll(group, t_name, n, b)
                 m.observe("polar_consumer_poll_seconds", _time.monotonic() - t0)
                 if binary:
                     if not bin_items:
@@ -303,8 +318,19 @@ class PolarRestServer:
         with self._locks_guard:
             lk = self._locks.get(key)
             if lk is None:
+                if len(self._locks) >= 4096:
+                    # churning consumer ids would otherwise grow the
+                    # registry without bound: drop idle entries (an
+                    # entry re-mints on next use; exclusion only ever
+                    # matters while a request holds it)
+                    for k in [k for k, v in self._locks.items() if not v.locked()]:
+                        del self._locks[k]
                 lk = self._locks[key] = threading.Lock()
             return lk
+
+    def _drop_lock(self, kind: str, name: str | None) -> None:
+        with self._locks_guard:
+            self._locks.pop((kind, name or ""), None)
 
     @property
     def url(self) -> str:

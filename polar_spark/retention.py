@@ -29,9 +29,11 @@ class RetentionScheduler:
 
     ``period_seconds`` mirrors the reference's 5-minute cleaner interval;
     ``compact_min_files`` (None = never compact) triggers a compaction
-    when a topic's parquet file count reaches the threshold — the
-    operational analog of segment rolling keeping scans healthy under
-    many small micro-batch appends.
+    when any PARTITION of a topic accumulates that many parquet files —
+    the operational analog of segment rolling keeping scans healthy
+    under many small micro-batch appends. (Per-partition, because a
+    compacted topic still holds one file per non-empty partition — a
+    total-count trigger would re-fire a full rewrite every sweep.)
     """
 
     def __init__(
@@ -83,13 +85,16 @@ class RetentionScheduler:
             try:
                 removed += self.catalog.vacuum(topic, self.retention_hours)
                 if self.compact_min_files is not None:
-                    n_files = sum(
-                        1
-                        for _dp, _dn, fns in os.walk(self.catalog.data_dir(topic))
-                        for fn in fns
-                        if fn.endswith(".parquet")
-                    )
-                    if n_files >= self.compact_min_files:
+                    # trigger on files per PARTITION, not total files: a
+                    # compacted topic still has >= 1 file per non-empty
+                    # partition, so a flat total would re-fire a full
+                    # rewrite every sweep forever
+                    per_part: dict[str, int] = {}
+                    for dp, _dn, fns in os.walk(self.catalog.data_dir(topic)):
+                        n = sum(1 for fn in fns if fn.endswith(".parquet"))
+                        if n:
+                            per_part[dp] = n
+                    if per_part and max(per_part.values()) >= self.compact_min_files:
                         self.catalog.compact(topic)
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue

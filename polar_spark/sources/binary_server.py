@@ -48,7 +48,6 @@ from pyspark.sql.streaming import StreamingQuery
 from polar_spark.sources.frames import (
     _HEADER,
     FRAME_VERSION,
-    OP_ERROR,
     OP_HEARTBEAT,
     OP_PRODUCE,
     OP_READY,

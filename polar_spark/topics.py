@@ -266,11 +266,12 @@ class TopicCatalog:
         data dir and advance the public tails — strictly in reservation
         order, so a reader never observes tail T with an earlier batch's
         offsets < T still unwritten. ``staging=None`` aborts the
-        reservation (its range becomes a gap). A reservation whose owner
-        process died before publishing is detected (pid liveness) and
-        aborted by whoever is waiting behind it — the flock-style
-        "crashed holder releases automatically" property, extended to
-        the reservation queue."""
+        reservation (its range becomes a gap). A blocker that will never
+        publish — owner process dead (pid liveness), or explicitly
+        :meth:`abort`-marked by a failed producer — is skipped by
+        whoever waits behind it, with its staged files cleaned up; on
+        our own timeout we abort-mark OUR reservation so the queue never
+        wedges on an abandoned entry."""
         deadline = time.time() + timeout
         while True:
             with self.produce_lock(name):
@@ -278,7 +279,7 @@ class TopicCatalog:
                 turn = st["published_seq"] + 1
                 if turn == seq:
                     ent = st["pending"].pop(str(seq), None)
-                    if staging is not None:
+                    if staging is not None and not (ent or {}).get("aborted"):
                         self._ingest_staged(name, staging)
                         if ent:
                             self.advance_tails(
@@ -288,19 +289,44 @@ class TopicCatalog:
                     self._save_reservations(name, st)
                     return
                 blocker = st["pending"].get(str(turn))
-                if blocker is not None and not _pid_alive(blocker["pid"]):
-                    # owner died between reserve and publish: abort its
-                    # reservation (offset gap) so the queue drains
+                if blocker is not None and (
+                    blocker.get("aborted") or not _pid_alive(blocker["pid"])
+                ):
+                    # blocker will never publish: skip it (offset gap)
+                    # and drop any staged files it left behind
                     st["pending"].pop(str(turn), None)
                     st["published_seq"] = turn
                     self._save_reservations(name, st)
+                    import shutil
+
+                    shutil.rmtree(self.staging_dir(name, turn), ignore_errors=True)
                     continue
             if time.time() > deadline:
+                # leave the queue drainable: mark ourselves aborted so
+                # waiters behind us skip this reservation
+                self.abort(name, seq)
                 raise TimeoutError(
                     f"publish({name}, seq={seq}): reservation {seq - 1} "
-                    "never published (live producer stalled?)"
+                    "never published (live producer stalled?); this batch "
+                    "aborted (offset gap) so the queue stays drainable"
                 )
             time.sleep(0.02)
+
+    def abort(self, name: str, seq: int) -> None:
+        """Mark reservation ``seq`` as never-publishing (its offset range
+        becomes a gap) WITHOUT waiting for queue turn — the failure path
+        of a produce must never block on other producers. The entry
+        stays in pending (turn ordering is preserved); whoever reaches
+        its turn skips it and cleans its staging."""
+        import shutil
+
+        shutil.rmtree(self.staging_dir(name, seq), ignore_errors=True)
+        with self.produce_lock(name):
+            st = self._load_reservations(name)
+            ent = st["pending"].get(str(seq))
+            if ent is not None:
+                ent["aborted"] = True
+                self._save_reservations(name, st)
 
     def staging_dir(self, name: str, seq: int) -> str:
         return os.path.join(self.topic_dir(name), f".staging-{seq}")
@@ -474,6 +500,22 @@ class TopicCatalog:
         hours = retention_hours if retention_hours is not None else meta.retention_hours
         cutoff = time.time() - hours * 3600.0
         removed = 0
+        # safety net: drop orphan staging dirs whose reservation already
+        # resolved (published or skipped) — a producer that crashed after
+        # its write leaves one behind if no later publish passed its turn
+        import shutil
+
+        with self.produce_lock(name):
+            st = self._load_reservations(name)
+            for entry in os.scandir(self.topic_dir(name)):
+                if not (entry.is_dir() and entry.name.startswith(".staging-")):
+                    continue
+                try:
+                    seq = int(entry.name.split("-", 1)[1])
+                except ValueError:
+                    continue
+                if seq <= st["published_seq"] and str(seq) not in st["pending"]:
+                    shutil.rmtree(entry.path, ignore_errors=True)
         for dirpath, _dirnames, filenames in os.walk(self.data_dir(name)):
             for fn in filenames:
                 p = os.path.join(dirpath, fn)

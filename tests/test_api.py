@@ -205,5 +205,9 @@ def test_retention_scheduler_compacts_fragmented_topics(spark, sf_dir, tmp_path)
     sched = RetentionScheduler(cat, period_seconds=3600.0, compact_min_files=2)
     removed = sched.sweep_once()
     assert removed == 0  # nothing expired
-    assert n_files() < before  # but the fragmented topic was compacted
+    after = n_files()
+    assert after < before  # but the fragmented topic was compacted
     assert cat.read("rc").count() == 450
+    # compacted state (1 file/partition) must NOT re-trigger a rewrite
+    sched.sweep_once()
+    assert n_files() == after

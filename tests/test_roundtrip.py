@@ -583,3 +583,44 @@ def test_streaming_producer_skips_applied_epoch(spark, sf_dir, tmp_path):
     assert sp.apply_batch(src, 1, "te", cp, key_col="user_id",
                           value_col="props", ts_col="ts") is True
     assert cat.read("te").count() == 2 * n1
+
+
+def test_publish_timeout_aborts_and_queue_drains(spark, tmp_path):
+    """A publisher that times out behind a stalled reservation must
+    abort-mark its own entry so later publishers skip it — the queue
+    never wedges on an abandoned live-pid reservation."""
+    import json as _json
+
+    import pytest
+
+    cat, _ = _engine(spark, tmp_path)
+    cat.ensure_topic("pw")
+    seq0, _, _ = cat.reserve("pw", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    seq1, _, _ = cat.reserve("pw", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    with pytest.raises(TimeoutError):
+        cat.publish("pw", seq1, staging=None, timeout=0.5)  # blocked by seq0
+    # seq0 finally resolves (aborted batch → gap)
+    cat.publish("pw", seq0, staging=None)
+    # a third reservation publishes by skipping the abort-marked seq1
+    seq2, _, _ = cat.reserve("pw", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    cat.publish("pw", seq2, staging=None, timeout=10.0)
+    with open(cat._reservations_path("pw")) as f:
+        st = _json.load(f)
+    assert st["published_seq"] == seq2 and st["pending"] == {}
+
+
+def test_python_udf_input_is_pinned(spark):
+    """_plan_is_row_stable must flag Python-UDF inputs (detected on the
+    PHYSICAL plan — the analyzed plan has no recognizable UDF marker),
+    so nondeterministic UDF outputs get pinned before the multi-job
+    produce instead of failing validation on every attempt."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from polar_spark.produce import _plan_is_row_stable
+
+    plain = spark.range(10).select(F.col("id").cast("string").alias("value"))
+    assert _plan_is_row_stable(plain)
+    u = F.udf(lambda s: s + "!", StringType()).asNondeterministic()
+    assert not _plan_is_row_stable(plain.select(u("value").alias("value")))
+    assert not _plan_is_row_stable(plain.limit(5))
