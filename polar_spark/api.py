@@ -187,6 +187,33 @@ class PolarEngine:
                 self._pending.pop(c, None)
         return gone
 
+    # -- retention ----------------------------------------------------------
+    def start_retention(
+        self,
+        period_seconds: float = 300.0,
+        retention_hours: float | None = None,
+        compact_min_files: int | None = 16,
+    ):
+        """Run the background retention loop for this engine's catalog
+        (reference: 5-minute datalog cleaner, internal/data/
+        datalog_cleaner.go:16-41). Returns the scheduler; idempotent."""
+        from polar_spark.retention import RetentionScheduler
+
+        if getattr(self, "_retention", None) is None:
+            self._retention = RetentionScheduler(
+                self.catalog,
+                period_seconds=period_seconds,
+                retention_hours=retention_hours,
+                compact_min_files=compact_min_files,
+            ).start()
+        return self._retention
+
+    def stop_retention(self) -> None:
+        sched = getattr(self, "_retention", None)
+        if sched is not None:
+            sched.stop()
+            self._retention = None
+
     # -- discovery ---------------------------------------------------------
     def discovery(self) -> dict:
         """GET /v1/brokers — cluster metadata. Spark has no broker ring;

@@ -211,3 +211,13 @@ def test_retention_scheduler_compacts_fragmented_topics(spark, sf_dir, tmp_path)
     # compacted state (1 file/partition) must NOT re-trigger a rewrite
     sched.sweep_once()
     assert n_files() == after
+
+
+def test_engine_start_retention_lifecycle(spark, tmp_path):
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path))
+    s1 = eng.start_retention(period_seconds=3600.0)
+    assert eng.start_retention() is s1  # idempotent
+    eng.stop_retention()
+    assert getattr(eng, "_retention") is None
