@@ -627,3 +627,64 @@ def verified_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair set: ``(u, component)`` for
+    every vertex, where ``component`` is the minimum id reachable over
+    the undirected edges — the clustering step that turns pairwise
+    verdicts into dedup groups (a→b and b→c must land a, b, c in ONE
+    cluster; the pairwise keep-list alone can't see that).
+
+    Min-label propagation: each round joins current labels along edges
+    and takes the per-vertex min — two hash shuffles on vertex id per
+    round, rounds bounded by the cluster diameter. Near-dup clusters
+    are shallow by construction (members all resemble the same
+    content), so a handful of rounds converges; the iteration stops at
+    the first round with zero label changes and raises if
+    ``max_iterations`` is hit (diameter-capped variant of the
+    MapReduce CC join primitive — the large-star/small-star
+    formulation swaps in for adversarially deep graphs with the same
+    per-round shape). Deterministic: integer min is order-independent.
+
+    The reference has no clustering surface — this extends the
+    LLM-pipeline dedup family (SURVEY §2.3)."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    try:
+        labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+        labels = labels.persist()
+        for _ in range(max_iterations):
+            prop = edges.join(labels, "u").select(
+                F.col("v").alias("u"), F.col("comp")
+            )
+            new_labels = (
+                labels.union(prop).groupBy("u").agg(F.min("comp").alias("comp"))
+            ).persist()
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("comp", "_old"), "u"
+                )
+                .filter(F.col("comp") != F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} rounds "
+            "(unexpectedly deep cluster graph — raise max_iterations or use "
+            "a large-star/small-star formulation)"
+        )
+    finally:
+        edges.unpersist()

@@ -200,10 +200,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_dups(d, "doc_id", "text", threshold=0.7)
 
 
-@query(
-    "dedup_keep_list",
-    oracle="""
-WITH pairs AS (WITH words AS (
+# verified near-dup pairs (MinHash-LSH candidates → exact Jaccard ≥ 0.7),
+# shared by the keep-list and connected-components oracles
+_PAIRS_07_SQL = """WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
@@ -245,7 +244,13 @@ SELECT i.id_a, i.id_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7)
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7"""
+
+
+@query(
+    "dedup_keep_list",
+    oracle=f"""
+WITH pairs AS ({_PAIRS_07_SQL})
 SELECT d.doc_id,
   CASE WHEN dr.id_b IS NULL THEN 1 ELSE 0 END AS kept
 FROM documents d
@@ -263,3 +268,48 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return d.select("doc_id").join(drops.withColumn("_d", F.lit(1)), "doc_id", "left") \
         .select("doc_id", F.when(F.col("_d").isNull(), 1).otherwise(0).alias("kept"))
+
+
+@query(
+    "dedup_clusters_cc",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_PAIRS_07_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure over the verified pair set
+    (a~b, b~c ⇒ {a,b,c} in one cluster, even when a~c was never a
+    candidate pair) — each doc labeled with its cluster's min doc id;
+    singletons label themselves. The oracle computes the same closure
+    with a recursive CTE; Spark runs min-label propagation
+    (functions/dedup.connected_components), whose per-round cost is two
+    hash shuffles and whose round count is the cluster diameter."""
+    from polar_spark.functions.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.u, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("component"),
+        )
+    )

@@ -221,3 +221,51 @@ def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "pack_token_shards_sequential",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS shard
+FROM packed
+""",
+)
+def pack_token_shards_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: docs fill fixed
+    2048-token shards sequentially per source (shard = which bin the
+    doc STARTS in, from the running token total in doc_id order) — the
+    deterministic sharding step before tokenize-and-concat training
+    ingestion, reproducible on any engine because order and token
+    counts are content-derived, never RNG.
+
+    Scale shape: one hash shuffle on ``source`` and an in-partition
+    running sum — no global window, no driver state; at 100 TB each
+    source packs independently, and a skewed source can be sub-salted
+    by date the same way skew_salted_agg does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("shard"),
+    )

@@ -45,6 +45,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "embedding_outlier_centroid",
     "unpivot_nation_metrics",
     "knn_ivf_stored_cells",
+    "dedup_clusters_cc",
+    "pack_token_shards_sequential",
 )
 
 

@@ -221,3 +221,28 @@ def test_engine_start_retention_lifecycle(spark, tmp_path):
     assert eng.start_retention() is s1  # idempotent
     eng.stop_retention()
     assert getattr(eng, "_retention") is None
+
+
+def test_pending_snapshot_restore_roundtrip(spark, sf_dir, tmp_path):
+    """The facade's crash-consistency primitive: restoring a pre-poll
+    snapshot makes a poll re-deliver exactly the batch whose response
+    failed, instead of auto-committing records the client never saw."""
+    eng = PolarEngine(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    eng.produce("t", ev, key_col="user_id", value_col="props", ts_col="ts")
+    eng.register("a", "g", ["t"])
+
+    snap0 = eng.pending_snapshot("a")
+    assert snap0 == {}
+    r1 = eng.poll("a", max_records=80)["t"]
+    first = sorted((r["partition"], r["offset"]) for r in r1.df.collect())
+    r1.release()
+    # response for r1 "failed mid-flight": roll back to the snapshot
+    eng.restore_pending("a", snap0)
+    r2 = eng.poll("a", max_records=80)["t"]
+    redelivered = sorted((r["partition"], r["offset"]) for r in r2.df.collect())
+    assert redelivered == first  # exactly the failed batch again
+    # without restore, the next poll moves past the served batch
+    r3 = eng.poll("a", max_records=80)["t"]
+    third = set((r["partition"], r["offset"]) for r in r3.df.collect())
+    assert not third & set(first)

@@ -577,3 +577,16 @@ def test_ivf_index_batch_and_stream_ingest_match(spark, sf_dir, tmp_path):
         for r in knn_ivf_probe(spark, sf_dir).collect()
     )
     assert stored == live
+
+
+def test_connected_components_multi_hop(spark):
+    """a-b, b-c, c-d must collapse to ONE cluster labeled min(a) even
+    though a-d was never a pair; disjoint pair e-f keeps its own label;
+    vertices absent from the pair set are not emitted."""
+    from polar_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(20, 10), (10, 30), (30, 40), (50, 60)], ["id_a", "id_b"]
+    )
+    got = {r["u"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
