@@ -63,6 +63,7 @@ class PolarEngine:
         # holds); Spark jobs never run under it — request-level mutual
         # exclusion is the facade's per-topic/per-consumer locks
         self._state_lock = threading.RLock()
+        self._retention = None
 
     # -- produce ----------------------------------------------------------
     def produce(self, topic: str, df: DataFrame, key_col: str | None = None,
@@ -196,23 +197,41 @@ class PolarEngine:
     ):
         """Run the background retention loop for this engine's catalog
         (reference: 5-minute datalog cleaner, internal/data/
-        datalog_cleaner.go:16-41). Returns the scheduler; idempotent."""
+        datalog_cleaner.go:16-41). Returns the scheduler. Idempotent for
+        identical arguments; a second call with DIFFERENT config raises
+        instead of silently returning the old scheduler (the caller
+        would believe the new settings were active) — stop_retention()
+        first to reconfigure. Creation is serialized (two facade threads
+        can't each start an unreachable duplicate loop)."""
         from polar_spark.retention import RetentionScheduler
 
-        if getattr(self, "_retention", None) is None:
+        with self._state_lock:
+            cur = self._retention
+            if cur is not None:
+                asked = (period_seconds, retention_hours, compact_min_files)
+                have = (cur.period_seconds, cur.retention_hours,
+                        cur.compact_min_files)
+                if asked != have:
+                    raise ValueError(
+                        f"retention loop already running with {have}; call "
+                        f"stop_retention() before reconfiguring to {asked}"
+                    )
+                return cur
             self._retention = RetentionScheduler(
                 self.catalog,
                 period_seconds=period_seconds,
                 retention_hours=retention_hours,
                 compact_min_files=compact_min_files,
             ).start()
-        return self._retention
+            return self._retention
 
     def stop_retention(self) -> None:
-        sched = getattr(self, "_retention", None)
+        with self._state_lock:
+            sched, self._retention = self._retention, None
         if sched is not None:
+            # join outside the state lock: a mid-flight compaction can
+            # take a while and must not block unrelated engine calls
             sched.stop()
-            self._retention = None
 
     # -- discovery ---------------------------------------------------------
     def discovery(self) -> dict:

@@ -654,9 +654,23 @@ def connected_components(
 
     The reference has no clustering surface — this extends the
     LLM-pipeline dedup family (SURVEY §2.3)."""
-    edges = pairs.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+    from pyspark.sql import types as T
+
+    ta, tb = pairs.schema[src].dataType, pairs.schema[dst].dataType
+    if isinstance(ta, T.IntegralType) and isinstance(tb, T.IntegralType):
+        # widen to long so mixed int widths compare/union cleanly
+        edges = pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    elif isinstance(ta, T.StringType) and isinstance(tb, T.StringType):
+        # string ids keep their own total order (min works); a silent
+        # cast-to-long would NULL every id and return garbage
+        edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        raise TypeError(
+            f"connected_components: id columns must both be integral or "
+            f"both string, got {ta.simpleString()} / {tb.simpleString()}"
+        )
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().persist()
@@ -681,6 +695,7 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 return labels
+        labels.unpersist()  # failure path must not pin the last cache
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iterations} rounds "
             "(unexpectedly deep cluster graph — raise max_iterations or use "

@@ -256,7 +256,13 @@ def pack_token_shards_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # NULL text must stay NULL: Spark's size() returns -1 for null
+        # input, which would silently shift the running sum for every
+        # later doc in the source; the oracle's len(string_split(NULL))
+        # is NULL and SUM skips it
+        F.when(
+            F.col("text").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")

@@ -218,9 +218,16 @@ def test_engine_start_retention_lifecycle(spark, tmp_path):
 
     eng = PolarEngine(spark, str(tmp_path))
     s1 = eng.start_retention(period_seconds=3600.0)
-    assert eng.start_retention() is s1  # idempotent
+    # idempotent for identical args; different args must raise, not
+    # silently keep the old config
+    assert eng.start_retention(period_seconds=3600.0) is s1
+    with pytest.raises(ValueError, match="already running"):
+        eng.start_retention(period_seconds=60.0)
     eng.stop_retention()
-    assert getattr(eng, "_retention") is None
+    assert eng._retention is None
+    s2 = eng.start_retention(period_seconds=60.0)  # reconfigured after stop
+    assert s2 is not s1
+    eng.stop_retention()
 
 
 def test_pending_snapshot_restore_roundtrip(spark, sf_dir, tmp_path):

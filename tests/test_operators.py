@@ -590,3 +590,18 @@ def test_connected_components_multi_hop(spark):
     )
     got = {r["u"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
+
+
+def test_connected_components_string_ids_and_type_guard(spark):
+    from polar_spark.functions.dedup import connected_components
+
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("a", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r["u"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    mixed = spark.createDataFrame([(1, "a")], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match="integral or"):
+        connected_components(mixed)
