@@ -641,16 +641,15 @@ def connected_components(
     verdicts into dedup groups (a→b and b→c must land a, b, c in ONE
     cluster; the pairwise keep-list alone can't see that).
 
-    Min-label propagation: each round joins current labels along edges
-    and takes the per-vertex min — two hash shuffles on vertex id per
-    round, rounds bounded by the cluster diameter. Near-dup clusters
-    are shallow by construction (members all resemble the same
-    content), so a handful of rounds converges; the iteration stops at
-    the first round with zero label changes and raises if
-    ``max_iterations`` is hit (diameter-capped variant of the
-    MapReduce CC join primitive — the large-star/small-star
-    formulation swaps in for adversarially deep graphs with the same
-    per-round shape). Deterministic: integer min is order-independent.
+    Min-label propagation with pointer jumping: each round (a) joins
+    current labels along edges and takes the per-vertex min, then (b)
+    path-halves — ``comp(u) ← comp(comp(u))`` — so label distances
+    shrink geometrically and convergence is O(log diameter) rounds,
+    not O(diameter) (the standard MapReduce-CC acceleration; a 2^25-
+    deep chain would still converge inside the default budget). Each
+    round is three hash shuffles on vertex id; the iteration stops at
+    the first round with zero label changes. Deterministic: min over a
+    totally ordered id type is order-independent.
 
     The reference has no clustering surface — this extends the
     LLM-pipeline dedup family (SURVEY §2.3)."""
@@ -671,35 +670,43 @@ def connected_components(
             f"connected_components: id columns must both be integral or "
             f"both string, got {ta.simpleString()} / {tb.simpleString()}"
         )
+    # localCheckpoint (not persist): an iterative plan DOUBLES in size
+    # every round even when the parent is cached — after ~10 rounds the
+    # nested tree alone OOMs the driver. Checkpointing materializes each
+    # round's labels AND truncates the lineage, the standard treatment
+    # for iterative graph algorithms.
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
-    try:
-        labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
-        labels = labels.persist()
-        for _ in range(max_iterations):
-            prop = edges.join(labels, "u").select(
-                F.col("v").alias("u"), F.col("comp")
-            )
-            new_labels = (
-                labels.union(prop).groupBy("u").agg(F.min("comp").alias("comp"))
-            ).persist()
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("comp", "_old"), "u"
-                )
-                .filter(F.col("comp") != F.col("_old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                return labels
-        labels.unpersist()  # failure path must not pin the last cache
-        raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iterations} rounds "
-            "(unexpectedly deep cluster graph — raise max_iterations or use "
-            "a large-star/small-star formulation)"
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select("u").distinct().withColumn("comp", F.col("u"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        prop = edges.join(labels, "u").select(
+            F.col("v").alias("u"), F.col("comp")
         )
-    finally:
-        edges.unpersist()
+        stepped = (
+            labels.union(prop).groupBy("u").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping (path halving): follow each label one hop
+        # through the label table itself, so chains collapse in
+        # O(log diameter) rounds instead of O(diameter)
+        hop = stepped.select(
+            F.col("u").alias("comp"), F.col("comp").alias("_jump")
+        )
+        new_labels = (
+            stepped.join(hop, "comp", "left")
+            .select("u", F.coalesce(F.col("_jump"), F.col("comp")).alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), "u")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iterations} rounds "
+        "(unexpectedly deep cluster graph — raise max_iterations)"
+    )

@@ -605,3 +605,15 @@ def test_connected_components_string_ids_and_type_guard(spark):
     mixed = spark.createDataFrame([(1, "a")], ["id_a", "id_b"])
     with pytest.raises(TypeError, match="integral or"):
         connected_components(mixed)
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 60-vertex chain (diameter 59) must converge well inside the
+    25-round budget — pointer jumping makes rounds O(log diameter)."""
+    from polar_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"]
+    )
+    got = {r["u"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}
