@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -601,6 +601,16 @@ def verified_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
+    return exact_jaccard_for_pairs(cands, sh, threshold)
+
+
+def exact_jaccard_for_pairs(
+    cands: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate pair set (id_a, id_b)
+    against an exploded (id, shingle) table — the verification tail of
+    the LSH pipeline, shared by the one-shot and incremental paths.
+    Cost is O(|candidates| · shingles-per-doc), never corpus²."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("shingle_b"))
@@ -627,6 +637,115 @@ def verified_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+class NearDupIndex:
+    """Persistent MinHash-LSH index for INCREMENTAL near-dup detection —
+    the at-ingest dedup shape a 100 TB pipeline actually runs: the
+    corpus's band keys and shingles live in parquet stores; each new
+    batch of documents is checked against the store (band-bucket join →
+    exact-Jaccard verify) and then appended to it, so arriving data
+    pays O(batch), never a full-corpus recompute.
+
+    Store layout under ``path``:
+      - ``bands/``    (id, band, band_key) — the LSH buckets
+      - ``shingles/`` (id, n_words, shingle) — for exact verification
+
+    100 TB shape: the band store is the bucketed candidate structure
+    (join keyed on (band, band_key), shuffle O(batch·bands)); the
+    shingle store joins only candidate ids. Both stores are plain
+    partition-able parquet — compaction/retention can manage them like
+    any topic data. Results are identical to the one-shot
+    :func:`verified_near_dups` restricted to pairs touching the new
+    batch (pytest-asserted), because signatures, banding, and
+    verification reuse the same code paths.
+
+    Concurrency: one writer at a time, like the reference's single
+    coalescer lane per topic — batches are an ordered stream (an
+    ingest pipeline is naturally sequential); wrap calls in the topic's
+    produce lock if multiple pipelines share one store."""
+
+    def __init__(self, spark: SparkSession, path: str, threshold: float = 0.7):
+        import os as _os
+
+        self.spark = spark
+        self.path = path
+        self.threshold = threshold
+        self.bands_path = _os.path.join(path, "bands")
+        self.shingles_path = _os.path.join(path, "shingles")
+
+    def _has_store(self) -> bool:
+        import os as _os
+
+        return _os.path.exists(_os.path.join(self.bands_path, "_SUCCESS"))
+
+    def build(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> None:
+        """Initialize (overwrite) the store from a document corpus."""
+        shw = shingle_table(
+            _spread(docs.select(id_col, text_col)), id_col, text_col,
+            with_word_count=True,
+        ).persist()
+        try:
+            sigs = minhash_signatures_from_shingles(
+                shw.filter(F.col("n_words") >= SHINGLE_WORDS).select("id", "shingle")
+            )
+            lsh_band_keys(sigs, "id").write.mode("overwrite").parquet(
+                self.bands_path
+            )
+            shw.write.mode("overwrite").parquet(self.shingles_path)
+        finally:
+            shw.unpersist()
+
+    def query_and_update(self, new_docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+        """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold)
+        between the new batch and the indexed corpus INCLUDING the batch
+        itself (new-new dups are caught too), then append the batch to
+        the store. The returned DataFrame is materialized before the
+        store append, so it is safe to collect lazily afterwards."""
+        new_shw = shingle_table(
+            _spread(new_docs.select(id_col, text_col)), id_col, text_col,
+            with_word_count=True,
+        ).persist()
+        new_sigs = minhash_signatures_from_shingles(
+            new_shw.filter(F.col("n_words") >= SHINGLE_WORDS).select("id", "shingle")
+        )
+        new_keys = lsh_band_keys(new_sigs, "id").persist()
+        try:
+            if self._has_store():
+                stored_keys = self.spark.read.parquet(self.bands_path)
+                all_keys = stored_keys.unionByName(new_keys)
+                stored_sh = self.spark.read.parquet(self.shingles_path)
+                all_sh = stored_sh.unionByName(new_shw)
+            else:
+                all_keys, all_sh = new_keys, new_shw
+            kn = new_keys.select(F.col("id").alias("_idn"), "band", "band_key")
+            ka = all_keys.select(F.col("id").alias("_ida"), "band", "band_key")
+            cands = (
+                kn.join(ka, ["band", "band_key"])
+                .filter(F.col("_idn") != F.col("_ida"))
+                .select(
+                    F.least("_idn", "_ida").alias("id_a"),
+                    F.greatest("_idn", "_ida").alias("id_b"),
+                )
+                .distinct()
+            )
+            # localCheckpoint, not persist: the result must be severed
+            # from the store's file listing BEFORE the append below —
+            # a cache would be invalidated by the parents' unpersist
+            # (cascading un-cache) and re-execution would re-list the
+            # store WITH the appended batch, double-counting every
+            # intersection
+            pairs = exact_jaccard_for_pairs(
+                cands, all_sh.select("id", "shingle"), self.threshold
+            ).localCheckpoint()
+            new_keys.write.mode("append").parquet(self.bands_path)
+            new_shw.write.mode("append").parquet(self.shingles_path)
+            return pairs
+        finally:
+            new_keys.unpersist()
+            new_shw.unpersist()
 
 
 def connected_components(

@@ -313,3 +313,31 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("component"),
         )
     )
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=f"""
+WITH pairs AS ({_PAIRS_07_SQL})
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE id_b >= (SELECT MAX(doc_id) // 2 FROM documents)
+""",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection (functions/dedup.NearDupIndex):
+    the older half of the corpus is indexed (band keys + shingles in a
+    parquet store), then the newer half arrives as a batch and is
+    checked against the store — exactly the at-ingest dedup flow a
+    production pipeline runs, where each arriving batch pays O(batch)
+    instead of a full-corpus recompute. Result = every verified pair
+    touching a new doc (any pair's larger id is ≥ the split point, so
+    the oracle is the one-shot pair set filtered on id_b)."""
+    import tempfile
+
+    from polar_spark.functions.dedup import NearDupIndex
+
+    d = load_table(spark, sf_dir, "documents")
+    split = d.agg(F.max("doc_id")).first()[0] // 2
+    idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="polar_ndx_"), threshold=0.7)
+    idx.build(d.filter(F.col("doc_id") < split))
+    return idx.query_and_update(d.filter(F.col("doc_id") >= split))

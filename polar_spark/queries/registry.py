@@ -47,6 +47,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "knn_ivf_stored_cells",
     "dedup_clusters_cc",
     "pack_token_shards_sequential",
+    "dedup_incremental_index",
 )
 
 

@@ -617,3 +617,35 @@ def test_connected_components_deep_chain_converges(spark):
     )
     got = {r["u"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_near_dup_index_incremental_equals_one_shot(spark, sf_dir):
+    """Two incremental batches against the index must produce exactly
+    the one-shot pipeline's pairs that touch those batches — including
+    pairs found only because batch 1 was appended before batch 2."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.dedup import NearDupIndex, verified_near_dups
+    from polar_spark.sources.tables import load_table
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    s1, s2 = hi // 3, 2 * hi // 3
+    idx = NearDupIndex(spark, tempfile.mkdtemp(), threshold=0.7)
+    idx.build(d.filter(F.col("doc_id") < s1))
+    q1 = idx.query_and_update(
+        d.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))
+    )
+    q2 = idx.query_and_update(d.filter(F.col("doc_id") >= s2))
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in q1.collect() + q2.collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verified_near_dups(d, "doc_id", "text", threshold=0.7)
+        .filter(F.col("id_b") >= s1)
+        .collect()
+    )
+    assert got == want and len(got) > 0
