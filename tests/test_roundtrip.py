@@ -624,3 +624,41 @@ def test_python_udf_input_is_pinned(spark):
     u = F.udf(lambda s: s + "!", StringType()).asNondeterministic()
     assert not _plan_is_row_stable(plain.select(u("value").alias("value")))
     assert not _plan_is_row_stable(plain.limit(5))
+
+
+def test_dead_producer_reservation_recovered(spark, sf_dir, tmp_path):
+    """A producer that crashed between reserve and publish (simulated:
+    pending entry with a dead pid + leftover staging files) must not
+    block the topic: the next producer skips the dead reservation,
+    cleans its staging, and publishes with an offset gap."""
+    import json as _json
+    import os
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("dr")
+    seq, ends, _ = cat.reserve("dr", lambda cur: ({0: cur.get(0, -1) + 7}, None))
+    # simulate the crash: rewrite the reservation with a dead pid and
+    # leave staged files behind
+    rp = cat._reservations_path("dr")
+    with open(rp) as f:
+        st = _json.load(f)
+    st["pending"][str(seq)]["pid"] = 2**22 + 12345  # beyond pid_max: dead
+    with open(rp, "w") as f:
+        _json.dump(st, f)
+    staging = cat.staging_dir("dr", seq)
+    os.makedirs(os.path.join(staging, "partition=0"), exist_ok=True)
+    with open(os.path.join(staging, "partition=0", "junk.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    prod.produce(
+        _events(spark, sf_dir).limit(200), "dr",
+        key_col="user_id", value_col="props", ts_col="ts",
+    )
+    assert not os.path.exists(staging)  # dead staging cleaned
+    rows = cat.read("dr")
+    assert rows.count() == 200
+    # partition 0 starts past the dead reservation's gap
+    p0 = sorted(r["offset"] for r in rows.filter("partition = 0").collect())
+    if p0:
+        assert p0[0] == 7 and p0 == list(range(7, 7 + len(p0)))
+    assert cat.tails("dr")[0] >= 7
