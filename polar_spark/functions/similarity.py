@@ -428,3 +428,62 @@ def lsh_bucket(vec_col: str | Column, dims: int, planes: int = N_PLANES) -> Colu
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return bucket(c)
+
+
+def semdedup_drop_ids(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    tau_sq_pct: int = 9025,  # τ² · 10⁴ — 9025 ⇔ cosine ≥ 0.95
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then removing near-identical pairs WITHIN each
+    cluster only.
+
+    Scale shape — the whole point of the method: a global pairwise
+    cosine sweep is O(n²) and impossible at 100 TB; clustering first
+    bounds the quadratic term to O(Σ|cell|²) and turns the job into a
+    self-join on ``cell`` (one hash shuffle on a low-cardinality key;
+    per-cell work is independent and spreads across executors). Cell
+    assignment is the same narrow zero-shuffle pass as IVF ingest
+    (:func:`ivf_cell`), so a stored IVF index (sources/ivf_index)
+    already has the clustering for free.
+
+    Exactness contract: quantized int64 vectors make the threshold test
+    pure integer arithmetic — ``cos(a,b) ≥ τ`` (with dot > 0) iff
+    ``10⁴·dot² ≥ (τ²·10⁴)·|a|²·|b|²`` — evaluated in decimal(38,0) so it
+    is bit-reproducible in any engine (the DuckDB oracle uses HUGEINT).
+
+    Returns the ids to DROP: for every over-threshold pair the larger id
+    loses (deterministic keep-lowest policy), distinct.
+    """
+    t = (
+        vecs.select(id_col, vec_col)
+        .withColumn("cell", ivf_cell(vec_col, centroids))
+        .withColumn("n2", sq_norm(F.col(vec_col)))
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "cell",
+        F.col("n2").alias("na2"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "cell",
+        F.col("n2").alias("nb2"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    d = F.col("d").cast("decimal(38,0)")
+    lhs = d * d * F.lit(10000)
+    rhs = (
+        F.col("na2").cast("decimal(38,0)") * F.col("nb2") * F.lit(int(tau_sq_pct))
+    )
+    return (
+        pairs.withColumn("d", dot(F.col("va"), F.col("vb")))
+        .filter((F.col("d") > 0) & (lhs >= rhs))
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )

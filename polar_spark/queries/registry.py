@@ -48,6 +48,10 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_clusters_cc",
     "pack_token_shards_sequential",
     "dedup_incremental_index",
+    "gopher_quality_filter",
+    "dup_span_detect",
+    "semdedup_embedding_prune",
+    "bloom_semi_join_orders",
 )
 
 

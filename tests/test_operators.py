@@ -649,3 +649,102 @@ def test_near_dup_index_incremental_equals_one_shot(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_semi_join_exact_and_prefilter_selective(spark, sf_dir):
+    """The bloom-prefiltered semi join must EQUAL the plain semi join
+    (false positives scrubbed), and the bloom prefilter alone must pass
+    all true matches while rejecting most non-matches."""
+    from polar_spark.operators.bloomjoin import (
+        bloom_contains,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    got = {
+        r["o_orderkey"]
+        for r in bloom_semi_join(o, cust, "o_custkey", "c_custkey").collect()
+    }
+    want = {
+        r["o_orderkey"]
+        for r in o.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "leftsemi"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # no false negatives; FP rate small at 1 Mbit / ~300 keys
+    bm = build_bloom(cust, "c_custkey")
+    pre = o.filter(bloom_contains(bm, F.col("o_custkey")))
+    n_pre, n_match, n_all = pre.count(), len(want), o.count()
+    assert n_pre >= n_match
+    assert (n_pre - n_match) <= max(5, (n_all - n_match) * 0.01)
+
+
+def test_bloom_build_handles_empty_partitions(spark):
+    from polar_spark.operators.bloomjoin import bloom_contains, build_bloom
+
+    df = spark.range(0, 10).repartition(64).withColumnRenamed("id", "k")
+    bm = build_bloom(df, "k", m_bits=1 << 12, k=4)
+    probe = spark.range(0, 10).withColumnRenamed("id", "k")
+    assert (
+        probe.filter(bloom_contains(bm, F.col("k"), m_bits=1 << 12, k=4)).count() == 10
+    )
+
+
+def test_semdedup_drops_planted_near_dup(spark):
+    """A planted near-identical pair in the same cell is pruned (higher
+    id dropped); an orthogonal vector survives."""
+    from polar_spark.functions.similarity import quantize, semdedup_drop_ids
+
+    base = [0.5] * 32 + [0.0] * 32
+    near = [0.5] * 31 + [0.49] + [0.0] * 32
+    ortho = [0.0] * 32 + [0.5] * 32
+    rows = [(0, base), (1, near), (2, ortho)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = df.select("vec_id", quantize("embedding").alias("v"))
+    cents = [(r["vec_id"], r["v"]) for r in qv.collect()]  # every vec a centroid
+    # all three assigned to own cell -> no pairs; use ONE centroid so
+    # they share a cell and the pairwise prune actually runs
+    one = [cents[0]]
+    got = {
+        r["drop_id"]
+        for r in semdedup_drop_ids(qv, one, tau_sq_pct=9025).collect()
+    }
+    assert got == {1}
+
+
+def test_gopher_filter_flags_boundaries(spark, sf_dir):
+    """keep=1 docs satisfy every rule; at least one doc fails each
+    side of the word-count rule on this corpus."""
+    from polar_spark.queries.quality import gopher_quality_filter
+
+    rows = gopher_quality_filter(spark, sf_dir).collect()
+    kept = [r for r in rows if r["keep"] == 1]
+    assert kept, "filter should keep something"
+    for r in kept:
+        assert 30 <= r["n_words"] <= 90
+        assert 3.0 <= r["mean_word_len"] <= 10.0
+        assert r["stop_distinct"] >= 2
+        assert r["alpha_frac"] >= 0.8
+    assert any(r["n_words"] < 30 for r in rows)
+    assert any(r["n_words"] > 90 for r in rows)
+
+
+def test_dup_span_counts_docs_not_occurrences(spark, sf_dir):
+    """A span repeated twice INSIDE one doc counts once (distinct
+    per-doc spans), and every reported span occurs in >= n_docs docs."""
+    from polar_spark.queries.quality import dup_span_detect
+
+    top = dup_span_detect(spark, sf_dir).collect()
+    assert len(top) > 0
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in top[:3]:
+        n = sum(1 for d in docs if r["span"] in (d["text"] or ""))
+        assert n >= r["n_docs"] >= 2
