@@ -218,3 +218,54 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return bloom_semi_join(o, cust, "o_custkey", "c_custkey")
+
+
+_CHUNK_WORDS = 20
+
+
+@query(
+    "chunk_dup_ratio",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(list_transform(
+    range(0, CAST(ceil(len(string_split(text, ' ')) / {_CHUNK_WORDS}.0) AS INT)),
+    i -> array_to_string(
+      string_split(text, ' ')[i * {_CHUNK_WORDS} + 1 : i * {_CHUNK_WORDS} + {_CHUNK_WORDS}], ' ')))
+    AS chunk
+  FROM documents
+), cnt AS (
+  SELECT doc_id, chunk, COUNT(*) OVER (PARTITION BY chunk) AS n_occ FROM ch
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM cnt GROUP BY doc_id
+""",
+)
+def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content ratio (the RefinedWeb /
+    arXiv:2306.01116 exact-substring signal at chunk granularity): split
+    each doc into non-overlapping 20-word chunks, count corpus-wide
+    occurrences of each chunk, report the fraction of a doc's chunks
+    that appear elsewhere too. Scale shape: one explode, one window
+    partitioned by chunk (hash shuffle on chunk — map-side combinable
+    cardinality), one groupBy doc_id — never a doc×doc pair. Docs made
+    of boilerplate score high and get dropped by the curation step."""
+    from pyspark.sql.window import Window
+
+    from polar_spark.functions.dedup import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    w = "split(text, ' ')"
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size({w}) / {_CHUNK_WORDS}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice({w}, i * {_CHUNK_WORDS} + 1, {_CHUNK_WORDS})))"
+    )
+    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    occ = ch.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
+    dup = F.sum((F.col("n_occ") > 1).cast("bigint"))
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+        (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+    )

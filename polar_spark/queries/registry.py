@@ -52,6 +52,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "dup_span_detect",
     "semdedup_embedding_prune",
     "bloom_semi_join_orders",
+    "sql_not_in_null_aware",
+    "chunk_dup_ratio",
 )
 
 

