@@ -1,0 +1,125 @@
+"""At-ingest near-dup detection as a Structured Streaming sink.
+
+The 100 TB shape: dedup is cheapest BEFORE data lands — each arriving
+micro-batch is checked against the persistent MinHash-LSH store
+(functions/dedup.NearDupIndex: band-bucket join, O(batch·bands) shuffle,
+exact-Jaccard verify) and then appended to it, so the stream pays
+O(batch) per trigger and the store grows monotonically. This module
+wires that index into ``writeStream.foreachBatch`` with the same
+idempotent-epoch pattern as the topic producer (streaming/ingest.py):
+a retried micro-batch (checkpoint-commit failure) is skipped instead of
+double-appending the batch to the store — the failure mode that would
+otherwise make every future Jaccard against those docs wrong.
+
+Guarantee: at-least-once on the PAIRS sink (a crash between the pair
+write and the epoch record replays one batch's pairs — downstream
+consumers dedup on (id_a, id_b), which is idempotent), exactly-once on
+the STORE (the epoch check gates the append).
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from polar_spark.functions.dedup import NearDupIndex
+from polar_spark.streaming.ingest import _sink_instance_key
+
+
+class StreamingNearDup:
+    """Continuously index a document stream and emit verified near-dup
+    pairs to a parquet sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        pairs_path: str,
+        threshold: float = 0.7,
+    ):
+        self.spark = spark
+        self.index = NearDupIndex(spark, index_path, threshold=threshold)
+        self.pairs_path = pairs_path
+        self._ledger = os.path.join(index_path, "_epochs.json")
+        os.makedirs(index_path, exist_ok=True)
+
+    # -- epoch ledger (flock-guarded RMW, same law as topics.record_epoch) --
+    def _last_epoch(self, key: str) -> int:
+        try:
+            with open(self._ledger) as f:
+                return int(json.load(f).get(key, -1))
+        except FileNotFoundError:
+            return -1
+
+    def _record_epoch(self, key: str, epoch: int, force: bool = False) -> None:
+        lock = self._ledger + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                with open(self._ledger) as f:
+                    d = json.load(f)
+            except FileNotFoundError:
+                d = {}
+            cur = int(d.get(key, -1))
+            d[key] = int(epoch) if force else max(cur, int(epoch))
+            tmp = self._ledger + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(d, f)
+            os.replace(tmp, self._ledger)
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        sink_id: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> bool:
+        """Apply one micro-batch idempotently; False = already applied
+        (the foreachBatch retry path — store untouched)."""
+        key = _sink_instance_key(sink_id)
+        last = self._last_epoch(key)
+        reset = epoch == 0 and last > 0
+        if last >= epoch and not reset:
+            return False
+        if not batch_df.isEmpty():
+            pairs = self.index.query_and_update(
+                batch_df, id_col=id_col, text_col=text_col
+            )
+            pairs.write.mode("append").parquet(self.pairs_path)
+        self._record_epoch(key, epoch, force=reset)
+        return True
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        checkpoint_dir: str | None = None,
+        trigger_seconds: float | None = None,
+    ) -> StreamingQuery:
+        cp = checkpoint_dir or os.path.join(self.index.path, "_checkpoint")
+
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
+            self.apply_batch(batch_df, epoch, cp, id_col=id_col, text_col=text_col)
+
+        writer = stream_df.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", cp
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def pairs(self) -> DataFrame:
+        """All pairs emitted so far (distinct — replays may duplicate)."""
+        return self.spark.read.parquet(self.pairs_path).distinct()

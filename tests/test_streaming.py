@@ -564,3 +564,56 @@ def test_continuous_rollup_end_to_end(spark, sf_dir, catalog, tmp_path):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert latest == expect  # streaming rollup state == batch aggregation
+
+
+def test_streaming_near_dup_index_matches_one_shot(spark, sf_dir, tmp_path):
+    """Docs streamed through StreamingNearDup (one parquet file per
+    micro-batch) must emit exactly the one-shot verified_near_dups pairs
+    that touch the streamed batches, and a retried epoch must NOT
+    double-append the store."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.dedup import verified_near_dups
+    from polar_spark.sources.tables import load_table
+    from polar_spark.streaming.dedup import StreamingNearDup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    s1, s2 = hi // 3, 2 * hi // 3
+
+    snd = StreamingNearDup(
+        spark, str(tmp_path / "idx"), str(tmp_path / "pairs"), threshold=0.7
+    )
+    snd.index.build(d.filter(F.col("doc_id") < s1))
+
+    src = str(tmp_path / "src")
+    d.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    d.filter(F.col("doc_id") >= s2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = snd.start(stream)
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in snd.pairs().collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verified_near_dups(d, "doc_id", "text", threshold=0.7)
+        .filter(F.col("id_b") >= s1)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # retry path: re-applying an already-recorded epoch is a no-op
+    bands_before = spark.read.parquet(snd.index.bands_path).count()
+    replay = d.filter(F.col("doc_id") >= s2)
+    cp = str(tmp_path / "idx" / "_checkpoint")
+    assert snd.apply_batch(replay, 1, cp) is False
+    assert spark.read.parquet(snd.index.bands_path).count() == bands_before
