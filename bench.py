@@ -67,6 +67,11 @@ HEADLINE = [
     "chunk_documents_sliding",
     "contamination_ngram_overlap",
     "split_train_eval_deterministic",
+    "gopher_quality_filter",
+    "dup_span_detect",
+    "semdedup_embedding_prune",
+    "bloom_semi_join_orders",
+    "chunk_dup_ratio",
 ]
 
 
@@ -122,6 +127,13 @@ SCALE_HEADLINE = [
     "knn_bruteforce_dot",
     "knn_ivf_probe",
     "embedding_lsh_buckets",
+    # round-4 curation ops (documents-bound; semdedup excluded — its
+    # within-cell pairwise term scales with |cell|², and the honest
+    # scale-up grows NLIST with the corpus, which would change the
+    # oracle-checked query under test)
+    "gopher_quality_filter",
+    "dup_span_detect",
+    "chunk_dup_ratio",
 ]
 
 

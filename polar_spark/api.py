@@ -251,6 +251,27 @@ class PolarEngine:
     def consumer_group(self, consumer_id: str) -> str:
         return self._require(consumer_id).group
 
+    def consumer_lag(self) -> dict[tuple[str, str], int]:
+        """(group, topic) → total lag (Σ max(tail − committed, 0) over
+        partitions) for every registered group — THE broker health
+        metric. Pure ledger reads (two small JSON files per pair), no
+        Spark job, so /metrics scrapes stay O(groups·topics) cheap."""
+        with self._state_lock:
+            pairs = sorted(
+                {(st.group, t) for st in self._consumers.values() for t in st.topics}
+            )
+        out: dict[tuple[str, str], int] = {}
+        for group, topic in pairs:
+            try:
+                committed = ConsumerGroup(self.catalog, group).committed(topic)
+                tails = self.catalog.tails(topic)
+            except (ValueError, FileNotFoundError):
+                continue
+            out[(group, topic)] = sum(
+                max(tail - committed.get(p, -1), 0) for p, tail in tails.items()
+            )
+        return out
+
     # -- served-position snapshot (facade crash consistency) ---------------
     def pending_snapshot(self, consumer_id: str) -> dict[str, dict[int, int]]:
         """Deep copy of the consumer's in-memory served positions. A

@@ -117,6 +117,12 @@ class PolarRestServer:
                         "polar_consumer_active",
                         v=float(len(facade.engine._consumers)),
                     )
+                    for (g, t), lag in facade.engine.consumer_lag().items():
+                        m.set(
+                            "polar_consumer_group_lag",
+                            {"group": g, "topic": t},
+                            float(lag),
+                        )
                     self._send(200, m.render())
                 elif path == "/v1/brokers":
                     d = facade.engine.discovery()

@@ -143,3 +143,37 @@ def test_keyless_offset_plan_invariants(counts, prior, p):
     for q in range(p):
         if q not in seen:
             assert new_tails[q] == tails.get(q, -1)
+
+
+@settings(max_examples=200)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=50
+    ),
+    m_log2=st.integers(min_value=8, max_value=16),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bloom_bitmap_never_false_negative(keys, probes, m_log2, k):
+    """Pure-numpy core of operators/bloomjoin: every inserted key tests
+    positive for any (m, k); non-members may collide but membership is
+    never lost."""
+    import numpy as np
+
+    from polar_spark.operators.bloomjoin import _positions
+
+    m = 1 << m_log2
+    bm = np.zeros(m // 8, dtype=np.uint8)
+    pos = _positions(np.array(keys, dtype=np.int64), m, k).ravel()
+    np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def member(x: int) -> bool:
+        p = _positions(np.array([x], dtype=np.int64), m, k)
+        return bool((((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all()))
+
+    assert all(member(x) for x in keys)
+    # sanity: probing is deterministic (same answer twice)
+    for x in probes[:10]:
+        assert member(x) == member(x)

@@ -195,8 +195,12 @@ def test_metrics_counters_advance(server):
         )[0] == 200
     _req("PUT", f"{u}/v1/consumer/register?consumerId=m1&group=gm&topic=mt"
                 "&onNewGroup=startFromEarliest")
+    lag_key = 'polar_consumer_group_lag{group="gm",topic="mt"}'
+    assert scrape()[lag_key] == 5.0  # registered earliest, nothing polled
     assert _req("POST", f"{u}/v1/consumer/poll?consumerId=m1")[0] == 200
+    assert _req("POST", f"{u}/v1/consumer/commit?consumerId=m1")[0] == 204
     after = scrape()
+    assert after[lag_key] == 0.0  # drained and committed
 
     prod_key = 'polar_coalescer_messages_total{topic="mt"}'
     cons_key = 'polar_consumer_messages_served_total{group="gm",topic="mt"}'
