@@ -72,6 +72,7 @@ HEADLINE = [
     "semdedup_embedding_prune",
     "bloom_semi_join_orders",
     "chunk_dup_ratio",
+    "knn_pq_adc",
 ]
 
 

@@ -697,6 +697,24 @@ class NearDupIndex:
         finally:
             shw.unpersist()
 
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Re-roll the band/shingle stores' per-batch small files —
+        streaming ingest appends one file set per micro-batch, and the
+        candidate join's scan efficiency needs them consolidated (the
+        same operational law as topics.compact / the reference's segment
+        rolling). Bands cluster by band (the join key side benefits from
+        locality); shingles by id. Caller must serialize against
+        query_and_update (single-writer contract, see class docstring).
+        Returns {store: (files_before, files_after)}."""
+        return {
+            "bands": _compact_parquet_dir(
+                self.spark, self.bands_path, "band", "band_key"
+            ),
+            "shingles": _compact_parquet_dir(
+                self.spark, self.shingles_path, "id", "shingle"
+            ),
+        }
+
     def query_and_update(self, new_docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
         """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold)
@@ -829,3 +847,37 @@ def connected_components(
         f"connected_components: no fixpoint in {max_iterations} rounds "
         "(unexpectedly deep cluster graph — raise max_iterations)"
     )
+
+
+def _compact_parquet_dir(
+    spark: SparkSession, d: str, partition_col: str, sort_col: str
+) -> tuple[int, int]:
+    """Rewrite a parquet dir's accumulated small files into few
+    partition-bucketed, sorted ones (same swap discipline as
+    topics.compact: write aside, two renames, drop old)."""
+    import os as _os
+    import shutil as _shutil
+
+    def _count(p: str) -> int:
+        return sum(
+            1
+            for dp, _dn, fns in _os.walk(p)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+
+    if not _os.path.isdir(d):
+        return (0, 0)
+    before = _count(d)
+    tmp, old = d + ".compact_tmp", d + ".compact_old"
+    (
+        spark.read.parquet(d)
+        .repartition(F.col(partition_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _os.rename(d, old)
+    _os.rename(tmp, d)
+    _shutil.rmtree(old, ignore_errors=True)
+    return before, _count(d)

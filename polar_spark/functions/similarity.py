@@ -33,6 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
 )
@@ -487,3 +488,218 @@ def semdedup_drop_ids(
         .select(F.col("id_b").alias("drop_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ/ADC) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+PQ_NSUB = 8
+PQ_KSUB = 16
+
+
+def train_pq_codebook(
+    candidates: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nsub: int = PQ_NSUB,
+    ksub: int = PQ_KSUB,
+    iters: int = 4,
+) -> list[list[list[int]]]:
+    """Deterministic per-subspace Lloyd's k-means → a product-quantizer
+    codebook ``books[sub][code] = centroid subvector``.
+
+    PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search") is the storage half of the Faiss IVFADC design: a vector
+    becomes ``nsub`` byte codes (64 float dims → 8 bytes, 32×
+    compression), so a 100 TB embedding corpus's search structure fits
+    in ~3 TB and scans stay memory-bandwidth-bound.
+
+    Scale shape mirrors :func:`train_ivf_codebook`: every iteration is
+    one narrow encode pass (codebook rides the UDF closure) + one
+    (dim, code) aggregation whose output is O(dims·ksub) rows to the
+    driver — never O(corpus). Deterministic: init = subvectors of the
+    ``ksub`` lowest-id vectors, exact integer sums, floor means, empty
+    codes keep their previous centroid."""
+    base = candidates.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init = base.orderBy("_id").limit(ksub).collect()
+    dims = len(init[0]["_v"])
+    if dims % nsub:
+        raise ValueError(f"dims {dims} not divisible by nsub {nsub}")
+    dsub = dims // nsub
+    books = [
+        [[int(x) for x in r["_v"][s * dsub : (s + 1) * dsub]] for r in init]
+        for s in range(nsub)
+    ]
+    for _ in range(iters):
+        enc = base.withColumn("codes", pq_encode("_v", books))
+        means = (
+            enc.select("codes", F.posexplode("_v").alias("dim", "x"))
+            .withColumn("code", F.expr(f"codes[cast(dim / {dsub} as int)]"))
+            .groupBy("dim", "code")
+            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("m"))
+            .collect()
+        )
+        got: dict[tuple[int, int], int] = {
+            (int(r["dim"]), int(r["code"])): int(r["m"]) for r in means
+        }
+        books = [
+            [
+                [
+                    got.get((s * dsub + d, c), books[s][c][d])
+                    for d in range(dsub)
+                ]
+                for c in range(ksub)
+            ]
+            for s in range(nsub)
+        ]
+    return books
+
+
+def pq_encode(vec_col: str | Column, books: list[list[list[int]]]) -> Column:
+    """PQ codes for a quantized vector — ``array<int>`` of length nsub
+    (each entry < ksub; conceptually one byte). One narrow Arrow pass,
+    nsub small matmuls per batch; ties → lowest code (argmin takes the
+    first minimum over code-ordered distances)."""
+    B = [np.array(b, dtype=np.int64) for b in books]
+    nsub = len(B)
+    dsub = B[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = _mat(v)
+        codes = np.empty((len(V), nsub), dtype=np.int32)
+        for s, Bs in enumerate(B):
+            Vs = V[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (Vs * Vs).sum(axis=1)[:, None]
+                + (Bs * Bs).sum(axis=1)[None, :]
+                - 2 * (Vs @ Bs.T)
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return enc(c)
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    encoded: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    rerank: DataFrame | None = None,
+    query_id: str = "qid",
+    cand_id: str = "vec_id",
+    query_vec: str = "qv",
+    codes_col: str = "codes",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, with optional exact
+    re-rank (the IVFADC+R pattern).
+
+    ADC: each query precomputes an (nsub × ksub) dot-product lookup
+    table against the codebook; a candidate's approximate dot is the sum
+    of nsub table lookups — no decode, no per-candidate matmul. The
+    corpus side scans codes (bytes, not vectors): per-partition running
+    top-``shortlist`` exactly like :func:`brute_force_topk`, so the
+    shuffle is O(partitions·shortlist·|Q|), independent of n.
+
+    ``rerank`` (id → raw vector) joins ONLY the global shortlist
+    (O(shortlist·|Q|) rows) back to exact vectors and re-scores — the
+    standard recall fix for quantization error, paying exact dots for
+    shortlist·|Q| candidates instead of n·|Q|."""
+    from pyspark.sql import types as T
+
+    qrows = (
+        queries.select(query_id, query_vec)
+        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("pq_topk_adc: empty query set")
+    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"pq_topk_adc: query set exceeds {MAX_BRUTE_FORCE_QUERIES}; "
+            "batch the probe set or route through an IVF partition first"
+        )
+    B = [np.array(b, dtype=np.int64) for b in books]
+    nsub, dsub = len(B), B[0].shape[1]
+    qids_py = [r[query_id] for r in qrows]
+    m = len(qids_py)
+    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)  # (m, dims)
+    # LUT[q][s][code] = dot(query subvector, codebook centroid)
+    LUT = np.stack(
+        [
+            np.stack(
+                [B[s] @ Q[q, s * dsub : (s + 1) * dsub] for s in range(nsub)]
+            )
+            for q in range(m)
+        ]
+    )  # (m, nsub, ksub)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(cand_id, encoded.schema[cand_id].dataType),
+            T.StructField("adc_dot", T.LongType()),
+        ]
+    )
+
+    def part_topk(batches):
+        qids = np.array(qids_py)
+        best_v = [np.empty(0, np.int64) for _ in range(m)]
+        best_i = [np.empty(0, dtype=object) for _ in range(m)]
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            C = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)  # (n, nsub)
+            ids = pdf[cand_id].to_numpy()
+            n = len(ids)
+            D = np.zeros((n, m), dtype=np.int64)
+            for s in range(nsub):
+                D += LUT[:, s, C[:, s]].T  # (n, m)
+            for q in range(m):
+                mask = ids != qids[q]
+                v = np.concatenate([best_v[q], D[mask, q]])
+                i = np.concatenate([best_i[q], ids[mask]])
+                order = np.lexsort((i, -v))[:shortlist]
+                best_v[q], best_i[q] = v[order], i[order]
+        if not seen:
+            return
+        counts = [len(best_v[q]) for q in range(m)]
+        yield pd.DataFrame(
+            {
+                query_id: [qids_py[q] for q in range(m) for _ in range(counts[q])],
+                cand_id: np.concatenate(best_i) if sum(counts) else [],
+                "adc_dot": np.concatenate(best_v) if sum(counts) else [],
+            },
+            columns=[query_id, cand_id, "adc_dot"],
+        )
+
+    partial = encoded.select(cand_id, codes_col).mapInPandas(
+        part_topk, schema=out_schema
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc_dot").desc(), F.col(cand_id))
+    short = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist
+    )
+    if rerank is None:
+        return short.filter(F.col("rn") <= k)
+    qdf = queries.select(
+        F.col(query_id), F.col(query_vec)
+    )
+    exact = (
+        short.select(query_id, cand_id)
+        .join(rerank.select(cand_id, cand_vec), cand_id)
+        .join(F.broadcast(qdf), query_id)
+        .withColumn("dot", dot(F.col(query_vec), F.col(cand_vec)))
+        .select(query_id, cand_id, "dot")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)

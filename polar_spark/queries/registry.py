@@ -54,6 +54,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "bloom_semi_join_orders",
     "sql_not_in_null_aware",
     "chunk_dup_ratio",
+    "knn_pq_adc",
 )
 
 

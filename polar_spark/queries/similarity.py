@@ -210,6 +210,38 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_pq_adc")  # no oracle: trained PQ codebook is not SQL-expressible
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: product quantization + asymmetric-distance
+    scan + exact re-rank (Faiss IVFADC+R shape;
+    functions/similarity.train_pq_codebook / pq_topk_adc). Vectors are
+    stored as 8 byte-codes (32x smaller than raw floats) — at 100 TB the
+    search structure fits in memory-bandwidth range; queries scan codes
+    via per-query lookup tables (no decode), keep a per-partition
+    shortlist (shuffle O(parts*shortlist*|Q|), independent of n), and
+    re-rank only the shortlist against raw vectors for exact final dots.
+    Rows-only driver check (iterative training); recall >= 0.8 and
+    re-rank exactness are pytest-asserted in tests/test_operators.py."""
+    from polar_spark.functions.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    books = train_pq_codebook(qv, "v", "vec_id", iters=2)
+    enc = qv.select("vec_id", pq_encode("v", books).alias("codes"))
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    out = pq_topk_adc(
+        queries, enc, books, k=5, shortlist=100,
+        rerank=qv.select("vec_id", F.col("v").alias("cv")),
+    ).select("qid", "vec_id", "dot", "rn")
+    return out
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_BUCKETS_CTE

@@ -748,3 +748,107 @@ def test_dup_span_counts_docs_not_occurrences(spark, sf_dir):
     for r in top[:3]:
         n = sum(1 for d in docs if r["span"] in (d["text"] or ""))
         assert n >= r["n_docs"] >= 2
+
+
+def test_pq_adc_recall_and_rerank_exactness(spark, sf_dir):
+    """PQ/ADC shortlist + exact re-rank: re-ranked top-5 dots must be
+    exact (match brute force for the ids it returns), and recall@5 vs
+    exact brute force must clear 0.8 with a 100-deep shortlist (random
+    vectors are PQ's hardest case — no cluster structure to exploit)."""
+    from polar_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk_adc,
+        quantize,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    books = train_pq_codebook(qv, "v", "vec_id", iters=2)
+    enc = qv.select("vec_id", pq_encode("v", books).alias("codes"))
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    got = pq_topk_adc(
+        queries,
+        enc,
+        books,
+        k=5,
+        shortlist=100,
+        rerank=qv.select("vec_id", F.col("v").alias("cv")),
+    ).collect()
+    exact = brute_force_topk(
+        queries, qv.select("vec_id", F.col("v").alias("cv")), k=5
+    ).collect()
+    exact_by_q: dict = {}
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], {})[r["vec_id"]] = r["dot"]
+    hits = 0
+    for r in got:
+        if r["vec_id"] in exact_by_q[r["qid"]]:
+            hits += 1
+            assert r["dot"] == exact_by_q[r["qid"]][r["vec_id"]]  # exact re-rank
+    assert hits / len(exact) >= 0.8, f"recall {hits}/{len(exact)}"
+    qv.unpersist()
+
+
+def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
+    from polar_spark.functions.similarity import (
+        PQ_KSUB,
+        PQ_NSUB,
+        pq_encode,
+        quantize,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    books = train_pq_codebook(qv, "v", "vec_id", iters=1)
+    a = {r["vec_id"]: list(r["codes"]) for r in
+         qv.select("vec_id", pq_encode("v", books).alias("codes")).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in
+         qv.select("vec_id", pq_encode("v", books).alias("codes")).collect()}
+    assert a == b
+    assert all(len(c) == PQ_NSUB and max(c) < PQ_KSUB and min(c) >= 0
+               for c in a.values())
+
+
+def test_near_dup_index_compaction_preserves_results(spark, sf_dir):
+    """compact() shrinks the stores' file counts without changing what
+    the next batch detects."""
+    import tempfile
+
+    from polar_spark.functions.dedup import NearDupIndex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    s1, s2 = hi // 3, 2 * hi // 3
+
+    def run(compact: bool):
+        idx = NearDupIndex(spark, tempfile.mkdtemp(), threshold=0.7)
+        idx.build(d.filter(F.col("doc_id") < s1))
+        # append in 4 sub-batches to fragment the store
+        lows = [s1, (s1 + s2) // 2]
+        for lo, hic in zip(lows, lows[1:] + [s2]):
+            idx.query_and_update(
+                d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hic))
+            ).count()
+        counts = None
+        if compact:
+            counts = idx.compact()
+        pairs = idx.query_and_update(d.filter(F.col("doc_id") >= s2))
+        return (
+            sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in pairs.collect()
+            ),
+            counts,
+        )
+
+    base, _ = run(compact=False)
+    got, counts = run(compact=True)
+    assert got == base and len(got) > 0
+    for store, (before, after) in counts.items():
+        assert after <= before, store
+    assert counts["bands"][1] < counts["bands"][0]
