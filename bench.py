@@ -73,6 +73,7 @@ HEADLINE = [
     "bloom_semi_join_orders",
     "chunk_dup_ratio",
     "knn_pq_adc",
+    "knn_ivfpq_stored",
 ]
 
 

@@ -458,6 +458,12 @@ def semdedup_drop_ids(
 
     Returns the ids to DROP: for every over-threshold pair the larger id
     loses (deterministic keep-lowest policy), distinct.
+
+    Note: the self-join evaluates the assignment UDF once per side (two
+    narrow passes over the corpus). Persist the input, or — the real
+    100 TB path — read cells from an ingest-materialized IVF index
+    (sources/ivf_index) where assignment already happened once at write
+    time and this becomes a pure partition-local pair scan.
     """
     t = (
         vecs.select(id_col, vec_col)
@@ -703,3 +709,28 @@ def pq_topk_adc(
     )
     w2 = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
     return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
+def adc_dot_expr(
+    qids: list, LUT: np.ndarray, qid_col: Column, codes_col: Column
+) -> Column:
+    """Row-wise asymmetric-distance dot: ``Σ_s LUT[qid, s, code_s]``.
+
+    For the joined (query, candidate-codes) shape IVFADC produces —
+    the LUT (|Q| × nsub × ksub int64) rides the closure; scoring is
+    pure fancy-indexed numpy per Arrow batch, no decode, no matmul."""
+    idx_map = {q: i for i, q in enumerate(qids)}
+    nsub = LUT.shape[1]
+
+    @pandas_udf(LongType())
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="int64")
+        qi = qid.map(idx_map).to_numpy(dtype=np.int64)
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        D = np.zeros(len(qi), dtype=np.int64)
+        for s in range(nsub):
+            D += LUT[qi, s, C[:, s]]
+        return pd.Series(D)
+
+    return adc(qid_col, codes_col)

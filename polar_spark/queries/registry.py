@@ -55,6 +55,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "sql_not_in_null_aware",
     "chunk_dup_ratio",
     "knn_pq_adc",
+    "knn_ivfpq_stored",
 )
 
 

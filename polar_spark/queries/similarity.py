@@ -242,6 +242,47 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("knn_ivfpq_stored")  # no oracle: trained PQ codebook (iterative)
+def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Faiss-IVFADC+R over a MATERIALIZED index
+    (sources/ivf_index.write_ivfpq_index / ivfpq_topk_stored): coarse
+    cell + PQ codes assigned once at ingest and stored cell-partitioned;
+    queries probe nprobe cells (partition-pruned), ADC-scan the codes
+    column only (vector column pruned from the hot scan — plan-asserted
+    in tests/test_plans.py), exact-re-rank the shortlist from the stored
+    raw vectors. Rows-only driver check; recall/exactness
+    pytest-asserted in tests/test_operators.py."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from polar_spark.functions.similarity import train_pq_codebook
+    from polar_spark.sources.ivf_index import (
+        ivfpq_topk_stored,
+        write_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    tag = _hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"polar_ivfpq_index_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        books = train_pq_codebook(qv, "v", "vec_id", iters=2)
+        write_ivfpq_index(qv, path, cents, books)
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    out = ivfpq_topk_stored(spark, path, queries, k=5, shortlist=100).select(
+        "qid", "vec_id", "dot", "rn"
+    )
+    qv.unpersist()
+    return out
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_BUCKETS_CTE

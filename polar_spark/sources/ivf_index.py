@@ -149,3 +149,140 @@ def ivf_topk_stored(
         cand_vec=cand_vec,
         cell_col="cell",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: PQ codes stored inside the cell-partitioned layout
+# ---------------------------------------------------------------------------
+
+PQ_BOOKS_FILE = "_pq_books.json"
+
+
+def _save_pq_books(path: str, books: list[list[list[int]]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, PQ_BOOKS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump([[[int(x) for x in c] for c in b] for b in books], f)
+    os.replace(tmp, os.path.join(path, PQ_BOOKS_FILE))
+
+
+def load_pq_books(path: str) -> list[list[list[int]]]:
+    with open(os.path.join(path, PQ_BOOKS_FILE)) as f:
+        return json.load(f)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """The full Faiss-IVFADC storage shape: each vector gets its coarse
+    ``cell`` (directory partition = inverted list) AND its PQ ``codes``
+    (nsub byte-codes) in ONE narrow ingest pass; raw vectors are kept as
+    a column for shortlist re-ranking. Queries that only ADC-scan read
+    (id, codes) and prune the vector column entirely — at 100 TB the
+    hot scan is the ~3 TB code stream, not the 100 TB vectors."""
+    from polar_spark.functions.similarity import pq_encode
+
+    out = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        pq_encode(vec_col, books).alias("codes"),
+        ivf_cell(vec_col, centroids).alias("cell"),
+    )
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+    _save_codebook(path, centroids)
+    _save_pq_books(path, books)
+
+
+def ivfpq_topk_stored(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    shortlist: int = 100,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    cand_id: str = "vec_id",
+    cand_vec: str = "v",
+) -> DataFrame:
+    """IVFADC+R over a materialized index: probe ``nprobe`` cells
+    (partition-pruned scan of (id, codes) only), ADC-score the probed
+    lists via per-query lookup tables (no decode), keep a
+    ``shortlist`` per query, then exact-re-rank ONLY the shortlist
+    against the stored raw vectors. Touches nprobe/nlist of the corpus,
+    scans codes not vectors, and pays exact dots for
+    O(shortlist·|Q|) rows — every term independent of n or sublinear."""
+    from pyspark.sql.window import Window
+
+    import numpy as np
+
+    from polar_spark.functions.similarity import (
+        MAX_BRUTE_FORCE_QUERIES,
+        adc_dot_expr,
+        dot,
+        ivf_probe_cells,
+    )
+
+    cands, centroids = read_ivf_index(spark, path)
+    books = load_pq_books(path)
+    B = [np.array(b, dtype=np.int64) for b in books]
+    nsub, dsub = len(B), B[0].shape[1]
+
+    qrows = (
+        queries.select(query_id, query_vec)
+        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ivfpq_topk_stored: empty query set")
+    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"ivfpq_topk_stored: query set exceeds {MAX_BRUTE_FORCE_QUERIES}; "
+            "batch the probe set"
+        )
+    qids_py = [r[query_id] for r in qrows]
+    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)
+    LUT = np.stack(
+        [
+            np.stack([B[s] @ Q[q, s * dsub : (s + 1) * dsub] for s in range(nsub)])
+            for q in range(len(qids_py))
+        ]
+    )
+
+    probes = queries.withColumn(
+        "cell", F.explode(ivf_probe_cells(query_vec, centroids, nprobe))
+    ).select(query_id, "cell")
+    j = (
+        cands.select(cand_id, "codes", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(cand_id) != F.col(query_id))
+    )
+    scored = j.select(
+        query_id,
+        cand_id,
+        adc_dot_expr(qids_py, LUT, F.col(query_id), F.col("codes")).alias(
+            "adc_dot"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dot").desc(), F.col(cand_id)
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select(query_id, cand_id)
+    )
+    exact = (
+        short.join(cands.select(cand_id, cand_vec), cand_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("dot", dot(F.col(query_vec), F.col(cand_vec)))
+        .select(query_id, cand_id, "dot")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)

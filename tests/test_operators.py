@@ -852,3 +852,44 @@ def test_near_dup_index_compaction_preserves_results(spark, sf_dir):
     for store, (before, after) in counts.items():
         assert after <= before, store
     assert counts["bands"][1] < counts["bands"][0]
+
+
+def test_ivfpq_stored_recall_and_rerank_exactness(spark, sf_dir, tmp_path):
+    """Stored IVFADC: recall@5 vs the exact probed-cell search must be
+    >= 0.8, and re-ranked dots must be exact; the ADC scan stage must
+    not read the raw vector column."""
+    from polar_spark.functions.similarity import (
+        NLIST,
+        quantize,
+        train_pq_codebook,
+    )
+    from polar_spark.sources.ivf_index import (
+        ivf_topk_stored,
+        ivfpq_topk_stored,
+        write_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    books = train_pq_codebook(qv, "v", "vec_id", iters=2)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(qv, path, cents, books)
+
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    got = ivfpq_topk_stored(spark, path, queries, k=5, shortlist=100).collect()
+    exact = ivf_topk_stored(spark, path, queries, k=5).collect()
+    exact_by_q: dict = {}
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], {})[r["vec_id"]] = r["dot"]
+    hits = 0
+    for r in got:
+        if r["vec_id"] in exact_by_q.get(r["qid"], {}):
+            hits += 1
+            assert r["dot"] == exact_by_q[r["qid"]][r["vec_id"]]
+    assert hits / len(exact) >= 0.8, f"recall {hits}/{len(exact)}"
+    qv.unpersist()

@@ -274,3 +274,37 @@ def test_chunk_dup_ratio_two_shuffles_no_join(spark, sf_dir):
     # window-on-chunk + groupBy-doc exchanges, plus the local _spread
     # round-robin (a test-env widening, absent at scale)
     assert shuffle_count(df) <= 3
+
+
+def test_ivfpq_adc_scan_prunes_vector_column(spark, sf_dir, tmp_path):
+    """The IVFADC shortlist stage must scan (id, codes, cell) only —
+    the raw vector column appears in no scan feeding the ADC window,
+    i.e. at least one index scan omits `v` (codes-only) while the
+    re-rank join reads it separately."""
+    from polar_spark.functions.similarity import (
+        NLIST,
+        quantize,
+        train_pq_codebook,
+    )
+    from polar_spark.plans.explain import scan_schema_columns
+    from polar_spark.sources.ivf_index import (
+        ivfpq_topk_stored,
+        write_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    books = train_pq_codebook(qv, "v", "vec_id", iters=1)
+    path = str(tmp_path / "ivfpq_plan")
+    write_ivfpq_index(qv, path, cents, books)
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    df = ivfpq_topk_stored(spark, path, queries, k=5, shortlist=20)
+    scans = scan_schema_columns(df)
+    code_scans = [cols for cols in scans if "codes" in cols]
+    assert code_scans, f"no codes scan found: {scans}"
+    assert any("v" not in cols for cols in code_scans), scans
