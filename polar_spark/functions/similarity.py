@@ -591,6 +591,67 @@ def pq_encode(vec_col: str | Column, books: list[list[list[int]]]) -> Column:
     return enc(c)
 
 
+def collect_query_vectors(
+    queries: DataFrame, query_id: str, query_vec: str, op: str
+) -> tuple[list, np.ndarray]:
+    """Driver-side collect of a (capped) probe set: (qids, (m, dims)
+    int64 matrix). Shared contract of every closure-shipped-query
+    operator (brute force, ADC): |Q| is hard-capped so 'small side
+    rides along' stays true."""
+    qrows = (
+        queries.select(query_id, query_vec)
+        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"{op}: empty query set")
+    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"{op}: query set exceeds {MAX_BRUTE_FORCE_QUERIES} rows; "
+            "batch the probe set or route through an IVF partition / "
+            "lsh_bucket prefilter first"
+        )
+    qids = [r[query_id] for r in qrows]
+    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)
+    return qids, Q
+
+
+def pq_lut(books: list[list[list[int]]], Q: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: LUT[q][s][code] =
+    dot(query subvector s, codebook centroid) — (m, nsub, ksub) int64."""
+    B = [np.array(b, dtype=np.int64) for b in books]
+    nsub, dsub = len(B), B[0].shape[1]
+    return np.stack(
+        [
+            np.stack([B[s] @ Q[q, s * dsub : (s + 1) * dsub] for s in range(nsub)])
+            for q in range(Q.shape[0])
+        ]
+    )
+
+
+def exact_rerank_topk(
+    short: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id: str,
+    cand_id: str,
+    query_vec: str,
+    cand_vec: str,
+) -> DataFrame:
+    """Re-rank an approximate shortlist with exact quantized dots — only
+    O(shortlist·|Q|) rows join the raw vectors (the +R of IVFADC+R)."""
+    exact = (
+        short.select(query_id, cand_id)
+        .join(vectors.select(cand_id, cand_vec), cand_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("dot", dot(F.col(query_vec), F.col(cand_vec)))
+        .select(query_id, cand_id, "dot")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
+    return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def pq_topk_adc(
     queries: DataFrame,
     encoded: DataFrame,
@@ -620,32 +681,10 @@ def pq_topk_adc(
     shortlist·|Q| candidates instead of n·|Q|."""
     from pyspark.sql import types as T
 
-    qrows = (
-        queries.select(query_id, query_vec)
-        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
-        .collect()
-    )
-    if not qrows:
-        raise ValueError("pq_topk_adc: empty query set")
-    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"pq_topk_adc: query set exceeds {MAX_BRUTE_FORCE_QUERIES}; "
-            "batch the probe set or route through an IVF partition first"
-        )
-    B = [np.array(b, dtype=np.int64) for b in books]
-    nsub, dsub = len(B), B[0].shape[1]
-    qids_py = [r[query_id] for r in qrows]
+    qids_py, Q = collect_query_vectors(queries, query_id, query_vec, "pq_topk_adc")
     m = len(qids_py)
-    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)  # (m, dims)
-    # LUT[q][s][code] = dot(query subvector, codebook centroid)
-    LUT = np.stack(
-        [
-            np.stack(
-                [B[s] @ Q[q, s * dsub : (s + 1) * dsub] for s in range(nsub)]
-            )
-            for q in range(m)
-        ]
-    )  # (m, nsub, ksub)
+    LUT = pq_lut(books, Q)  # (m, nsub, ksub)
+    nsub = LUT.shape[1]
 
     out_schema = T.StructType(
         [
@@ -697,18 +736,9 @@ def pq_topk_adc(
     )
     if rerank is None:
         return short.filter(F.col("rn") <= k)
-    qdf = queries.select(
-        F.col(query_id), F.col(query_vec)
+    return exact_rerank_topk(
+        short, rerank, queries, k, query_id, cand_id, query_vec, cand_vec
     )
-    exact = (
-        short.select(query_id, cand_id)
-        .join(rerank.select(cand_id, cand_vec), cand_id)
-        .join(F.broadcast(qdf), query_id)
-        .withColumn("dot", dot(F.col(query_vec), F.col(cand_vec)))
-        .select(query_id, cand_id, "dot")
-    )
-    w2 = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
-    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
 
 
 def adc_dot_expr(

@@ -33,7 +33,7 @@ _ALPHA_FRAC = 0.8
     "gopher_quality_filter",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
 ), s AS (
   SELECT doc_id,
     len(w) AS n_words,
@@ -59,7 +59,9 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero shuffle, zero Python — every rule is a JVM array expression, so
     the filter streams at scan speed over 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # NULL text → '' in both engines (Spark size(split(NULL)) = -1 vs
+    # DuckDB NULL — coalescing keeps the flags comparable and keep=0)
+    w = F.split(F.coalesce("text", F.lit("")), " ")
     n = F.size(w)
     mwl = (
         F.aggregate(
@@ -228,9 +230,9 @@ _CHUNK_WORDS = 20
     oracle=f"""
 WITH ch AS (
   SELECT doc_id, unnest(list_transform(
-    range(0, CAST(ceil(len(string_split(text, ' ')) / {_CHUNK_WORDS}.0) AS INT)),
+    range(0, CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / {_CHUNK_WORDS}.0) AS INT)),
     i -> array_to_string(
-      string_split(text, ' ')[i * {_CHUNK_WORDS} + 1 : i * {_CHUNK_WORDS} + {_CHUNK_WORDS}], ' ')))
+      string_split(coalesce(text, ''), ' ')[i * {_CHUNK_WORDS} + 1 : i * {_CHUNK_WORDS} + {_CHUNK_WORDS}], ' ')))
     AS chunk
   FROM documents
 ), cnt AS (
@@ -255,7 +257,15 @@ def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from polar_spark.functions.dedup import _spread
 
-    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+    )
+    # NULL text → '' on BOTH sides: Spark's size(split(NULL)) is -1 and
+    # sequence(0, -1) counts DOWN (two phantom chunks) while the DuckDB
+    # oracle emits no rows — coalescing first gives one ''-chunk doc in
+    # both engines
     w = "split(text, ' ')"
     chunks = F.expr(
         f"transform(sequence(0, cast(ceil(size({w}) / {_CHUNK_WORDS}.0) as int) - 1),"

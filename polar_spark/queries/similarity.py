@@ -230,6 +230,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    # persist covers the training collects inside this body; released
+    # before returning the (lazy) search plan so repeated registry runs
+    # don't pin a cached copy per call
     books = train_pq_codebook(qv, "v", "vec_id", iters=2)
     enc = qv.select("vec_id", pq_encode("v", books).alias("codes"))
     queries = qv.filter(F.col("vec_id") < 10).select(
@@ -239,6 +242,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, enc, books, k=5, shortlist=100,
         rerank=qv.select("vec_id", F.col("v").alias("cv")),
     ).select("qid", "vec_id", "dot", "rn")
+    qv.unpersist()
     return out
 
 

@@ -42,11 +42,19 @@ class RetentionScheduler:
         period_seconds: float = 300.0,
         retention_hours: float | None = None,
         compact_min_files: int | None = None,
+        gate=None,
     ) -> None:
         self.catalog = catalog
         self.period_seconds = period_seconds
         self.retention_hours = retention_hours
         self.compact_min_files = compact_min_files
+        # write side of the engine's compaction gate: vacuum unlinks and
+        # compaction's directory swap must not interleave with an
+        # in-flight poll's file listing (PolarEngine passes its gate via
+        # start_retention; a bare-catalog scheduler runs ungated and the
+        # operator owns reader quiescence — compact/vacuum only mutate
+        # files, never ledgers, so producers are unaffected either way)
+        self.gate = gate
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.cycles = 0  # completed sweeps (observability/tests)
@@ -80,10 +88,14 @@ class RetentionScheduler:
         a topic whose vacuum/compact fails (e.g. concurrently deleted)
         is skipped this cycle, like the reference's per-segment error
         handling keeps its cleaner loop alive."""
+        import contextlib
+
         removed = 0
+        gate = self.gate.write if self.gate is not None else contextlib.nullcontext
         for topic in self.catalog.list_topics():
             try:
-                removed += self.catalog.vacuum(topic, self.retention_hours)
+                with gate():
+                    removed += self.catalog.vacuum(topic, self.retention_hours)
                 if self.compact_min_files is not None:
                     # trigger on files per PARTITION, not total files: a
                     # compacted topic still has >= 1 file per non-empty
@@ -95,7 +107,8 @@ class RetentionScheduler:
                         if n:
                             per_part[dp] = n
                     if per_part and max(per_part.values()) >= self.compact_min_files:
-                        self.catalog.compact(topic)
+                        with gate():
+                            self.catalog.compact(topic)
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
         self.removed_files += removed

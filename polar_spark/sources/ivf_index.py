@@ -220,40 +220,19 @@ def ivfpq_topk_stored(
     O(shortlist·|Q|) rows — every term independent of n or sublinear."""
     from pyspark.sql.window import Window
 
-    import numpy as np
-
     from polar_spark.functions.similarity import (
-        MAX_BRUTE_FORCE_QUERIES,
         adc_dot_expr,
-        dot,
+        collect_query_vectors,
         ivf_probe_cells,
+        pq_lut,
     )
 
     cands, centroids = read_ivf_index(spark, path)
     books = load_pq_books(path)
-    B = [np.array(b, dtype=np.int64) for b in books]
-    nsub, dsub = len(B), B[0].shape[1]
-
-    qrows = (
-        queries.select(query_id, query_vec)
-        .limit(MAX_BRUTE_FORCE_QUERIES + 1)
-        .collect()
+    qids_py, Q = collect_query_vectors(
+        queries, query_id, query_vec, "ivfpq_topk_stored"
     )
-    if not qrows:
-        raise ValueError("ivfpq_topk_stored: empty query set")
-    if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"ivfpq_topk_stored: query set exceeds {MAX_BRUTE_FORCE_QUERIES}; "
-            "batch the probe set"
-        )
-    qids_py = [r[query_id] for r in qrows]
-    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)
-    LUT = np.stack(
-        [
-            np.stack([B[s] @ Q[q, s * dsub : (s + 1) * dsub] for s in range(nsub)])
-            for q in range(len(qids_py))
-        ]
-    )
+    LUT = pq_lut(books, Q)
 
     probes = queries.withColumn(
         "cell", F.explode(ivf_probe_cells(query_vec, centroids, nprobe))
@@ -278,11 +257,8 @@ def ivfpq_topk_stored(
         .filter(F.col("rn") <= shortlist)
         .select(query_id, cand_id)
     )
-    exact = (
-        short.join(cands.select(cand_id, cand_vec), cand_id)
-        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
-        .withColumn("dot", dot(F.col(query_vec), F.col(cand_vec)))
-        .select(query_id, cand_id, "dot")
+    from polar_spark.functions.similarity import exact_rerank_topk
+
+    return exact_rerank_topk(
+        short, cands, queries, k, query_id, cand_id, query_vec, cand_vec
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.col("dot").desc(), F.col(cand_id))
-    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)

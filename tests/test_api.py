@@ -253,3 +253,52 @@ def test_pending_snapshot_restore_roundtrip(spark, sf_dir, tmp_path):
     r3 = eng.poll("a", max_records=80)["t"]
     third = set((r["partition"], r["offset"]) for r in r3.df.collect())
     assert not third & set(first)
+
+
+def test_compaction_gate_blocks_sweep_during_poll(spark, tmp_path):
+    """The retention loop's write side must wait for in-flight polls
+    (read side) — a compaction directory swap racing a poll could list
+    an empty data dir and let auto-commit mark undelivered records
+    consumed."""
+    import threading
+    import time as _time
+
+    from polar_spark.api import _RWGate
+
+    g = _RWGate()
+    order: list[str] = []
+
+    def writer():
+        with g.write():
+            order.append("write")
+
+    with g.read():
+        order.append("read-held")
+        t = threading.Thread(target=writer)
+        t.start()
+        _time.sleep(0.15)
+        assert order == ["read-held"]  # writer parked behind the reader
+    t.join(timeout=5)
+    assert order == ["read-held", "write"]
+
+    # two readers share
+    done = threading.Event()
+
+    def reader2():
+        with g.read():
+            done.set()
+
+    with g.read():
+        threading.Thread(target=reader2).start()
+        assert done.wait(timeout=5)
+
+
+def test_start_retention_wires_engine_gate(spark, tmp_path):
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=4)
+    sched = eng.start_retention(period_seconds=9999.0, compact_min_files=4)
+    try:
+        assert sched.gate is eng.compaction_gate
+    finally:
+        eng.stop_retention()

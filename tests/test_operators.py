@@ -893,3 +893,36 @@ def test_ivfpq_stored_recall_and_rerank_exactness(spark, sf_dir, tmp_path):
             assert r["dot"] == exact_by_q[r["qid"]][r["vec_id"]]
     assert hits / len(exact) >= 0.8, f"recall {hits}/{len(exact)}"
     qv.unpersist()
+
+
+def test_near_dup_index_same_tag_replay_is_idempotent(spark, sf_dir):
+    """The crash-between-append-and-record path: re-running a batch with
+    the SAME tag must leave the store byte-identical (no doubled
+    shingles) and return the same pairs."""
+    import tempfile
+
+    from polar_spark.functions.dedup import NearDupIndex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    s1 = hi // 2
+    idx = NearDupIndex(spark, tempfile.mkdtemp(), threshold=0.7)
+    idx.build(d.filter(F.col("doc_id") < s1))
+    batch = d.filter(F.col("doc_id") >= s1)
+
+    p1 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in idx.query_and_update(batch, tag="tepoch7").collect()
+    )
+    sh_count = spark.read.parquet(idx.shingles_path).count()
+    bd_count = spark.read.parquet(idx.bands_path).count()
+
+    # replay (same tag, same content) — e.g. foreachBatch retry after a
+    # crash before the epoch record
+    p2 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in idx.query_and_update(batch, tag="tepoch7").collect()
+    )
+    assert p2 == p1 and len(p1) > 0
+    assert spark.read.parquet(idx.shingles_path).count() == sh_count
+    assert spark.read.parquet(idx.bands_path).count() == bd_count

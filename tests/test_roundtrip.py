@@ -609,6 +609,29 @@ def test_publish_timeout_aborts_and_queue_drains(spark, tmp_path):
     assert st["published_seq"] == seq2 and st["pending"] == {}
 
 
+def test_abort_sentinel_skips_live_pid_reservation(spark, tmp_path):
+    """A reservation whose abort could only write the lock-free sentinel
+    (its in-queue aborted flag never landed — e.g. the produce lock was
+    congested during the failure path) must still be skipped by the next
+    publisher, even though its owner pid is alive."""
+    import json as _json
+
+    cat, _ = _engine(spark, tmp_path)
+    cat.ensure_topic("sw")
+    seq0, _, _ = cat.reserve("sw", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    # sentinel only — simulate abort() whose locked RMW timed out
+    with open(cat._abort_sentinel("sw", seq0), "w"):
+        pass
+    seq1, _, _ = cat.reserve("sw", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    cat.publish("sw", seq1, staging=None, timeout=10.0)  # must not wedge
+    with open(cat._reservations_path("sw")) as f:
+        st = _json.load(f)
+    assert st["published_seq"] == seq1 and st["pending"] == {}
+    import os as _os
+
+    assert not _os.path.exists(cat._abort_sentinel("sw", seq0))
+
+
 def test_python_udf_input_is_pinned(spark):
     """_plan_is_row_stable must flag Python-UDF inputs (detected on the
     PHYSICAL plan — the analyzed plan has no recognizable UDF marker),
