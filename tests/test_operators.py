@@ -926,3 +926,44 @@ def test_near_dup_index_same_tag_replay_is_idempotent(spark, sf_dir):
     assert p2 == p1 and len(p1) > 0
     assert spark.read.parquet(idx.shingles_path).count() == sh_count
     assert spark.read.parquet(idx.bands_path).count() == bd_count
+
+
+def test_near_dup_index_recovers_from_partial_cold_store(spark, sf_dir, tmp_path):
+    """Crash window on a COLD store: the bands write landed but the
+    shingles write did not. The retry must recover (read what exists,
+    rewrite its own partition), not crash-loop — and end state must
+    equal a clean single run."""
+    import shutil
+
+    from polar_spark.functions.dedup import NearDupIndex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+
+    idx = NearDupIndex(spark, str(tmp_path / "cold"), threshold=0.7)
+    p1 = idx.query_and_update(d, tag="tepoch0")
+    p1.count()
+    # simulate the crash: shingles write never happened
+    shutil.rmtree(idx.shingles_path)
+    p2 = sorted(
+        (r["id_a"], r["id_b"]) for r in
+        idx.query_and_update(d, tag="tepoch0").collect()
+    )
+    clean = NearDupIndex(spark, str(tmp_path / "clean"), threshold=0.7)
+    want = sorted(
+        (r["id_a"], r["id_b"]) for r in
+        clean.query_and_update(d, tag="tepoch0").collect()
+    )
+    assert p2 == want
+
+
+def test_near_dup_index_rejects_reserved_tags(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from polar_spark.functions.dedup import NearDupIndex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    idx = NearDupIndex(spark, str(tmp_path / "r"), threshold=0.7)
+    # ("" falls back to a generated uuid tag — valid by design)
+    for bad in ("base", "compacted", "1abc", "a/b", "a=b"):
+        with _pytest.raises(ValueError):
+            idx.query_and_update(d, tag=bad)
