@@ -262,6 +262,43 @@ class ConsumerGroup:
             self._write(topic, committed)
             return committed
 
+    def seek_to_timestamp(self, topic: str, ts) -> dict[int, int]:
+        """Reposition the group at the first record with ``record.ts >=
+        ts`` per partition — Kafka's ``offsetsForTimes`` + seek, the
+        standard backfill/replay entry point the reference's
+        earliest/latest reset policies bracket but don't hit.
+
+        Law: committed[p] = (min offset with ts >= T) − 1; a partition
+        with no such record keeps committed = tail (nothing re-served).
+        SETS the ledger outright (a seek is an explicit reposition, not
+        a max-merge) under the same flock as commit. Event time need not
+        be offset-monotonic: the min-offset rule re-serves every record
+        FROM the first match onward, which may include earlier-ts
+        records at higher offsets (same contract as Kafka).
+
+        Scale shape: one scan with ``ts >= T`` pushed to the parquet
+        footer stats — segments wholly older than T are pruned at the
+        listing, so a seek over a 100 TB topic reads only the tail's
+        footers plus the matching segments."""
+        self.committed(topic)  # registration check (raises if absent)
+        df = self.catalog.read(topic)
+        firsts = {
+            r["partition"]: r["m"]
+            for r in df.filter(F.col("timestamp") >= F.lit(ts))
+            .groupBy("partition")
+            .agg(F.min("offset").alias("m"))
+            .collect()
+        }
+        tails = self.catalog.tails(topic)
+        target = {
+            p: (firsts[p] - 1) if p in firsts else tail
+            for p, tail in tails.items()
+        }
+        path = self._ledger_path(topic)
+        with self.catalog._file_lock(path + ".lock", f"group({self.group})", 30.0):
+            self._write(topic, target)
+        return target
+
     def lag(self, topic: str) -> dict[int, int]:
         """Per-partition unconsumed record count estimate (tail - committed)."""
         tails = self.catalog.tails(topic)

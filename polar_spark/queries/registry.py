@@ -56,6 +56,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "chunk_dup_ratio",
     "knn_pq_adc",
     "knn_ivfpq_stored",
+    "consume_seek_timestamp",
 )
 
 

@@ -98,6 +98,42 @@ def consume_reset_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "consume_seek_timestamp",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, ts, {_PART_DUCK} AS partition,
+    ROW_NUMBER() OVER (PARTITION BY {_PART_DUCK} ORDER BY ts, event_id) - 1 AS offset
+  FROM events
+), starts AS (
+  SELECT partition, MIN("offset") AS s FROM t
+  WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY partition
+)
+SELECT t.event_id, t.partition, t."offset"
+FROM t JOIN starts USING (partition) WHERE t."offset" >= starts.s
+""",
+)
+def consume_seek_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek-by-time (Kafka offsetsForTimes law, engine implementation
+    ConsumerGroup.seek_to_timestamp — pytest-driven against a real topic
+    with non-monotonic event time): per partition, reposition at the
+    MIN offset whose record ts >= T and re-serve from there to the
+    tail. The engine path pushes ts >= T into parquet footer stats so
+    wholly-older segments prune at the listing."""
+    df = _with_partition_offset(spark, sf_dir)
+    wseek = Window.partitionBy("partition")
+    first = F.min(
+        F.when(
+            F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), F.col("offset")
+        )
+    ).over(wseek)
+    return (
+        df.withColumn("_s", first)
+        .filter(F.col("offset") >= F.col("_s"))
+        .select("event_id", "partition", "offset")
+    )
+
+
+@query(
     "json_payload_extract",
     oracle="""
 SELECT event_type,

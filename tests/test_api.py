@@ -302,3 +302,52 @@ def test_start_retention_wires_engine_gate(spark, tmp_path):
         assert sched.gate is eng.compaction_gate
     finally:
         eng.stop_retention()
+
+
+def test_seek_to_timestamp_repositions_group(spark, tmp_path, sf_dir):
+    """seek_to_timestamp: the next poll serves exactly the offsets from
+    the first ts>=T record onward per partition — including earlier-ts
+    records at higher offsets (event time is not offset-monotonic)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.topics import TopicCatalog
+    from polar_spark.sources.tables import load_table
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    # arrival != event time: shuffle arrival so ts is non-monotonic in
+    # offset order within partitions
+    scrambled = ev.withColumn("_arr", F.md5(F.col("event_id").cast("string")))
+    Producer(cat).produce(
+        scrambled.orderBy("_arr").drop("_arr"), "seek",
+        key_col="user_id", value_col="props", ts_col="ts",
+    )
+    g = ConsumerGroup(cat, "seekers")
+    g.register("seek", EARLIEST)
+    mid = dt.datetime(2024, 1, 15)
+    target = g.seek_to_timestamp("seek", mid)
+
+    served = g.poll("seek").df.select("partition", "offset", "timestamp").collect()
+    by_part: dict = {}
+    for r in served:
+        by_part.setdefault(r["partition"], []).append(r)
+
+    full = cat.read("seek").select("partition", "offset", "timestamp").collect()
+    first_match: dict = {}
+    for r in sorted(full, key=lambda r: (r["partition"], r["offset"])):
+        if r["timestamp"] >= mid and r["partition"] not in first_match:
+            first_match[r["partition"]] = r["offset"]
+
+    assert first_match, "seek midpoint matched nothing — bad fixture"
+    for p, rows in by_part.items():
+        offs = sorted(r["offset"] for r in rows)
+        assert offs[0] == first_match[p]  # starts AT the first match
+        assert target[p] == first_match[p] - 1
+        # contiguous to the tail (everything from the seek point re-served)
+        assert offs == list(range(offs[0], offs[0] + len(offs)))
+    # some re-served record must carry ts < mid (non-monotonic proof)
+    assert any(r["timestamp"] < mid for r in served)
