@@ -279,3 +279,74 @@ def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_chunks"),
         (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
     )
+
+
+_QLC_B = 64  # feature-hash buckets
+
+
+def _qlc_weights() -> list[int]:
+    """Deterministic 'trained' weights: weight(b) = first-md5-hex-digit
+    ('qw:'||b) - 8 in [-8, 7] — engine-reproducible exactly like
+    functions/similarity.hyperplane_weights. A production pipeline swaps
+    these for fasttext/logreg-trained weights; the plumbing (feature
+    hashing, codegen scoring) is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[0], 16) - 8
+        for b in range(_QLC_B)
+    ]
+
+
+@query(
+    "quality_linear_classifier",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n_words,
+    CAST(list_sum(list_transform(w, x ->
+      strpos('0123456789abcdef', substr(md5('qw:' ||
+        (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1)) % {_QLC_B})::VARCHAR
+      ), 1, 1)) - 9
+    )) AS BIGINT) AS raw
+  FROM t
+)
+SELECT doc_id, n_words, raw,
+  CAST(raw AS DOUBLE) / n_words AS score,
+  CAST(CAST(raw AS DOUBLE) / n_words >= 0 AS INT) AS keep
+FROM s
+""",
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter plumbing (the CCNet / fastText-style
+    linear classifier LLM pipelines run after rule filters): hashed
+    bag-of-words features (md5 feature hashing into {_QLC_B} buckets),
+    per-bucket weights, mean-pooled score, binary keep label.
+
+    Weights here are deterministic md5-derived stand-ins so the whole
+    path is oracle-checkable; swap in trained weights (same shape) for
+    production. 100 TB shape: the weight table is a {_QLC_B}-element
+    array LITERAL inside whole-stage codegen — scoring is one
+    scan-projection, zero shuffle, zero Python, exactly like
+    gopher_quality_filter."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = ", ".join(str(x) for x in _qlc_weights())
+    w = "split(coalesce(text, ''), ' ')"
+    bucket = (
+        "((conv(substring(md5(x), 1, 1), 16, 10) * 16"
+        f" + conv(substring(md5(x), 2, 1), 16, 10)) % {_QLC_B})"
+    )
+    raw = F.expr(
+        f"aggregate(transform({w}, x -> element_at(array({weights}),"
+        f" cast({bucket} as int) + 1)), cast(0 as bigint),"
+        " (acc, v) -> acc + cast(v as bigint))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"size({w})").alias("n_words"),
+        raw.alias("raw"),
+        (raw.cast("double") / F.expr(f"size({w})")).alias("score"),
+        (raw.cast("double") / F.expr(f"size({w})") >= 0).cast("int").alias("keep"),
+    )

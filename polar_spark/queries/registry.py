@@ -57,6 +57,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "knn_pq_adc",
     "knn_ivfpq_stored",
     "consume_seek_timestamp",
+    "quality_linear_classifier",
 )
 
 

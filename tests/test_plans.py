@@ -308,3 +308,15 @@ def test_ivfpq_adc_scan_prunes_vector_column(spark, sf_dir, tmp_path):
     code_scans = [cols for cols in scans if "codes" in cols]
     assert code_scans, f"no codes scan found: {scans}"
     assert any("v" not in cols for cols in code_scans), scans
+
+
+def test_quality_classifier_zero_shuffle_pure_codegen(spark, sf_dir):
+    """The hashed-linear scorer must be a single scan-projection: no
+    exchange, no Python eval — the model-filter path streams at scan
+    speed like the rule filters."""
+    from polar_spark.plans.explain import explain_str, shuffle_count
+    from polar_spark.queries.quality import quality_linear_classifier
+
+    df = quality_linear_classifier(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "EvalPython" not in explain_str(df)
