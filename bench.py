@@ -74,6 +74,7 @@ HEADLINE = [
     "chunk_dup_ratio",
     "knn_pq_adc",
     "knn_ivfpq_stored",
+    "quality_linear_classifier",
 ]
 
 
@@ -136,6 +137,7 @@ SCALE_HEADLINE = [
     "gopher_quality_filter",
     "dup_span_detect",
     "chunk_dup_ratio",
+    "quality_linear_classifier",
 ]
 
 

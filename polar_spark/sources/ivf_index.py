@@ -199,6 +199,47 @@ def write_ivfpq_index(
     _save_pq_books(path, books)
 
 
+def stream_ivfpq_index(
+    stream_df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[int]]],
+    books: list[list[list[int]]],
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+) -> StreamingQuery:
+    """Streaming ingest of the FULL IVFADC layout: each arriving
+    micro-batch pays its own O(batch) cell assignment + PQ encoding and
+    lands in the cell-partitioned parquet sink (checkpointed =
+    exactly-once file output). The at-ingest twin of
+    :func:`write_ivfpq_index`; ivfpq_topk_stored reads either."""
+    from polar_spark.functions.similarity import pq_encode
+
+    _save_codebook(path, centroids)
+    _save_pq_books(path, books)
+    out = stream_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        pq_encode(vec_col, books).alias("codes"),
+        ivf_cell(vec_col, centroids).alias("cell"),
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(path, "_checkpoint"),
+        )
+        .partitionBy("cell")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivfpq_topk_stored(
     spark: SparkSession,
     path: str,

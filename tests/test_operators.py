@@ -967,3 +967,53 @@ def test_near_dup_index_rejects_reserved_tags(spark, sf_dir, tmp_path):
     for bad in ("base", "compacted", "1abc", "a/b", "a=b"):
         with _pytest.raises(ValueError):
             idx.query_and_update(d, tag=bad)
+
+
+def test_stream_ivfpq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming IVFADC ingest (two micro-batches) must produce a store
+    whose search results equal the batch-written one."""
+    from polar_spark.functions.similarity import (
+        NLIST,
+        quantize,
+        train_pq_codebook,
+    )
+    from polar_spark.sources.ivf_index import (
+        ivfpq_topk_stored,
+        stream_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    books = train_pq_codebook(qv, "v", "vec_id", iters=1)
+
+    batch_path = str(tmp_path / "batch")
+    write_ivfpq_index(qv, batch_path, cents, books)
+
+    src = str(tmp_path / "src")
+    mid = qv.agg(F.max("vec_id")).first()[0] // 2
+    qv.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    qv.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, v array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_path = str(tmp_path / "stream")
+    q = stream_ivfpq_index(stream, stream_path, cents, books)
+    q.awaitTermination(300)
+
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    a = sorted(
+        map(tuple, ivfpq_topk_stored(spark, batch_path, queries, k=5).collect())
+    )
+    b = sorted(
+        map(tuple, ivfpq_topk_stored(spark, stream_path, queries, k=5).collect())
+    )
+    assert a == b and len(a) > 0
+    qv.unpersist()
