@@ -281,6 +281,11 @@ class ConsumerGroup:
         listing, so a seek over a 100 TB topic reads only the tail's
         footers plus the matching segments."""
         self.committed(topic)  # registration check (raises if absent)
+        # tails BEFORE the scan (same discipline as poll, consume.py
+        # above): a produce landing between the two can then only add
+        # records BEYOND the captured tail — the no-match fallback
+        # committed=tail never swallows a record the scan could not see
+        tails = self.catalog.tails(topic)
         df = self.catalog.read(topic)
         firsts = {
             r["partition"]: r["m"]
@@ -289,7 +294,6 @@ class ConsumerGroup:
             .agg(F.min("offset").alias("m"))
             .collect()
         }
-        tails = self.catalog.tails(topic)
         target = {
             p: (firsts[p] - 1) if p in firsts else tail
             for p, tail in tails.items()

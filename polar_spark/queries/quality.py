@@ -322,12 +322,13 @@ FROM s
 def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter plumbing (the CCNet / fastText-style
     linear classifier LLM pipelines run after rule filters): hashed
-    bag-of-words features (md5 feature hashing into {_QLC_B} buckets),
+    bag-of-words features (md5 feature hashing into _QLC_B = 64
+    buckets),
     per-bucket weights, mean-pooled score, binary keep label.
 
     Weights here are deterministic md5-derived stand-ins so the whole
     path is oracle-checkable; swap in trained weights (same shape) for
-    production. 100 TB shape: the weight table is a {_QLC_B}-element
+    production. 100 TB shape: the weight table is a 64-element
     array LITERAL inside whole-stage codegen — scoring is one
     scan-projection, zero shuffle, zero Python, exactly like
     gopher_quality_filter."""

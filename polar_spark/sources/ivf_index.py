@@ -78,6 +78,30 @@ def write_ivf_index(
     _save_codebook(path, centroids)
 
 
+def _start_cell_stream(
+    out: DataFrame,
+    path: str,
+    checkpoint_dir: str | None,
+    trigger_seconds: float | None,
+) -> StreamingQuery:
+    """Shared tail of both streaming index writers: checkpointed parquet
+    sink partitioned by cell, availableNow unless a trigger is given."""
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(path, "_checkpoint"),
+        )
+        .partitionBy("cell")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ivf_index(
     stream_df: DataFrame,
     path: str,
@@ -96,20 +120,7 @@ def stream_ivf_index(
         F.col(vec_col),
         ivf_cell(vec_col, centroids).alias("cell"),
     )
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", path)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(path, "_checkpoint"),
-        )
-        .partitionBy("cell")
-    )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_cell_stream(out, path, checkpoint_dir, trigger_seconds)
 
 
 def read_ivf_index(
@@ -171,6 +182,17 @@ def load_pq_books(path: str) -> list[list[list[int]]]:
         return json.load(f)
 
 
+def _ivfpq_cols(vec_col: str, centroids, books) -> list:
+    """The IVFADC derived columns (PQ codes + coarse cell) — one narrow
+    pass, shared by the batch and streaming writers."""
+    from polar_spark.functions.similarity import pq_encode
+
+    return [
+        pq_encode(vec_col, books).alias("codes"),
+        ivf_cell(vec_col, centroids).alias("cell"),
+    ]
+
+
 def write_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -186,13 +208,10 @@ def write_ivfpq_index(
     a column for shortlist re-ranking. Queries that only ADC-scan read
     (id, codes) and prune the vector column entirely — at 100 TB the
     hot scan is the ~3 TB code stream, not the 100 TB vectors."""
-    from polar_spark.functions.similarity import pq_encode
-
     out = df.select(
         F.col(id_col),
         F.col(vec_col),
-        pq_encode(vec_col, books).alias("codes"),
-        ivf_cell(vec_col, centroids).alias("cell"),
+        *_ivfpq_cols(vec_col, centroids, books),
     )
     out.write.mode(mode).partitionBy("cell").parquet(path)
     _save_codebook(path, centroids)
@@ -214,30 +233,14 @@ def stream_ivfpq_index(
     lands in the cell-partitioned parquet sink (checkpointed =
     exactly-once file output). The at-ingest twin of
     :func:`write_ivfpq_index`; ivfpq_topk_stored reads either."""
-    from polar_spark.functions.similarity import pq_encode
-
     _save_codebook(path, centroids)
     _save_pq_books(path, books)
     out = stream_df.select(
         F.col(id_col),
         F.col(vec_col),
-        pq_encode(vec_col, books).alias("codes"),
-        ivf_cell(vec_col, centroids).alias("cell"),
+        *_ivfpq_cols(vec_col, centroids, books),
     )
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", path)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(path, "_checkpoint"),
-        )
-        .partitionBy("cell")
-    )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_cell_stream(out, path, checkpoint_dir, trigger_seconds)
 
 
 def ivfpq_topk_stored(

@@ -343,6 +343,10 @@ def test_seek_to_timestamp_repositions_group(spark, tmp_path, sf_dir):
             first_match[r["partition"]] = r["offset"]
 
     assert first_match, "seek midpoint matched nothing — bad fixture"
+    # every partition with a match must actually be re-served (a bug
+    # that advanced a matched partition to tail would silently drop it
+    # from by_part and skip its assertions)
+    assert set(by_part) == set(first_match)
     for p, rows in by_part.items():
         offs = sorted(r["offset"] for r in rows)
         assert offs[0] == first_match[p]  # starts AT the first match

@@ -1004,7 +1004,7 @@ def test_stream_ivfpq_index_matches_batch(spark, sf_dir, tmp_path):
     )
     stream_path = str(tmp_path / "stream")
     q = stream_ivfpq_index(stream, stream_path, cents, books)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "streaming index build timed out"
 
     queries = qv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
