@@ -652,3 +652,114 @@ def normalize_events(
         ts.alias("timestamp"),
         *[F.col(c) for c in extra_cols or []],
     )
+
+
+def repartition_topic(
+    catalog: TopicCatalog, name: str, new_partitions: int
+) -> dict[int, int]:
+    """Offline topic elasticity: rewrite ``name`` with a NEW partition
+    count — the Spark-native answer to the reference's offset-range
+    split/join (internal/types/token.go:49-76 ring subdivision;
+    generation bumps propagate the new layout, SURVEY §2.1 #16, §3.3).
+    The reference rescales online via token-range splits because brokers
+    own ranges; with DFS-backed partitioned parquet the equivalent is a
+    batch rewrite, run when ingest elasticity demands it.
+
+    Law:
+    - keyed records land on ``pmod(xxhash64(key), new_P)`` — the SAME
+      placement function produce uses, so post-rewrite produces append
+      to the right partitions and per-key locality is preserved;
+    - keyless records map ``old_partition % new_P`` (no ordering
+      contract to preserve, keeps the spread);
+    - new offsets are contiguous per new partition, ordered by
+      (old_partition, old_offset) — each key lived in ONE old partition
+      in offset order, so per-key ORDER is preserved exactly;
+    - tails/reservation ledgers are rebuilt; every registered group's
+      ledger for this topic resets to earliest (full re-delivery — the
+      at-least-once analog of the reference's "consumers rejoin on a
+      new generation"). Consumers must re-register (same operational
+      contract as the reference's generation rollover).
+
+    Refuses while produce reservations are in flight; serialized against
+    produce by the topic lock, with the same write-aside + two-rename
+    swap as compact(). Returns the new tails."""
+    from pyspark.sql.window import Window
+
+    from polar_spark.hashing import partition_col
+
+    if new_partitions < 1:
+        raise ValueError("new_partitions must be >= 1")
+    meta = catalog.ensure_topic(name)
+    d = catalog.data_dir(name)
+    with catalog.produce_lock(name):
+        st = catalog._load_reservations(name)
+        if st["pending"]:
+            raise RuntimeError(
+                f"repartition_topic({name!r}): {len(st['pending'])} produce "
+                "reservation(s) in flight — retry when producers quiesce"
+            )
+        df = catalog.read(name)
+        newp = (
+            F.when(
+                F.col("key").isNotNull(),
+                partition_col(F.col("key"), new_partitions),
+            )
+            .otherwise(F.pmod(F.col("partition"), F.lit(new_partitions)))
+            .cast("int")
+        )
+        w = Window.partitionBy("_newp").orderBy("partition", "offset")
+        out = (
+            df.withColumn("_newp", newp)
+            .withColumn("_newoff", (F.row_number().over(w) - 1).cast("long"))
+            .select(
+                "topic",
+                "key",
+                "value",
+                "timestamp",
+                F.col("_newp").alias("partition"),
+                F.col("_newoff").alias("offset"),
+            )
+        )
+        tmp, old = d + ".repart_tmp", d + ".repart_old"
+        (
+            out.repartition("partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .partitionBy("partition")
+            .parquet(tmp)
+        )
+        counts = {
+            int(r["partition"]): int(r["n"])
+            for r in out.groupBy("partition").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        new_tails = {
+            p: counts.get(p, 0) - 1 for p in range(new_partitions)
+        }
+        os.rename(d, old)
+        os.rename(tmp, d)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        catalog._write_tails(name, new_tails)
+        st["reserved_tails"] = {str(k): v for k, v in new_tails.items()}
+        catalog._save_reservations(name, st)
+        # meta: persist the new partition count
+        meta.num_partitions = new_partitions
+        mp = catalog._meta_path(name)
+        mtmp = mp + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta.__dict__, f)
+        os.replace(mtmp, mp)
+        # group ledgers: reset to earliest for the new layout
+        gdir = os.path.join(catalog.root, "groups")
+        for fn in os.listdir(gdir):
+            if fn.endswith(f"__{name}.json"):
+                gtmp = os.path.join(gdir, fn + ".tmp")
+                with open(gtmp, "w") as f:
+                    json.dump(
+                        {str(p): -1 for p in range(new_partitions)}, f
+                    )
+                os.replace(gtmp, os.path.join(gdir, fn))
+    return new_tails

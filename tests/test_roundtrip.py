@@ -685,3 +685,76 @@ def test_dead_producer_reservation_recovered(spark, sf_dir, tmp_path):
     if p0:
         assert p0[0] == 7 and p0 == list(range(7, 7 + len(p0)))
     assert cat.tails("dr")[0] >= 7
+
+
+def test_repartition_topic_preserves_per_key_order(spark, tmp_path, sf_dir):
+    """Repartitioning 12 -> 5 partitions must keep every key's value
+    sequence intact, produce contiguous offsets, place keys with the
+    SAME hash law produce uses (post-rewrite appends land correctly),
+    and reset group ledgers to earliest."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog, repartition_topic
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(3000)
+    Producer(cat).produce(
+        ev, "rt", key_col="user_id", value_col="event_id", ts_col="ts"
+    )
+    g = ConsumerGroup(cat, "rg")
+    g.register("rt", EARLIEST)
+    g.commit("rt", {0: 5})  # non-trivial committed state to be reset
+
+    def key_seqs():
+        rows = cat.read("rt").select("key", "partition", "offset", "value").collect()
+        seq: dict = {}
+        for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+            seq.setdefault(r["key"], []).append(r["value"])
+        return seq
+
+    before = key_seqs()
+    new_tails = repartition_topic(cat, "rt", 5)
+
+    after_rows = cat.read("rt").select("key", "partition", "offset").collect()
+    after = key_seqs()
+    assert after == before  # per-key value order preserved exactly
+
+    # contiguous offsets per new partition, tails correct
+    by_p: dict = {}
+    for r in after_rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    assert set(by_p) <= set(range(5))
+    for p, offs in by_p.items():
+        offs.sort()
+        assert offs == list(range(len(offs)))
+        assert new_tails[p] == len(offs) - 1
+
+    # placement law == produce law (append-compatibility)
+    from polar_spark.hashing import partition_col as _pc
+
+    check = (
+        cat.read("rt")
+        .withColumn("_want", _pc(F.col("key"), 5))
+        .filter(F.col("partition") != F.col("_want"))
+        .count()
+    )
+    assert check == 0
+
+    # group ledger reset to earliest over the new layout
+    with open(str(tmp_path / "groups" / "rg__rt.json")) as f:
+        led = _json.load(f)
+    assert led == {str(p): -1 for p in range(5)}
+
+    # a post-rewrite produce appends on the new layout and polls back
+    n_before = sum(len(v) for v in before.values())
+    more = ev.limit(50)
+    Producer(cat).produce(more, "rt", key_col="user_id", value_col="event_id",
+                          ts_col="ts")
+    g2 = ConsumerGroup(cat, "rg2")
+    g2.register("rt", EARLIEST)
+    assert g2.poll("rt").df.count() == n_before + 50
