@@ -655,7 +655,8 @@ def normalize_events(
 
 
 def repartition_topic(
-    catalog: TopicCatalog, name: str, new_partitions: int
+    catalog: TopicCatalog, name: str, new_partitions: int,
+    swap_gate=None,
 ) -> dict[int, int]:
     """Offline topic elasticity: rewrite ``name`` with a NEW partition
     count — the Spark-native answer to the reference's offset-range
@@ -682,7 +683,10 @@ def repartition_topic(
 
     Refuses while produce reservations are in flight; serialized against
     produce by the topic lock, with the same write-aside + two-rename
-    swap as compact(). Returns the new tails."""
+    swap as compact(). ``swap_gate``: optional context-manager factory
+    (the engine's compaction-gate write side) held around the swap +
+    ledger rewrite so in-process polls never observe the half-switched
+    layout. Returns the new tails."""
     from pyspark.sql.window import Window
 
     from polar_spark.hashing import partition_col
@@ -737,12 +741,15 @@ def repartition_topic(
         new_tails = {
             p: counts.get(p, 0) - 1 for p in range(new_partitions)
         }
-        os.rename(d, old)
-        os.rename(tmp, d)
+        import contextlib as _ctx
         import shutil
 
-        shutil.rmtree(old, ignore_errors=True)
-        catalog._write_tails(name, new_tails)
+        gate = swap_gate if swap_gate is not None else _ctx.nullcontext
+        with gate():
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+            catalog._write_tails(name, new_tails)
         st["reserved_tails"] = {str(k): v for k, v in new_tails.items()}
         catalog._save_reservations(name, st)
         # meta: persist the new partition count

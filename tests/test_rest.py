@@ -300,3 +300,48 @@ def test_http_binary_poll(server):
             assert resp2.status == 204
     except urllib.error.HTTPError as e:
         raise AssertionError(f"binary empty poll: {e.code}") from e
+
+
+def test_key_lock_eviction_never_drops_fetched_lock(spark, tmp_path):
+    """Refcounted registry: an entry a thread has fetched (refcount>0)
+    must survive the 4096-key eviction sweep, so two threads can never
+    hold DIFFERENT lock objects for the same key."""
+    import threading
+
+    from polar_spark.api import PolarEngine
+    from polar_spark.rest import PolarRestServer
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=2)
+    srv = PolarRestServer(eng)
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with srv._key_lock("consumer", "hot"):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(timeout=10)
+    ent_before = srv._locks[("consumer", "hot")]
+    # force an eviction sweep: fill past the bound with idle keys
+    for i in range(4100):
+        with srv._key_lock("topic", f"filler{i}"):
+            pass
+    assert srv._locks[("consumer", "hot")] is ent_before  # survived
+    # a second taker must serialize on the SAME lock object
+    blocked = threading.Event()
+
+    def taker():
+        with srv._key_lock("consumer", "hot"):
+            blocked.set()
+
+    t2 = threading.Thread(target=taker)
+    t2.start()
+    assert not blocked.wait(timeout=0.3)  # still excluded by holder
+    release.set()
+    assert blocked.wait(timeout=10)
+    t.join(timeout=5)
+    t2.join(timeout=5)
