@@ -351,3 +351,80 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw.cast("double") / F.expr(f"size({w})")).alias("score"),
         (raw.cast("double") / F.expr(f"size({w})") >= 0).cast("int").alias("keep"),
     )
+
+
+@query(
+    "mixture_quality_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(w, x ->
+      strpos('0123456789abcdef', substr(md5('qw:' ||
+        (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1)) % {_QLC_B})::VARCHAR
+      ), 1, 1)) - 9
+    )) AS BIGINT) AS raw, len(w) AS n
+  FROM t
+), b AS (
+  SELECT doc_id,
+    CASE WHEN CAST(raw AS DOUBLE) / n >= 0.3 THEN 'hi'
+         WHEN CAST(raw AS DOUBLE) / n >= -0.3 THEN 'mid'
+         ELSE 'lo' END AS bucket,
+    ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 100
+      AS pct
+  FROM s
+)
+SELECT bucket, COUNT(*) AS n_docs,
+  CAST(SUM(CASE
+    WHEN bucket = 'hi' THEN 1
+    WHEN bucket = 'mid' AND pct < 50 THEN 1
+    WHEN bucket = 'lo' AND pct < 25 THEN 1
+    ELSE 0 END) AS BIGINT) AS n_kept
+FROM b GROUP BY bucket
+""",
+)
+def mixture_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mixture (the step after model scoring in a
+    FineWeb/DCLM-style pipeline): bucket docs by classifier score
+    (terciles of this corpus: hi ≥ 0.3, mid ≥ −0.3, lo otherwise), then
+    keep 100% / 50% / 25% per bucket via a deterministic md5(doc_id)
+    percent draw — reproducible sampling, no RNG state. Composition of
+    quality_linear_classifier with the hash-quota idiom; single scan,
+    one map-side-combined groupBy, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = ", ".join(str(x) for x in _qlc_weights())
+    w = "split(coalesce(text, ''), ' ')"
+    bucket_expr = (
+        "((conv(substring(md5(x), 1, 1), 16, 10) * 16"
+        f" + conv(substring(md5(x), 2, 1), 16, 10)) % {_QLC_B})"
+    )
+    raw = F.expr(
+        f"aggregate(transform({w}, x -> element_at(array({weights}),"
+        f" cast({bucket_expr} as int) + 1)), cast(0 as bigint),"
+        " (acc, v) -> acc + cast(v as bigint))"
+    )
+    score = raw.cast("double") / F.expr(f"size({w})")
+    bucket = (
+        F.when(score >= 0.3, "hi").when(score >= -0.3, "mid").otherwise("lo")
+    )
+    pct = F.expr(
+        "(conv(substring(md5(cast(doc_id as string)), 1, 1), 16, 10) * 16"
+        " + conv(substring(md5(cast(doc_id as string)), 2, 1), 16, 10)) % 100"
+    )
+    keep = (
+        F.when(F.col("bucket") == "hi", 1)
+        .when((F.col("bucket") == "mid") & (F.col("pct") < 50), 1)
+        .when((F.col("bucket") == "lo") & (F.col("pct") < 25), 1)
+        .otherwise(0)
+    )
+    return (
+        d.select("doc_id", bucket.alias("bucket"), pct.alias("pct"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).cast("bigint").alias("n_kept"),
+        )
+    )

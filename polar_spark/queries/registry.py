@@ -58,6 +58,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "knn_ivfpq_stored",
     "consume_seek_timestamp",
     "quality_linear_classifier",
+    "mixture_quality_buckets",
 )
 
 
