@@ -186,6 +186,7 @@ class ConsumerGroup:
         instead persists the served batch and derives positions from it,
         because ``limit`` is not deterministic across re-executions.
         """
+        self.catalog.check_not_mid_repartition(topic)
         committed = self.committed(topic)
         # tails BEFORE building the scan: served rows ⊇ [committed+1, tail]
         tails = self.catalog.tails(topic)

@@ -112,15 +112,34 @@ class TopicCatalog:
             os.makedirs(self.data_dir(name), exist_ok=True)
             meta = TopicMeta(name=name, num_partitions=num_partitions)
             self._write_tails(name, dict.fromkeys(range(num_partitions), -1))
-            tmp = mp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta.__dict__, f)
-            os.replace(tmp, mp)  # meta LAST: its existence implies init done
+            self._write_meta(meta)  # meta LAST: its existence implies init done
             return meta
 
     def list_topics(self) -> list[str]:
         base = os.path.join(self.root, "topics")
         return sorted(d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d)))
+
+    def _write_meta(self, meta: TopicMeta) -> None:
+        mp = self._meta_path(meta.name)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta.__dict__, f)
+        os.replace(tmp, mp)
+
+    def _repart_sentinel(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), ".repart_inprogress")
+
+    def check_not_mid_repartition(self, name: str) -> None:
+        """Raise if a crashed repartition left the topic half-switched
+        (data swapped, ledgers possibly stale) — producing or polling
+        against that state could assign colliding offsets or serve
+        against the wrong committed map. Recovery = rerun
+        repartition_topic (idempotent)."""
+        if os.path.exists(self._repart_sentinel(name)):
+            raise RuntimeError(
+                f"topic {name!r} is mid-repartition (crashed rewrite?): "
+                "rerun repartition_topic to complete it"
+            )
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))
@@ -243,6 +262,7 @@ class TopicCatalog:
         per-partition tails after this batch. Returns ``(seq, ends,
         payload)`` where ``ends`` is the per-partition end offset of this
         reservation (what publish() will advance the public tails to)."""
+        self.check_not_mid_repartition(name)
         with self.produce_lock(name):
             st = self._load_reservations(name)
             cur = {int(k): v for k, v in st["reserved_tails"].items()}
@@ -670,32 +690,52 @@ def repartition_topic(
     - keyed records land on ``pmod(xxhash64(key), new_P)`` — the SAME
       placement function produce uses, so post-rewrite produces append
       to the right partitions and per-key locality is preserved;
-    - keyless records map ``old_partition % new_P`` (no ordering
-      contract to preserve, keeps the spread);
+    - keyless records re-spread via ``pmod(xxhash64(old_p:old_off),
+      new_P)`` (no ordering contract to preserve; a plain ``old % new``
+      would pile all existing keyless data onto the first old_P
+      partitions when scaling UP);
     - new offsets are contiguous per new partition, ordered by
       (old_partition, old_offset) — each key lived in ONE old partition
       in offset order, so per-key ORDER is preserved exactly;
-    - tails/reservation ledgers are rebuilt; every registered group's
-      ledger for this topic resets to earliest (full re-delivery — the
-      at-least-once analog of the reference's "consumers rejoin on a
-      new generation"). Consumers must re-register (same operational
-      contract as the reference's generation rollover).
+    - tails/reservation/meta ledgers are rebuilt; every registered
+      group's ledger for this topic resets to earliest (full
+      re-delivery — the at-least-once analog of the reference's
+      "consumers rejoin on a new generation"). Consumers must
+      re-register (the generation-rollover contract).
 
-    Refuses while produce reservations are in flight; serialized against
-    produce by the topic lock, with the same write-aside + two-rename
-    swap as compact(). ``swap_gate``: optional context-manager factory
-    (the engine's compaction-gate write side) held around the swap +
-    ledger rewrite so in-process polls never observe the half-switched
-    layout. Returns the new tails."""
+    Crash safety: a ``.repart_inprogress`` sentinel brackets the swap +
+    ledger rewrite; produce (reserve) and poll refuse while it exists,
+    and RERUNNING repartition_topic completes the job (the op is
+    idempotent — re-placing already-rewritten data is a fixed point).
+    Pre-flight recovery handles a crash inside the rename pair (data
+    restored from .repart_old) and stale side dirs. Refuses while
+    produce reservations are in flight; serialized against produce by
+    the topic lock. ``swap_gate``: optional context-manager factory
+    (the engine's compaction-gate write side) held across the swap AND
+    every ledger rewrite so in-process polls never observe the new
+    layout with old committed offsets. Returns the new tails."""
+    import shutil
+
     from pyspark.sql.window import Window
 
     from polar_spark.hashing import partition_col
 
     if new_partitions < 1:
         raise ValueError("new_partitions must be >= 1")
+    if not catalog.exists(name):
+        raise ValueError(
+            f"repartition_topic: topic {name!r} does not exist "
+            "(refusing to implicitly create one)"
+        )
     meta = catalog.ensure_topic(name)
     d = catalog.data_dir(name)
+    tmp, old = d + ".repart_tmp", d + ".repart_old"
     with catalog.produce_lock(name):
+        # pre-flight recovery from a previous crashed attempt
+        if os.path.isdir(old) and not os.path.isdir(d):
+            os.rename(old, d)  # died between the two renames: restore
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         st = catalog._load_reservations(name)
         if st["pending"]:
             raise RuntimeError(
@@ -703,12 +743,18 @@ def repartition_topic(
                 "reservation(s) in flight — retry when producers quiesce"
             )
         df = catalog.read(name)
+        keyless_spread = F.pmod(
+            F.xxhash64(
+                F.concat_ws(":", F.col("partition"), F.col("offset"))
+            ),
+            F.lit(new_partitions),
+        )
         newp = (
             F.when(
                 F.col("key").isNotNull(),
                 partition_col(F.col("key"), new_partitions),
             )
-            .otherwise(F.pmod(F.col("partition"), F.lit(new_partitions)))
+            .otherwise(keyless_spread)
             .cast("int")
         )
         w = Window.partitionBy("_newp").orderBy("partition", "offset")
@@ -724,7 +770,6 @@ def repartition_topic(
                 F.col("_newoff").alias("offset"),
             )
         )
-        tmp, old = d + ".repart_tmp", d + ".repart_old"
         (
             out.repartition("partition")
             .sortWithinPartitions("offset")
@@ -732,41 +777,46 @@ def repartition_topic(
             .partitionBy("partition")
             .parquet(tmp)
         )
+        # tails from the files just written: column-pruned count over the
+        # tmp footers — never a second full shuffle+window of the source
         counts = {
             int(r["partition"]): int(r["n"])
-            for r in out.groupBy("partition").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
+            for r in catalog.spark.read.parquet(tmp)
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
-        new_tails = {
-            p: counts.get(p, 0) - 1 for p in range(new_partitions)
-        }
-        import contextlib as _ctx
-        import shutil
-
-        gate = swap_gate if swap_gate is not None else _ctx.nullcontext
+        new_tails = {p: counts.get(p, 0) - 1 for p in range(new_partitions)}
+        gate = swap_gate if swap_gate is not None else contextlib.nullcontext
         with gate():
+            with open(catalog._repart_sentinel(name), "w"):
+                pass
             os.rename(d, old)
             os.rename(tmp, d)
             shutil.rmtree(old, ignore_errors=True)
             catalog._write_tails(name, new_tails)
-        st["reserved_tails"] = {str(k): v for k, v in new_tails.items()}
-        catalog._save_reservations(name, st)
-        # meta: persist the new partition count
-        meta.num_partitions = new_partitions
-        mp = catalog._meta_path(name)
-        mtmp = mp + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(meta.__dict__, f)
-        os.replace(mtmp, mp)
-        # group ledgers: reset to earliest for the new layout
-        gdir = os.path.join(catalog.root, "groups")
-        for fn in os.listdir(gdir):
-            if fn.endswith(f"__{name}.json"):
+            st["reserved_tails"] = {str(k): v for k, v in new_tails.items()}
+            catalog._save_reservations(name, st)
+            meta.num_partitions = new_partitions
+            catalog._write_meta(meta)
+            # group ledgers: reset to earliest for the new layout. File
+            # names are <group>__<topic>.json and topic names may contain
+            # "__": a file belongs to THIS topic only if name is the
+            # LONGEST known-topic suffix that matches (so repartitioning
+            # "rt" never clobbers a ledger of topic "a__rt").
+            topics = catalog.list_topics()
+            gdir = os.path.join(catalog.root, "groups")
+            for fn in os.listdir(gdir):
+                if not fn.endswith(".json"):
+                    continue
+                matches = [
+                    t for t in topics if fn.endswith(f"__{t}.json")
+                ]
+                if not matches or max(matches, key=len) != name:
+                    continue
                 gtmp = os.path.join(gdir, fn + ".tmp")
                 with open(gtmp, "w") as f:
-                    json.dump(
-                        {str(p): -1 for p in range(new_partitions)}, f
-                    )
+                    json.dump({str(p): -1 for p in range(new_partitions)}, f)
                 os.replace(gtmp, os.path.join(gdir, fn))
+            os.unlink(catalog._repart_sentinel(name))
     return new_tails

@@ -758,3 +758,64 @@ def test_repartition_topic_preserves_per_key_order(spark, tmp_path, sf_dir):
     g2 = ConsumerGroup(cat, "rg2")
     g2.register("rt", EARLIEST)
     assert g2.poll("rt").df.count() == n_before + 50
+
+
+def test_repartition_crash_recovery_and_sentinel(spark, tmp_path, sf_dir):
+    """A crash mid-repartition must (a) block produce/poll via the
+    sentinel with a rerun instruction, (b) be fully repaired by
+    rerunning repartition_topic — including the died-between-renames
+    window (data only in .repart_old)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog, repartition_topic
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    Producer(cat).produce(ev, "cr", key_col="user_id", value_col="event_id",
+                          ts_col="ts")
+    n = cat.read("cr").count()
+
+    # simulate: crashed between the two renames, sentinel present
+    d = cat.data_dir("cr")
+    _os.rename(d, d + ".repart_old")
+    with open(cat._repart_sentinel("cr"), "w"):
+        pass
+
+    g = ConsumerGroup(cat, "crg")
+    g.register("cr", EARLIEST)
+    with _pytest.raises(RuntimeError, match="mid-repartition"):
+        g.poll("cr")
+    with _pytest.raises(RuntimeError, match="mid-repartition"):
+        Producer(cat).produce(ev.limit(10), "cr", key_col="user_id",
+                              value_col="event_id", ts_col="ts")
+
+    # rerun completes the job from the crashed state
+    tails = repartition_topic(cat, "cr", 4)
+    assert not _os.path.exists(cat._repart_sentinel("cr"))
+    assert cat.read("cr").count() == n
+    assert sum(tails.values()) + 4 == n + sum(1 for p in tails if tails[p] < 0)
+    assert g.poll("cr").df.count() == n  # poll works again
+
+    # repartitioning a nonexistent topic must NOT create it
+    with _pytest.raises(ValueError, match="does not exist"):
+        repartition_topic(cat, "no_such_topic", 3)
+    assert not cat.exists("no_such_topic")
+
+    # a topic name that is a suffix of another must not clobber the
+    # other's group ledgers
+    Producer(cat).produce(ev.limit(100), "a__cr", key_col="user_id",
+                          value_col="event_id", ts_col="ts")
+    g2 = ConsumerGroup(cat, "crg")
+    g2.register("a__cr", EARLIEST)
+    g2.commit("a__cr", {0: 7})
+    before = g2.committed("a__cr")
+    repartition_topic(cat, "cr", 6)
+    assert g2.committed("a__cr") == before  # untouched
