@@ -75,6 +75,7 @@ HEADLINE = [
     "knn_pq_adc",
     "knn_ivfpq_stored",
     "quality_linear_classifier",
+    "mixture_quality_buckets",
 ]
 
 
@@ -262,26 +263,39 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         gw.register("warmup1", EARLIEST)
         gw.poll("warmup1").df.count()
 
-        t0 = time.perf_counter()
-        prod.produce(big, "bench", key_col="user_id", value_col="props", ts_col="ts")
-        t_ingest = time.perf_counter() - t0
+        # best-of-2 like the query loop: a transient host stall (noisy
+        # neighbor, page-cache flush) during ONE 1M-row write otherwise
+        # reads as a 2-3x throughput collapse run-to-run
+        t_ingest = float("inf")
+        for r in range(max(1, RUNS_PER_QUERY)):
+            t0 = time.perf_counter()
+            prod.produce(
+                big, f"bench{r}", key_col="user_id", value_col="props",
+                ts_col="ts",
+            )
+            t_ingest = min(t_ingest, time.perf_counter() - t0)
         timings["ingest_events"] = round(t_ingest, 3)
         extra["ingest_msgs_per_sec"] = round(n_events / t_ingest)
 
         # keyless (unkeyed) write — the reference's peak-throughput mode:
         # no per-key ordering contract, so produce takes the shuffle-free
         # arithmetic-offset path (produce.py _produce_keyless)
-        t0 = time.perf_counter()
-        prod.produce(big, "bench_unkeyed", value_col="props", ts_col="ts")
-        t_unkeyed = time.perf_counter() - t0
+        t_unkeyed = float("inf")
+        for r in range(max(1, RUNS_PER_QUERY)):
+            t0 = time.perf_counter()
+            prod.produce(big, f"bench_unkeyed{r}", value_col="props", ts_col="ts")
+            t_unkeyed = min(t_unkeyed, time.perf_counter() - t0)
         extra["ingest_unkeyed_msgs_per_sec"] = round(n_events / t_unkeyed)
 
-        g = ConsumerGroup(cat, "bench_group")
-        g.register("bench", EARLIEST)
-        t0 = time.perf_counter()
-        res = g.poll("bench")
-        n_out = res.df.count()
-        t_consume = time.perf_counter() - t0
+        t_consume = float("inf")
+        n_out = 0
+        for r in range(max(1, RUNS_PER_QUERY)):
+            g = ConsumerGroup(cat, f"bench_group{r}")
+            g.register("bench0", EARLIEST)
+            t0 = time.perf_counter()
+            res = g.poll("bench0")
+            n_out = res.df.count()
+            t_consume = min(t_consume, time.perf_counter() - t0)
         timings["consume_events"] = round(t_consume, 3)
         extra["consume_msgs_per_sec"] = round(n_out / t_consume)
         big.unpersist(blocking=True)
