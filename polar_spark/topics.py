@@ -262,8 +262,10 @@ class TopicCatalog:
         per-partition tails after this batch. Returns ``(seq, ends,
         payload)`` where ``ends`` is the per-partition end offset of this
         reservation (what publish() will advance the public tails to)."""
-        self.check_not_mid_repartition(name)
         with self.produce_lock(name):
+            # inside the lock: a producer queued behind a crashing
+            # repartition must re-observe the sentinel it left behind
+            self.check_not_mid_repartition(name)
             st = self._load_reservations(name)
             cur = {int(k): v for k, v in st["reserved_tails"].items()}
             new_tails, payload = plan_fn(cur)
@@ -781,7 +783,9 @@ def repartition_topic(
         # tmp footers — never a second full shuffle+window of the source
         counts = {
             int(r["partition"]): int(r["n"])
-            for r in catalog.spark.read.parquet(tmp)
+            # explicit schema: an EMPTY topic's tmp dir has no part files
+            # and schema inference would raise (regression guard)
+            for r in catalog.spark.read.schema(TOPIC_SCHEMA).parquet(tmp)
             .groupBy("partition")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -799,24 +803,29 @@ def repartition_topic(
             catalog._save_reservations(name, st)
             meta.num_partitions = new_partitions
             catalog._write_meta(meta)
-            # group ledgers: reset to earliest for the new layout. File
-            # names are <group>__<topic>.json and topic names may contain
-            # "__": a file belongs to THIS topic only if name is the
-            # LONGEST known-topic suffix that matches (so repartitioning
-            # "rt" never clobbers a ledger of topic "a__rt").
-            topics = catalog.list_topics()
+            # group ledgers: reset to earliest for the new layout.
+            # Filenames use the percent-encoded <group>__<topic> scheme
+            # (consume.ledger_name_enc) so the topic suffix parses
+            # unambiguously even when names contain "__"; each replace
+            # runs under the SAME per-ledger flock commit()/seek use, so
+            # a concurrent out-of-process commit cannot max-merge stale
+            # pre-repartition offsets over the reset.
+            from polar_spark.consume import ledger_name_enc
+
+            suffix = f"__{ledger_name_enc(name)}.json"
             gdir = os.path.join(catalog.root, "groups")
             for fn in os.listdir(gdir):
-                if not fn.endswith(".json"):
+                if not fn.endswith(suffix) or fn.endswith(".lock"):
                     continue
-                matches = [
-                    t for t in topics if fn.endswith(f"__{t}.json")
-                ]
-                if not matches or max(matches, key=len) != name:
-                    continue
-                gtmp = os.path.join(gdir, fn + ".tmp")
-                with open(gtmp, "w") as f:
-                    json.dump({str(p): -1 for p in range(new_partitions)}, f)
-                os.replace(gtmp, os.path.join(gdir, fn))
+                lpath = os.path.join(gdir, fn)
+                with catalog._file_lock(
+                    lpath + ".lock", f"repart-ledger({fn})", 30.0
+                ):
+                    gtmp = lpath + ".tmp"
+                    with open(gtmp, "w") as f:
+                        json.dump(
+                            {str(p): -1 for p in range(new_partitions)}, f
+                        )
+                    os.replace(gtmp, lpath)
             os.unlink(catalog._repart_sentinel(name))
     return new_tails

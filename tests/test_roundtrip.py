@@ -801,7 +801,8 @@ def test_repartition_crash_recovery_and_sentinel(spark, tmp_path, sf_dir):
     tails = repartition_topic(cat, "cr", 4)
     assert not _os.path.exists(cat._repart_sentinel("cr"))
     assert cat.read("cr").count() == n
-    assert sum(tails.values()) + 4 == n + sum(1 for p in tails if tails[p] < 0)
+    # sum(tail_p + 1) over non-empty partitions == row count
+    assert sum(v + 1 for v in tails.values() if v >= 0) == n
     assert g.poll("cr").df.count() == n  # poll works again
 
     # repartitioning a nonexistent topic must NOT create it
@@ -819,3 +820,15 @@ def test_repartition_crash_recovery_and_sentinel(spark, tmp_path, sf_dir):
     before = g2.committed("a__cr")
     repartition_topic(cat, "cr", 6)
     assert g2.committed("a__cr") == before  # untouched
+
+
+def test_repartition_empty_topic(spark, tmp_path):
+    """Rescaling a topic before any produce must succeed (regression:
+    schema inference over a part-file-less tmp dir raised)."""
+    from polar_spark.topics import TopicCatalog, repartition_topic
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    cat.ensure_topic("fresh")
+    tails = repartition_topic(cat, "fresh", 3)
+    assert tails == {0: -1, 1: -1, 2: -1}
+    assert cat.read("fresh").count() == 0
