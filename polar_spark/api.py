@@ -334,6 +334,28 @@ class PolarEngine:
     def consumer_group(self, consumer_id: str) -> str:
         return self._require(consumer_id).group
 
+    def repartition(self, topic: str, new_partitions: int) -> dict[int, int]:
+        """Admin: rescale ``topic`` to ``new_partitions``
+        (topics.repartition_topic) with the engine's own coordination:
+        the swap + ledger rewrite hold the compaction gate's write side
+        (no in-flight poll can observe the new layout against stale
+        offsets), the engine's default partition count for implicit
+        topic creation follows suit, and every consumer's in-memory
+        served positions for the topic are dropped — the group ledgers
+        were reset to earliest, so stale in-memory positions would
+        otherwise mask the re-delivery the reset guarantees."""
+        from polar_spark.topics import repartition_topic
+
+        tails = repartition_topic(
+            self.catalog, topic, new_partitions,
+            swap_gate=self.compaction_gate.write,
+        )
+        with self._state_lock:
+            if self.catalog.ensure_topic(topic).num_partitions == new_partitions:
+                for pend in self._pending.values():
+                    pend.pop(topic, None)
+        return tails
+
     def consumer_lag(self) -> dict[tuple[str, str], int]:
         """(group, topic) → total lag (Σ max(tail − committed, 0) over
         partitions) for every registered group — THE broker health

@@ -355,3 +355,36 @@ def test_seek_to_timestamp_repositions_group(spark, tmp_path, sf_dir):
         assert offs == list(range(offs[0], offs[0] + len(offs)))
     # some re-served record must carry ts < mid (non-monotonic proof)
     assert any(r["timestamp"] < mid for r in served)
+
+
+def test_engine_repartition_resets_served_positions(spark, tmp_path, sf_dir):
+    """engine.repartition: a consumer mid-stream (uncommitted served
+    positions) must re-receive the full topic after the rescale — the
+    in-memory positions are dropped along with the ledger reset."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.api import PolarEngine
+    from polar_spark.sources.tables import load_table
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=6)
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    eng.produce("rp", ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    ), key_col="key", value_col="value")
+    eng.register("c1", "g", ["rp"], on_new_group="startFromEarliest")
+    first = eng.poll("c1", max_records=100)
+    n_first = sum(r.df.count() for r in first.values())
+    assert 0 < n_first <= 100  # positions advanced in memory, uncommitted
+
+    tails = eng.repartition("rp", 3)
+    assert set(tails) == {0, 1, 2}
+
+    total = 0
+    while True:
+        res = eng.poll("c1", max_records=200)
+        n = sum(r.df.count() for r in res.values())
+        if n == 0:
+            break
+        total += n
+    assert total == 400  # full re-delivery on the new layout
