@@ -59,6 +59,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "consume_seek_timestamp",
     "quality_linear_classifier",
     "mixture_quality_buckets",
+    "semdedup_incremental",
 )
 
 

@@ -287,6 +287,45 @@ def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("semdedup_incremental")  # no oracle: greedy-prefix dedup is sequential
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup at ingest (streaming/dedup.
+    StreamingSemDedup): embeddings arrive in two batches; each batch is
+    cell-assigned once, compared only against the KEPT vectors already
+    stored in its own cells (partition-pruned cogroup) plus
+    earlier-in-batch keeps, survivors append to the store. Greedy-prefix
+    law (drop v iff cos(v, kept u) ≥ τ, ids ascending) — the incremental
+    form of SemDeDup's keep-first policy; per-batch cost is
+    cell-density-bound, never corpus². Rows-only driver check (greedy
+    sequential scan has no ANSI-SQL form); exact equivalence to a
+    python greedy reference + replay idempotency are pytest-proven in
+    tests/test_streaming.py. Returns the dropped vec_ids."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from polar_spark.streaming.dedup import StreamingSemDedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    tag = _hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"polar_semdedup_inc_{tag}")
+    sd = StreamingSemDedup(
+        spark, os.path.join(root, "idx"), os.path.join(root, "drops"),
+        cents, tau_sq_pct=1600,
+    )
+    mid = qv.agg(F.max("vec_id")).first()[0] // 2
+    sd.apply_batch(qv.filter(F.col("vec_id") <= mid), 0, root)
+    sd.apply_batch(qv.filter(F.col("vec_id") > mid), 1, root)
+    out = sd.dropped().orderBy("vec_id")
+    qv.unpersist()
+    return out
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_BUCKETS_CTE

@@ -23,7 +23,6 @@ micro-batch replay, provided the replayed batch has the same content
 from __future__ import annotations
 
 import fcntl
-import hashlib
 import json
 import os
 
@@ -34,32 +33,23 @@ from polar_spark.functions.dedup import NearDupIndex
 from polar_spark.streaming.ingest import _sink_instance_key
 
 
-class StreamingNearDup:
-    """Continuously index a document stream and emit verified near-dup
-    pairs to a parquet sink."""
+class EpochLedger:
+    """Flock-guarded applied-epoch ledger (same law as
+    topics.record_epoch) shared by every idempotent streaming sink in
+    this module."""
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        index_path: str,
-        pairs_path: str,
-        threshold: float = 0.7,
-    ):
-        self.spark = spark
-        self.index = NearDupIndex(spark, index_path, threshold=threshold)
-        self.pairs_path = pairs_path
-        self._ledger = os.path.join(index_path, "_epochs.json")
-        os.makedirs(index_path, exist_ok=True)
+    def __init__(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        self._ledger = os.path.join(dirpath, "_epochs.json")
 
-    # -- epoch ledger (flock-guarded RMW, same law as topics.record_epoch) --
-    def _last_epoch(self, key: str) -> int:
+    def last(self, key: str) -> int:
         try:
             with open(self._ledger) as f:
                 return int(json.load(f).get(key, -1))
         except FileNotFoundError:
             return -1
 
-    def _record_epoch(self, key: str, epoch: int, force: bool = False) -> None:
+    def record(self, key: str, epoch: int, force: bool = False) -> None:
         lock = self._ledger + ".lock"
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
@@ -79,6 +69,31 @@ class StreamingNearDup:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
+
+def epoch_tag(key: str, epoch: int) -> str:
+    """Stable per-(sink, epoch) store-partition tag: a replay overwrites
+    exactly its own ``ep=<tag>`` partition."""
+    import hashlib
+
+    return f"t{hashlib.sha1(key.encode()).hexdigest()[:10]}x{epoch}"
+
+
+class StreamingNearDup:
+    """Continuously index a document stream and emit verified near-dup
+    pairs to a parquet sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        pairs_path: str,
+        threshold: float = 0.7,
+    ):
+        self.spark = spark
+        self.index = NearDupIndex(spark, index_path, threshold=threshold)
+        self.pairs_path = pairs_path
+        self._epochs = EpochLedger(index_path)
+
     def apply_batch(
         self,
         batch_df: DataFrame,
@@ -90,7 +105,7 @@ class StreamingNearDup:
         """Apply one micro-batch idempotently; False = already applied
         (the foreachBatch retry path — store untouched)."""
         key = _sink_instance_key(sink_id)
-        last = self._last_epoch(key)
+        last = self._epochs.last(key)
         reset = epoch == 0 and last > 0
         if last >= epoch and not reset:
             return False
@@ -98,14 +113,14 @@ class StreamingNearDup:
             # stable per-(sink, epoch) tag: a replay of this epoch
             # overwrites its own ep= partition in the store AND in the
             # pairs sink — idempotent, never a double-append
-            tag = f"t{hashlib.sha1(key.encode()).hexdigest()[:10]}x{epoch}"
+            tag = epoch_tag(key, epoch)
             pairs = self.index.query_and_update(
                 batch_df, id_col=id_col, text_col=text_col, tag=tag
             )
             pairs.write.mode("overwrite").parquet(
                 os.path.join(self.pairs_path, f"ep={tag}")
             )
-        self._record_epoch(key, epoch, force=reset)
+        self._epochs.record(key, epoch, force=reset)
         return True
 
     def start(
@@ -134,3 +149,201 @@ class StreamingNearDup:
         """All pairs emitted so far (exactly-once under replay: each
         epoch owns one ep= partition)."""
         return self.spark.read.parquet(self.pairs_path).drop("ep")
+
+
+class StreamingSemDedup:
+    """At-ingest SEMANTIC dedup for an embedding stream — SemDeDup
+    (arXiv:2303.09540) as a ``foreachBatch`` sink over a stored IVF
+    layout: each arriving micro-batch is cell-assigned (one narrow
+    pass against the fixed coarse codebook), compared ONLY against the
+    kept vectors already stored in its own cells (partition-pruned
+    read) plus earlier-in-batch keeps, and the survivors append to the
+    store. The store therefore contains exactly the KEPT corpus, and
+    every batch pays O(batch·cell-density) — never a global n² sweep.
+
+    Dedup law (greedy-prefix, the incremental form of keep-lowest-id):
+    processing vectors in id order, drop v iff cos(v, u) ≥ τ for some
+    ALREADY-KEPT u (stored, or earlier in the batch and itself kept).
+    Per-cell greedy runs as a COGROUPED ``applyInPandas`` — batch cells
+    against stored inverted lists, vectorized numpy scoring inside.
+
+    Same exactly-once discipline as :class:`StreamingNearDup`: stable
+    per-epoch ``ep=<tag>`` store/drops partitions a replay OVERWRITES,
+    with the replayed epoch's store partition excluded from its own
+    read."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        drops_path: str,
+        centroids: list[tuple[int, list[int]]],
+        tau_sq_pct: int = 9025,  # τ²·10⁴; 9025 ⇔ cosine ≥ 0.95
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.vectors_path = os.path.join(index_path, "vectors")
+        self.drops_path = drops_path
+        self.centroids = centroids
+        self.tau_sq_pct = tau_sq_pct
+        self._epochs = EpochLedger(index_path)
+
+    def _stored(self, exclude_tag: str):
+        from pyspark.sql import functions as F
+
+        if not os.path.isdir(self.vectors_path) or not any(
+            e.name.startswith("ep=") for e in os.scandir(self.vectors_path)
+        ):
+            return None
+        try:
+            df = self.spark.read.parquet(self.vectors_path)
+        except Exception:  # noqa: BLE001 — partial dir without footers
+            return None
+        # partition discovery types cell as int32; the batch side's
+        # ivf_cell is int64 — cogroup keys must match EXACTLY or every
+        # stored group pairs with no batch group (all cross-batch dups
+        # silently missed)
+        return df.filter(F.col("ep") != exclude_tag).withColumn(
+            "cell", F.col("cell").cast("long")
+        )
+
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        sink_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "v",
+    ) -> bool:
+        """Apply one micro-batch idempotently; False = already applied."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from polar_spark.functions.similarity import ivf_cell
+
+        key = _sink_instance_key(sink_id)
+        last = self._epochs.last(key)
+        reset = epoch == 0 and last > 0
+        if last >= epoch and not reset:
+            return False
+        if batch_df.isEmpty():
+            self._epochs.record(key, epoch, force=reset)
+            return True
+        tag = epoch_tag(key, epoch)
+        tau = self.tau_sq_pct
+
+        batch = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).withColumn("cell", ivf_cell("v", self.centroids)).persist()
+        stored = self._stored(exclude_tag=tag)
+        if stored is None:
+            stored = batch.limit(0).withColumn("ep", F.lit("none")).select(
+                "vec_id", "v", "ep", "cell"
+            )
+        else:
+            # prune the stored side to the batch's own cells BEFORE the
+            # cogroup: O(nlist) driver rows, and the inverted-list scan
+            # touches only those partitions — the per-batch cost is
+            # cell-density-bound, not corpus-bound
+            cells = [r["cell"] for r in batch.select("cell").distinct().collect()]
+            stored = stored.filter(F.col("cell").isin(cells))
+
+        def greedy(bpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            if not len(bpdf):
+                return pd.DataFrame({"vec_id": [], "keep": []}).astype(
+                    {"vec_id": "int64", "keep": "int32"}
+                )
+            b = bpdf.sort_values("vec_id")
+            V = np.stack(b["v"].to_numpy()).astype(np.float64)
+            nb = (V * V).sum(axis=1)
+            if len(spdf):
+                S = np.stack(spdf["v"].to_numpy()).astype(np.float64)
+                ns = (S * S).sum(axis=1)
+            else:
+                S = np.empty((0, V.shape[1]))
+                ns = np.empty(0)
+            kept_rows: list[int] = []
+            keep_flags = np.ones(len(b), dtype=np.int32)
+            for i in range(len(b)):
+                v, n2 = V[i], nb[i]
+                # quantized int dots are < 2^53, exact in float64; the
+                # threshold test d²·10⁴ ≥ τ²10⁴·|u|²·|v|² is the same
+                # deterministic arithmetic as semdedup_drop_ids
+                dup = False
+                if len(S):
+                    d = S @ v
+                    if ((d > 0) & (d * d * 10000 >= tau * ns * n2)).any():
+                        dup = True
+                if not dup and kept_rows:
+                    K = V[kept_rows]
+                    d = K @ v
+                    if (
+                        (d > 0) & (d * d * 10000 >= tau * nb[kept_rows] * n2)
+                    ).any():
+                        dup = True
+                if dup:
+                    keep_flags[i] = 0
+                else:
+                    kept_rows.append(i)
+            return pd.DataFrame(
+                {"vec_id": b["vec_id"].to_numpy(), "keep": keep_flags}
+            )
+
+        verdict = (
+            batch.groupBy("cell")
+            .cogroup(stored.select("vec_id", "v", "cell").groupBy("cell"))
+            .applyInPandas(greedy, schema="vec_id long, keep int")
+        )
+        kept = batch.join(
+            verdict.filter(F.col("keep") == 1).select("vec_id"), "vec_id"
+        )
+        drops = verdict.filter(F.col("keep") == 0).select("vec_id")
+        # drops first (localCheckpoint severs them from the store read),
+        # then the kept vectors land cell-partitioned under their own
+        # ep=<tag> subtree (root read discovers (ep, cell) directory
+        # columns; cell filters still prune at the listing)
+        drops_out = drops.localCheckpoint()
+        drops_out.write.mode("overwrite").parquet(
+            os.path.join(self.drops_path, f"ep={tag}")
+        )
+        (
+            kept.select("vec_id", "v", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(self.vectors_path, f"ep={tag}"))
+        )
+        batch.unpersist()
+        self._epochs.record(key, epoch, force=reset)
+        return True
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "v",
+        checkpoint_dir: str | None = None,
+        trigger_seconds: float | None = None,
+    ):
+        cp = checkpoint_dir or os.path.join(self.index_path, "_checkpoint")
+
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
+            self.apply_batch(batch_df, epoch, cp, id_col=id_col, vec_col=vec_col)
+
+        writer = stream_df.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", cp
+        )
+        if trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def kept(self) -> DataFrame:
+        """The deduplicated corpus (all kept vectors)."""
+        return self.spark.read.parquet(self.vectors_path).drop("ep")
+
+    def dropped(self) -> DataFrame:
+        return self.spark.read.parquet(self.drops_path).drop("ep")

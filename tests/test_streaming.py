@@ -617,3 +617,77 @@ def test_streaming_near_dup_index_matches_one_shot(spark, sf_dir, tmp_path):
     cp = str(tmp_path / "idx" / "_checkpoint")
     assert snd.apply_batch(replay, 1, cp) is False
     assert spark.read.parquet(snd.index.bands_path).count() == bands_before
+
+
+def test_streaming_semdedup_matches_greedy_reference(spark, sf_dir, tmp_path):
+    """Embeddings streamed in two micro-batches through StreamingSemDedup
+    must reproduce the greedy-prefix dedup law exactly (python reference
+    over the full id-ordered corpus), and a same-epoch replay must not
+    change the store."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import NLIST, quantize
+    from polar_spark.sources.tables import load_table
+    from polar_spark.streaming.dedup import StreamingSemDedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    TAU = 1600  # cosine >= 0.40 — exercises drops on this corpus
+
+    sd = StreamingSemDedup(
+        spark, str(tmp_path / "idx"), str(tmp_path / "drops"), cents,
+        tau_sq_pct=TAU,
+    )
+    src = str(tmp_path / "src")
+    mid = qv.agg(F.max("vec_id")).first()[0] // 2
+    qv.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    qv.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, v array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sd.start(stream)
+    assert q.awaitTermination(300)
+
+    got_drops = sorted(r["vec_id"] for r in sd.dropped().collect())
+    got_kept = sorted(r["vec_id"] for r in sd.kept().collect())
+
+    # python greedy-prefix reference over the whole corpus in id order,
+    # same cells, same arithmetic
+    rows = sorted(qv.collect(), key=lambda r: r["vec_id"])
+    C = np.array([cv for _, cv in sorted(cents)], dtype=np.float64)
+    cids = np.array([cid for cid, _ in sorted(cents)])
+    kept_by_cell: dict = {}
+    ref_drops = []
+    for r in rows:
+        v = np.array(r["v"], dtype=np.float64)
+        d2 = ((C - v) ** 2).sum(axis=1)
+        cell = int(cids[int(np.argmin(d2))])
+        n2 = (v * v).sum()
+        dup = False
+        for u, nu in kept_by_cell.get(cell, []):
+            d = float(u @ v)
+            if d > 0 and d * d * 10000 >= TAU * nu * n2:
+                dup = True
+                break
+        if dup:
+            ref_drops.append(r["vec_id"])
+        else:
+            kept_by_cell.setdefault(cell, []).append((v, n2))
+    ref_kept = sorted(set(r["vec_id"] for r in rows) - set(ref_drops))
+
+    assert got_drops == sorted(ref_drops) and len(got_drops) > 0
+    assert got_kept == ref_kept
+
+    # replay idempotency: re-apply the last epoch with the same content
+    n_store = sd.kept().count()
+    replay = qv.filter(F.col("vec_id") > mid)
+    cp = str(tmp_path / "idx" / "_checkpoint")
+    assert sd.apply_batch(replay, 1, cp) is False
+    assert sd.kept().count() == n_store
+    qv.unpersist()
