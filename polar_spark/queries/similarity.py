@@ -318,9 +318,17 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "idx"), os.path.join(root, "drops"),
         cents, tau_sq_pct=1600,
     )
-    mid = qv.agg(F.max("vec_id")).first()[0] // 2
-    sd.apply_batch(qv.filter(F.col("vec_id") <= mid), 0, root)
-    sd.apply_batch(qv.filter(F.col("vec_id") > mid), 1, root)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        # per-(sf, session) build exactly once: a re-invocation in the
+        # same application must NOT re-apply epoch 0 against a store
+        # already holding epoch 1's keeps (the reset path would dedup
+        # early ids against later keeps — not the greedy-prefix law)
+        mid = qv.agg(F.max("vec_id")).first()[0] // 2
+        sd.apply_batch(qv.filter(F.col("vec_id") <= mid), 0, root)
+        sd.apply_batch(qv.filter(F.col("vec_id") > mid), 1, root)
+        with open(done, "w"):
+            pass
     out = sd.dropped().orderBy("vec_id")
     qv.unpersist()
     return out

