@@ -3,3 +3,7 @@ from polar_spark.streaming.aggregates import (  # noqa: F401
     windowed_counts,
     session_aggregate,
 )
+from polar_spark.streaming.dedup import (  # noqa: F401
+    StreamingNearDup,
+    StreamingSemDedup,
+)

@@ -832,3 +832,19 @@ def test_repartition_empty_topic(spark, tmp_path):
     tails = repartition_topic(cat, "fresh", 3)
     assert tails == {0: -1, 1: -1, 2: -1}
     assert cat.read("fresh").count() == 0
+
+
+def test_repartition_refuses_inflight_reservations(spark, tmp_path):
+    """An unpublished produce reservation must block the rescale with a
+    clear error (never rewrite offsets under an in-flight batch)."""
+    import pytest as _pytest
+
+    from polar_spark.topics import TopicCatalog, repartition_topic
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    cat.ensure_topic("busy")
+    seq, _, _ = cat.reserve("busy", lambda cur: ({0: cur.get(0, -1) + 5}, None))
+    with _pytest.raises(RuntimeError, match="reservation"):
+        repartition_topic(cat, "busy", 3)
+    cat.publish("busy", seq, staging=None)  # resolve → now it works
+    assert set(repartition_topic(cat, "busy", 3)) == {0, 1, 2}
