@@ -76,6 +76,7 @@ HEADLINE = [
     "knn_ivfpq_stored",
     "quality_linear_classifier",
     "mixture_quality_buckets",
+    "semdedup_incremental",
 ]
 
 
