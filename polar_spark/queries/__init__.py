@@ -7,6 +7,7 @@ registry. Import order defines registry contents.
 
 from polar_spark.queries.registry import QUERIES, oracle_map, query_map  # noqa: F401
 import polar_spark.queries.relational  # noqa: F401,E402
+import polar_spark.queries.tpch_more  # noqa: F401,E402
 import polar_spark.queries.streamlike  # noqa: F401,E402
 import polar_spark.queries.text  # noqa: F401,E402
 import polar_spark.queries.dedup  # noqa: F401,E402

@@ -60,6 +60,18 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "quality_linear_classifier",
     "mixture_quality_buckets",
     "semdedup_incremental",
+    # round-4 additions: TPC-H completion (never driver-sampled yet)
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_bracketed_revenue",
+    "q22_dormant_customers",
 )
 
 

@@ -320,3 +320,40 @@ def test_quality_classifier_zero_shuffle_pure_codegen(spark, sf_dir):
     df = quality_linear_classifier(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert "EvalPython" not in explain_str(df)
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    """Q6 is the pushdown dwarf: all three predicates reach the parquet
+    scan, the projection prunes to the columns used, and the only
+    exchange is the single-row final aggregation."""
+    from polar_spark.queries.tpch_more import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    for cols in scan_schema_columns(df):
+        assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert shuffle_count(df) <= 1
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir):
+    """The 8-way join streams lineitem through broadcast joins; the only
+    shuffle joins allowed are lineitem⋈orders; p_type pushes down."""
+    from polar_spark.queries.tpch_more import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "p_type" in " ".join(pushed_filters(df))
+    # shuffles: lineitem⋈orders (2 exchange inputs) + final agg ≤ 3
+    assert shuffle_count(df) <= 3
+
+
+def test_q17_reaggregation_join_broadcasts_back(spark, sf_dir):
+    """The per-part average re-join must broadcast the 2k-row aggregate
+    onto the fact scan — never shuffle lineitem twice for it."""
+    from polar_spark.queries.tpch_more import q17_small_qty_revenue
+
+    df = q17_small_qty_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # one shuffle for the per-part agg + at most the tiny final agg
+    assert shuffle_count(df) <= 2
