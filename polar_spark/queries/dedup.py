@@ -341,3 +341,75 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="polar_ndx_"), threshold=0.7)
     idx.build(d.filter(F.col("doc_id") < split))
     return idx.query_and_update(d.filter(F.col("doc_id") >= split))
+
+
+@query(
+    "dedup_strip_dup_chunks",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS wd FROM documents
+), c AS (
+  SELECT doc_id, wd,
+    unnest(range(0, CAST(ceil(len(wd) / 20.0) AS INT))) AS ci
+  FROM w
+), ch AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS ci,
+    array_to_string(wd[ci * 20 + 1 : ci * 20 + 20], ' ') AS ct
+  FROM c
+), f1 AS (
+  SELECT doc_id, ci, ct, MIN(doc_id) OVER (PARTITION BY ct) AS fdoc FROM ch
+), f2 AS (
+  SELECT doc_id, ci, ct, fdoc,
+    MIN(CASE WHEN doc_id = fdoc THEN ci END) OVER (PARTITION BY ct) AS fci
+  FROM f1
+), fl AS (
+  SELECT doc_id, ci, ct, (doc_id = fdoc AND ci = fci) AS keep FROM f2
+)
+SELECT doc_id,
+  coalesce(string_agg(ct, ' ' ORDER BY ci) FILTER (WHERE keep), '') AS clean_text,
+  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_chunks_kept,
+  COUNT(*) AS n_chunks_total
+FROM fl GROUP BY doc_id
+""",
+)
+def dedup_strip_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-content REMOVAL with text reassembly — the RefinedWeb
+    exact-substring step as a transformation, not just a detector
+    (chunk_dup_ratio measures; this rewrites): split each doc into
+    non-overlapping 20-word chunks, keep only the globally-first
+    occurrence of each distinct chunk (lexicographic min (doc_id, idx) —
+    deduplicates across docs AND repeated chunks within one doc), and
+    reassemble every document from its kept chunks in order.
+
+    Scale: one hash shuffle on chunk text for the first-occurrence
+    window (min over a struct — no self-join, no pair blow-up), one
+    groupBy doc_id to reassemble; both map-side combinable. The
+    reassembly collect_list is bounded by document size, never corpus
+    size. Docs reduced to nothing stay in the output with clean_text=''
+    — the curation step downstream decides whether to drop them.
+    """
+    from pyspark.sql.window import Window
+
+    from polar_spark.functions.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ch = chunk_documents(d, "doc_id", "text", chunk_words=20, overlap=0)
+    w = Window.partitionBy("chunk_text")
+    flagged = ch.withColumn(
+        "_first", F.min(F.struct("doc_id", "chunk_idx")).over(w)
+    ).withColumn(
+        "_keep",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("chunk_idx") == F.col("_first.chunk_idx")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "case when _keep then struct(chunk_idx, chunk_text) end)), "
+            "x -> x.chunk_text), ' ')"
+        ).alias("clean_text"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_chunks_kept"),
+        F.count(F.lit(1)).alias("n_chunks_total"),
+    )

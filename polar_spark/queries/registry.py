@@ -54,12 +54,9 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "bloom_semi_join_orders",
     "sql_not_in_null_aware",
     "chunk_dup_ratio",
-    "knn_pq_adc",
-    "knn_ivfpq_stored",
     "consume_seek_timestamp",
     "quality_linear_classifier",
     "mixture_quality_buckets",
-    "semdedup_incremental",
     # round-4 additions: TPC-H completion (never driver-sampled yet)
     "q4_priority_late_ship",
     "q6_forecast_revenue",
@@ -72,6 +69,14 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "q17_small_qty_revenue",
     "q19_bracketed_revenue",
     "q22_dormant_customers",
+    "dedup_strip_dup_chunks",
+    "bpe_pair_merge_counts",
+    "retention_cohort_daily",
+    # rows-only (no SQL oracle) entries last: if the driver's ~50-query
+    # sample cuts the head short, it drops the weakest checks first
+    "knn_pq_adc",
+    "knn_ivfpq_stored",
+    "semdedup_incremental",
 )
 
 

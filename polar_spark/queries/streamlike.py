@@ -437,3 +437,43 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(conv).cast("bigint").alias("n_converted"),
         (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
     )
+
+
+@query(
+    "retention_cohort_daily",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), co AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT cohort_day,
+  date_diff('day', cohort_day, day) AS day_offset,
+  COUNT(DISTINCT ud.user_id) AS n_users
+FROM ud JOIN co ON ud.user_id = co.user_id
+GROUP BY cohort_day, date_diff('day', cohort_day, day)
+""",
+)
+def retention_cohort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, with
+    the count of them still active at each day offset — the standard
+    product-analytics rollup a broker's event stream feeds.
+
+    Scale: the (user, day) distinct and the per-user min reuse one hash
+    shuffle family on user_id; the cohort table is |users|-sized so the
+    re-join is a shuffled hash join on user_id (NOT broadcast — at 100 TB
+    the user dimension is large), and the final matrix is
+    days × offsets — tiny. countDistinct is exact (the matrix needs it);
+    the sketch variants live in functions/sketches.py for when
+    approximate is acceptable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_day = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_day.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -374,3 +374,50 @@ def sketch_kmv_merged_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials = kmv_partial(ev, ["event_type", "month"], "user_id", k=64)
     return kmv_merge(partials, ["event_type"], k=64)
+
+
+@query(
+    "bpe_pair_merge_counts",
+    oracle="""
+WITH w AS (
+  SELECT string_split(coalesce(text, ''), ' ') AS wd FROM documents
+), p0 AS (
+  SELECT wd, unnest(range(1, len(wd))) AS i FROM w
+), p AS (
+  SELECT wd[i] || ' ' || wd[i + 1] AS pair FROM p0
+)
+SELECT pair, COUNT(*) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE/WordPiece tokenizer training at corpus
+    scale: count adjacent-token pairs and rank the top merge candidates
+    (Sennrich et al. 2016 merge rule, word-level granularity here since
+    the synthetic corpus is word-salad). Deterministic top-20 (ties by
+    pair text).
+
+    Scale: pair generation is pure codegen (transform over the split
+    array — one fused map stage, no Python, no shuffle); the count is
+    one hash shuffle with map-side partial aggregation (pair cardinality
+    ≪ pair occurrences), then TakeOrdered — the exact shape an actual
+    tokenizer-training pipeline runs per merge iteration over 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.coalesce("text", F.lit("")), " ").alias("_w")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "case when size(_w) < 2 then array() else "
+                "transform(sequence(2, size(_w)), "
+                "i -> concat(element_at(_w, i - 1), ' ', element_at(_w, i))) end"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(20)
+    )
