@@ -77,6 +77,10 @@ HEADLINE = [
     "quality_linear_classifier",
     "mixture_quality_buckets",
     "semdedup_incremental",
+    "q8_market_share",
+    "q17_small_qty_revenue",
+    "dedup_strip_dup_chunks",
+    "bpe_pair_merge_counts",
 ]
 
 
@@ -140,6 +144,13 @@ SCALE_HEADLINE = [
     "dup_span_detect",
     "chunk_dup_ratio",
     "quality_linear_classifier",
+    "dedup_strip_dup_chunks",
+    "bpe_pair_merge_counts",
+    # TPC-H joins at 10× facts (orders+lineitem rebuilt with preserved
+    # referential integrity; dims stay fixed — the realistic scale shape)
+    "q1_pricing_summary",
+    "q8_market_share",
+    "q17_small_qty_revenue",
 ]
 
 
@@ -148,11 +159,33 @@ def _build_scaled_corpus(spark, dst: str) -> None:
 
     from polar_spark.sources.tables import load_table
 
-    for name in "region nation customer supplier part orders lineitem".split():
+    # dims stay at sf0.1 size (facts grow, dimensions don't — the
+    # realistic 100 TB shape); the four fact tables are rebuilt at 10×
+    for name in "region nation customer supplier part".split():
         src = os.path.join(SF_DIR, f"{name}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(dst, f"{name}.parquet"))
     rep = F.explode(F.sequence(F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_rep")
+
+    # orders/lineitem replicate with orderkey*SF+rep so referential
+    # integrity holds between the two scaled facts while every replica
+    # is a distinct order (dates shifted by _rep seconds)
+    o = load_table(spark, SF_DIR, "orders").select("*", rep)
+    (
+        o.withColumn("o_orderkey", F.col("o_orderkey") * SCALE_FACTOR + F.col("_rep"))
+        .withColumn("o_orderdate", F.expr("o_orderdate + make_interval(0, 0, 0, 0, 0, 0, _rep)"))
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "orders.parquet"))
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select("*", rep)
+    (
+        li.withColumn("l_orderkey", F.col("l_orderkey") * SCALE_FACTOR + F.col("_rep"))
+        .withColumn("l_shipdate", F.expr("l_shipdate + make_interval(0, 0, 0, 0, 0, 0, _rep)"))
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "lineitem.parquet"))
+    )
 
     ev = load_table(spark, SF_DIR, "events").select("*", rep)
     (

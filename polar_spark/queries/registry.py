@@ -72,6 +72,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_strip_dup_chunks",
     "bpe_pair_merge_counts",
     "retention_cohort_daily",
+    "sql_recursive_order_chain",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",

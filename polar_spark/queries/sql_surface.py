@@ -518,3 +518,48 @@ WHERE p_partkey NOT IN (
   AND p_size >= 8
 """
     )
+
+
+@query(
+    "sql_recursive_order_chain",
+    oracle="""
+WITH RECURSIVE anc(o_orderkey, anc_key) AS (
+  SELECT o_orderkey, o_orderkey FROM orders WHERE o_orderkey <= 200
+  UNION ALL
+  SELECT o_orderkey, anc_key // 2 FROM anc WHERE anc_key // 2 >= 1
+)
+SELECT a.o_orderkey, COUNT(*) AS depth,
+  CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS chain_value
+FROM anc a LEFT JOIN orders o2 ON a.anc_key = o2.o_orderkey
+GROUP BY a.o_orderkey
+""",
+)
+def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through spark.sql() (Spark 4 recursive CTEs): each
+    order's ancestor chain under the derived parent edge key → key/2 (a
+    stand-in for the org/BOM hierarchies the schema lacks), rolled up to
+    chain depth and total value. The recursion is strictly decreasing —
+    UNION ALL terminates without cycle detection (Spark supports only
+    UNION ALL in recursive CTEs; cyclic closure stays with the
+    label-propagation operator, functions/dedup.connected_components).
+
+    Scale: frontier shrinks geometrically (depth ≤ log₂ max-key); each
+    step is a self-map, the only joins are the final ancestor-value
+    lookup and the per-key rollup. The base is bounded (key ≤ 200) the
+    way any real hierarchy root-set query would be.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(o_orderkey, anc_key) AS (
+          SELECT o_orderkey, o_orderkey FROM orders WHERE o_orderkey <= 200
+          UNION ALL
+          SELECT o_orderkey, anc_key DIV 2 FROM anc WHERE anc_key DIV 2 >= 1
+        )
+        SELECT a.o_orderkey, COUNT(*) AS depth,
+          CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(15,4))) AS DOUBLE)
+            AS chain_value
+        FROM anc a LEFT JOIN orders o2 ON a.anc_key = o2.o_orderkey
+        GROUP BY a.o_orderkey
+        """
+    )
