@@ -119,9 +119,10 @@ def _bench_queries(spark) -> dict[str, float]:
 
 
 # the larger-scale point (VERDICT r3 #8): the same queries over a 10×
-# corpus of the three big tables, derived deterministically so replicas
-# are DISTINCT rows (rotated document text, perturbed embeddings,
-# time-shifted events) — a genuine scale-up, not a degenerate
+# corpus of the five fact tables (orders, lineitem, events, documents,
+# embeddings), derived deterministically so replicas are DISTINCT rows
+# (rotated document text, perturbed embeddings, time-shifted events,
+# re-keyed orders/lineitems) — a genuine scale-up, not a degenerate
 # exact-duplicate blow-up that would quadratically inflate pair queries
 SCALE_FACTOR = 10
 SCALE_HEADLINE = [
@@ -160,7 +161,8 @@ def _build_scaled_corpus(spark, dst: str) -> None:
     from polar_spark.sources.tables import load_table
 
     # dims stay at sf0.1 size (facts grow, dimensions don't — the
-    # realistic 100 TB shape); the four fact tables are rebuilt at 10×
+    # realistic 100 TB shape); the five fact tables (orders, lineitem,
+    # events, documents, embeddings) are rebuilt at 10×
     for name in "region nation customer supplier part".split():
         src = os.path.join(SF_DIR, f"{name}.parquet")
         if os.path.exists(src):

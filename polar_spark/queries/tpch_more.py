@@ -30,15 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# the determinism-critical decimal helpers are SHARED with relational.py —
+# a precision change must apply to the whole TPC-H surface at once
 from polar_spark.queries.registry import query
+from polar_spark.queries.relational import _DEC, _dec
 from polar_spark.sources.tables import load_table
 
-
-def _dec(c, prec: int = 15, scale: int = 4):
-    return F.col(c).cast(f"decimal({prec},{scale})")
-
-
-_DEC = "DECIMAL(15,4)"
 _D64 = "DECIMAL(6,4)"
 # revenue term shared by most queries: extendedprice * (1 - discount), exact
 _REV_SQL = (
