@@ -50,5 +50,8 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """How many WholeStageCodegen spans the plan has (wider = better)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    """How many WholeStageCodegen spans the plan has (wider = better).
+
+    Formatted mode annotates member operators with ``[codegen id : N]``
+    (the ``WholeStageCodegen (N)`` header only appears in simple mode)."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", explain_str(df))))
