@@ -691,3 +691,39 @@ def test_streaming_semdedup_matches_greedy_reference(spark, sf_dir, tmp_path):
     assert sd.apply_batch(replay, 1, cp) is False
     assert sd.kept().count() == n_store
     qv.unpersist()
+
+
+def test_stream_static_broadcast_join_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: a micro-batched event stream enriched against
+    a static dimension (the Structured Streaming surface the curation
+    pipeline uses to tag arriving documents with source metadata). The
+    static side re-broadcasts per micro-batch, needs no watermark, and
+    the streamed total must equal the batch join exactly."""
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    src = str(tmp_path / "stsrc")
+    ev.write.mode("overwrite").parquet(src)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id").groupBy("cohort").count()
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ss_enrich")
+        .option("checkpointLocation", str(tmp_path / "sscp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cohort"], r["count"])
+        for r in spark.sql("select * from ss_enrich").collect()
+    }
+    expect = {
+        (r["cohort"], r["count"])
+        for r in ev.join(dim, "user_id").groupBy("cohort").count().collect()
+    }
+    assert got == expect
