@@ -335,6 +335,41 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         timings["consume_events"] = round(t_consume, 3)
         extra["consume_msgs_per_sec"] = round(n_out / t_consume)
         big.unpersist(blocking=True)
+
+        # micro-batch commit latency — the nearest comparable to the
+        # reference's per-request ack latency (<20 ms unkeyed / <50 ms
+        # keyed max on dedicated 3-broker EBS hardware,
+        # docs/benchmarks/README.md:35,52). A Spark engine pays job
+        # scheduling per micro-batch, so the honest analog is the
+        # end-to-end latency of a small durable produce and of a bounded
+        # poll, reported as p50/max over repeated requests.
+        small = ev.limit(1000).persist()
+        small.count()
+        lats: list[float] = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            prod.produce(
+                small, "bench_lat", key_col="user_id", value_col="props",
+                ts_col="ts",
+            )
+            lats.append((time.perf_counter() - t0) * 1000)
+        lats.sort()
+        extra["produce_latency_ms_p50"] = round(lats[len(lats) // 2], 1)
+        extra["produce_latency_ms_max"] = round(lats[-1], 1)
+        gl = ConsumerGroup(cat, "lat_group")
+        gl.register("bench_lat", EARLIEST)
+        plats: list[float] = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = gl.poll("bench_lat", max_records=2000)
+            res.df.count()
+            gl.commit("bench_lat", res.positions)
+            res.release()
+            plats.append((time.perf_counter() - t0) * 1000)
+        plats.sort()
+        extra["poll_latency_ms_p50"] = round(plats[len(plats) // 2], 1)
+        extra["poll_latency_ms_max"] = round(plats[-1], 1)
+        small.unpersist(blocking=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
