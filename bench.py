@@ -343,8 +343,12 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         # scheduling per micro-batch, so the honest analog is the
         # end-to-end latency of a small durable produce and of a bounded
         # poll, reported as p50/max over repeated requests.
-        small = ev.limit(1000).persist()
-        small.count()
+        # row-stable input (plain parquet scan): limit()/persist() would
+        # add pinning jobs that measure the INPUT's instability, not the
+        # engine's produce path
+        small_path = os.path.join(root, "lat_input.parquet")
+        ev.limit(1000).write.mode("overwrite").parquet(small_path)
+        small = spark.read.parquet(small_path)
         lats: list[float] = []
         for _ in range(10):
             t0 = time.perf_counter()
@@ -369,7 +373,6 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         plats.sort()
         extra["poll_latency_ms_p50"] = round(plats[len(plats) // 2], 1)
         extra["poll_latency_ms_max"] = round(plats[-1], 1)
-        small.unpersist(blocking=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
