@@ -183,3 +183,55 @@ def resize_images(
             )
 
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id bigint, window_idx int, n_samples int, energy bigint, peak int"
+
+
+def audio_window_energy(
+    df: DataFrame, id_col: str, blob_col: str, window: int = 256
+) -> DataFrame:
+    """Audio feature extraction over binary payloads via mapInPandas.
+
+    STUB CODEC (deterministic — no soundfile/librosa in this container):
+    the payload bytes are read as unsigned 8-bit PCM recentered to
+    [-128, 127]; a real decoder plugs into the same Arrow-batch
+    interface with only ``np.frombuffer`` swapped out. Per
+    non-overlapping ``window``-sample frame: integer energy (sum of
+    squares) and peak |amplitude| — integers so the DuckDB oracle
+    compares bit-exactly, mirroring the RMS/peak features a real audio
+    curation pass computes.
+
+    Scale: numpy-vectorized per Arrow batch, one row fans out to its
+    frames inside the task — no shuffle, no Python-per-row; at 100 TB
+    feature extraction streams at decode speed like the image path.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, w_idx, n_s, energy, peak = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples = (
+                    np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                    - 128
+                )
+                for w in range(0, len(samples), window):
+                    seg = samples[w : w + window]
+                    ids.append(doc_id)
+                    w_idx.append(w // window)
+                    n_s.append(len(seg))
+                    energy.append(int((seg * seg).sum()))
+                    peak.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": w_idx,
+                    "n_samples": n_s,
+                    "energy": energy,
+                    "peak": peak,
+                }
+            )
+
+    return df.mapInPandas(feats, schema=AUDIO_SCHEMA)

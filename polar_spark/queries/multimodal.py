@@ -91,3 +91,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("resized")).alias("resized_hex"),
         "resized_nbytes",
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+    unnest(range(0, CAST(ceil(len(t) / 256.0) AS INT))) AS wi
+  FROM b
+), s AS (
+  SELECT doc_id, CAST(wi AS INT) AS wi, substr(t, wi * 256 + 1, 256) AS seg
+  FROM w
+), c AS (
+  SELECT doc_id, wi, len(seg) AS n,
+    list_transform(range(1, len(seg) + 1),
+                   i -> ascii(substr(seg, i, 1)) - 128) AS codes
+  FROM s
+)
+SELECT doc_id, wi AS window_idx, CAST(n AS INT) AS n_samples,
+  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS energy,
+  CAST(list_max(list_transform(codes, x -> abs(x))) AS INT) AS peak
+FROM c
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: blobs (UTF-8 bytes of the synthetic docs
+    — pure-ASCII, so the oracle's per-character codepoints equal the
+    engine's per-byte samples) decoded as fake 8-bit PCM and reduced to
+    per-window integer energy/peak features through the real
+    mapInPandas batch interface (functions/multimodal.audio_window_energy)."""
+    from polar_spark.functions.multimodal import attach_blob, audio_window_energy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    blobs = attach_blob(d, "doc_id", "text", mime="audio/pcm;rate=8000")
+    return audio_window_energy(blobs, "doc_id", "blob", window=256)

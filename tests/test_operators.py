@@ -1017,3 +1017,25 @@ def test_stream_ivfpq_index_matches_batch(spark, sf_dir, tmp_path):
     )
     assert a == b and len(a) > 0
     qv.unpersist()
+
+
+def test_audio_window_energy_exact(spark):
+    """Hand-computed windows: 'AB' → samples (65-128, 66-128) = (-63, -62);
+    energy 63²+62²=7813, peak 63; a 300-byte payload at window=256 yields
+    two windows (256 + 44 samples)."""
+    from polar_spark.functions.multimodal import attach_blob, audio_window_energy
+
+    df = spark.createDataFrame(
+        [(1, "AB"), (2, "A" * 300)], "doc_id bigint, text string"
+    )
+    blobs = attach_blob(df, "doc_id", "text", mime="audio/pcm")
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in audio_window_energy(blobs, "doc_id", "blob", window=256).collect()
+    }
+    r1 = rows[(1, 0)]
+    assert r1["n_samples"] == 2 and r1["energy"] == 63 * 63 + 62 * 62
+    assert r1["peak"] == 63
+    assert rows[(2, 0)]["n_samples"] == 256
+    assert rows[(2, 1)]["n_samples"] == 44
+    assert rows[(2, 1)]["energy"] == 44 * 63 * 63
