@@ -252,6 +252,7 @@ def brute_force_topk(
     cand_id: str = "vec_id",
     query_vec: str = "qv",
     cand_vec: str = "cv",
+    exclude_on: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Exact top-k by quantized dot product, two-phase (map-side combine
     for top-k):
@@ -276,10 +277,18 @@ def brute_force_topk(
     being "small side rides along" and the bucketed paths (``ivf_topk``
     with a trained codebook, or ``lsh_bucket`` prefiltering) are the
     scale-correct tools — the cap makes the documented contract
-    executable instead of an OOM at 10⁶ queries."""
+    executable instead of an OOM at 10⁶ queries.
+
+    ``exclude_on=(query_col, cand_col)`` additionally masks candidates
+    whose ``cand_col`` equals the query row's ``query_col`` BEFORE
+    ranking — the hard-negative-mining shape (top-k most-similar with a
+    different label); the mask is applied inside the vectorized scan, so
+    the exclusion costs one elementwise compare per batch, never a
+    join."""
     from pyspark.sql import types as T
 
-    qrows = queries.select(query_id, query_vec).limit(MAX_BRUTE_FORCE_QUERIES + 1).collect()
+    q_cols = [query_id, query_vec] + ([exclude_on[0]] if exclude_on else [])
+    qrows = queries.select(*q_cols).limit(MAX_BRUTE_FORCE_QUERIES + 1).collect()
     if not qrows:
         raise ValueError("brute_force_topk: empty query set")
     if len(qrows) > MAX_BRUTE_FORCE_QUERIES:
@@ -291,6 +300,7 @@ def brute_force_topk(
         )
     qids_py = [r[query_id] for r in qrows]
     Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.int64)  # (m, d)
+    qex_py = [r[exclude_on[0]] for r in qrows] if exclude_on else None
     m = len(qids_py)
     carry = [c for c in candidates.columns if c not in (cand_id, cand_vec)]
     cs = candidates.schema
@@ -315,10 +325,13 @@ def brute_force_topk(
             seen = True
             V = np.stack(pdf[cand_vec].to_numpy()).astype(np.int64, copy=False)
             ids = pdf[cand_id].to_numpy()
+            ex_vals = pdf[exclude_on[1]].to_numpy() if exclude_on else None
             carries = [pdf[c].to_numpy() for c in carry]
             D = V @ Q.T  # (n, m)
             for q in range(m):
                 mask = ids != qids[q]  # a vector is not its own neighbor
+                if ex_vals is not None:
+                    mask &= ex_vals != qex_py[q]
                 v = np.concatenate([best_v[q], D[mask, q]])
                 i = np.concatenate([best_i[q], ids[mask]])
                 cols = [

@@ -74,6 +74,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "retention_cohort_daily",
     "sql_recursive_order_chain",
     "multimodal_audio_energy",
+    "knn_hard_negatives",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",

@@ -535,3 +535,42 @@ def embedding_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_missing_doc"
         ),
     )
+
+
+@query(
+    "knn_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, {_QV} AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, label, {_QV} AS cv FROM embeddings
+), dots AS (
+  SELECT qid, vec_id, label,
+    CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+  FROM q, c WHERE vec_id <> qid AND label <> qlabel
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+  FROM dots
+)
+SELECT qid, vec_id, label, dot, rn FROM ranked WHERE rn <= 5
+""",
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's
+    top-5 most-similar vectors with a DIFFERENT label (the
+    in-batch-negatives upgrade every embedding-model pipeline runs).
+    The label exclusion is applied INSIDE the vectorized brute-force
+    scan (one elementwise compare per Arrow batch, never a join), so the
+    scale shape is identical to knn_bruteforce_dot: candidates scanned
+    once, no shuffle before the O(parts·k·|Q|) top-k merge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        quantize("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cands = e.select("vec_id", "label", quantize("embedding").alias("cv"))
+    return brute_force_topk(
+        queries, cands, k=5, exclude_on=("qlabel", "label")
+    ).select("qid", "vec_id", "label", "dot", "rn")
