@@ -75,6 +75,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "sql_recursive_order_chain",
     "multimodal_audio_energy",
     "knn_hard_negatives",
+    "top_event_transitions",
+    "profile_table_stats",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",

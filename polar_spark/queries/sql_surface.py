@@ -563,3 +563,42 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.o_orderkey
         """
     )
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_nulls,
+  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+  COUNT(DISTINCT user_id) AS user_distinct,
+  COUNT(DISTINCT event_type) AS type_distinct,
+  MIN(value) AS value_min, MAX(value) AS value_max,
+  MIN(ts) AS ts_min, MAX(ts) AS ts_max
+FROM events
+""",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling — the data-engineering staple every
+    pipeline runs before trusting a new drop: row count, per-column
+    null counts, exact distinct cardinalities, value/time ranges.
+
+    Scale: a single scan; the two exact COUNT(DISTINCT)s plan as one
+    Expand + two-level partial aggregation (map-side combine keeps the
+    shuffle at distinct-key cardinality, not row count). For wide-table
+    profiling at 100 TB swap the exact distincts for the KMV sketch
+    (functions/sketches.py) — this query keeps them exact so the DuckDB
+    oracle compares bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.isnull("user_id").cast("bigint")).alias("user_nulls"),
+        F.sum(F.isnull("props").cast("bigint")).alias("props_nulls"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.countDistinct("event_type").alias("type_distinct"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )

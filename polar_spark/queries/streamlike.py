@@ -477,3 +477,42 @@ def retention_cohort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "top_event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev || '>' || event_type AS transition, COUNT(*) AS cnt
+FROM o WHERE prev IS NOT NULL
+GROUP BY prev || '>' || event_type
+ORDER BY cnt DESC, transition LIMIT 15
+""",
+)
+def top_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the most common consecutive event-type
+    transitions across user sessions (the first-order Markov view of
+    the event stream; event_id breaks timestamp ties so both engines
+    order identically).
+
+    Scale: ONE hash shuffle on user_id for the lag window (at 100 TB the
+    stored topic layout is already user-partitioned when produced with
+    key_col=user_id — the exchange then collapses to a local sort), a
+    map-side-combined count into ≤ |event_types|² groups, TakeOrdered
+    top-15. No joins, no explode.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.concat_ws(">", "prev", "event_type").alias("transition"))
+        .groupBy("transition")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("transition"))
+        .limit(15)
+    )
