@@ -202,9 +202,11 @@ def audio_window_energy(
     compares bit-exactly, mirroring the RMS/peak features a real audio
     curation pass computes.
 
-    Scale: numpy-vectorized per Arrow batch, one row fans out to its
-    frames inside the task — no shuffle, no Python-per-row; at 100 TB
-    feature extraction streams at decode speed like the image path.
+    Scale: one Python iteration per document (payloads are ragged), with
+    the per-window reduction fully numpy-vectorized (zero-pad to a
+    window multiple, reshape (n_windows, window), reduce along axis 1 —
+    zero padding is identity for both sum-of-squares and abs-max); one
+    row fans out to its frames inside the task, no shuffle.
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,20 +219,29 @@ def audio_window_energy(
                     np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
                     - 128
                 )
-                for w in range(0, len(samples), window):
-                    seg = samples[w : w + window]
-                    ids.append(doc_id)
-                    w_idx.append(w // window)
-                    n_s.append(len(seg))
-                    energy.append(int((seg * seg).sum()))
-                    peak.append(int(np.abs(seg).max()))
+                n = len(samples)
+                if n == 0:
+                    continue
+                nwin = -(-n // window)
+                padded = np.zeros(nwin * window, dtype=np.int64)
+                padded[:n] = samples
+                seg = padded.reshape(nwin, window)
+                ids.append(np.full(nwin, doc_id, dtype=np.int64))
+                w_idx.append(np.arange(nwin, dtype=np.int64))
+                counts = np.full(nwin, window, dtype=np.int64)
+                counts[-1] = n - (nwin - 1) * window
+                n_s.append(counts)
+                energy.append((seg * seg).sum(axis=1))
+                peak.append(np.abs(seg).max(axis=1))
+            if not ids:
+                continue
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "window_idx": w_idx,
-                    "n_samples": n_s,
-                    "energy": energy,
-                    "peak": peak,
+                    "doc_id": np.concatenate(ids),
+                    "window_idx": np.concatenate(w_idx),
+                    "n_samples": np.concatenate(n_s),
+                    "energy": np.concatenate(energy),
+                    "peak": np.concatenate(peak),
                 }
             )
 

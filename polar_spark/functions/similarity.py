@@ -284,7 +284,9 @@ def brute_force_topk(
     ranking — the hard-negative-mining shape (top-k most-similar with a
     different label); the mask is applied inside the vectorized scan, so
     the exclusion costs one elementwise compare per batch, never a
-    join."""
+    join. NULL follows SQL ``<>`` three-valued logic (matching the
+    registry oracle): a NULL-valued candidate never qualifies, and a
+    NULL-valued query keeps no candidates at all."""
     from pyspark.sql import types as T
 
     q_cols = [query_id, query_vec] + ([exclude_on[0]] if exclude_on else [])
@@ -325,13 +327,21 @@ def brute_force_topk(
             seen = True
             V = np.stack(pdf[cand_vec].to_numpy()).astype(np.int64, copy=False)
             ids = pdf[cand_id].to_numpy()
-            ex_vals = pdf[exclude_on[1]].to_numpy() if exclude_on else None
+            if exclude_on:
+                ex_vals = pdf[exclude_on[1]].to_numpy()
+                ex_notnull = pdf[exclude_on[1]].notna().to_numpy()
+            else:
+                ex_vals = ex_notnull = None
             carries = [pdf[c].to_numpy() for c in carry]
             D = V @ Q.T  # (n, m)
             for q in range(m):
                 mask = ids != qids[q]  # a vector is not its own neighbor
                 if ex_vals is not None:
-                    mask &= ex_vals != qex_py[q]
+                    # SQL <> semantics: NULL on either side disqualifies
+                    if qex_py[q] is None:
+                        mask &= False
+                    else:
+                        mask &= ex_notnull & (ex_vals != qex_py[q])
                 v = np.concatenate([best_v[q], D[mask, q]])
                 i = np.concatenate([best_i[q], ids[mask]])
                 cols = [

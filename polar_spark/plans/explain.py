@@ -42,16 +42,47 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 
 
+# --- text-based forms: the single source of truth for the plan regexes
+# (tools/plan_audit.py audits many metrics off ONE explain string — these
+# take the text so the formatted-mode parsing never forks between the
+# test helpers and the audit tool) ---------------------------------------
+
+# formatted mode prints every operator twice (tree + "(n) Op" detail
+# header); counting detail headers counts each node exactly once
+_ARROW_OPS = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandasWithState",  # longest first: alternation order
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+_ARROW_RE = re.compile(r"\(\d+\) (?:%s)\b" % "|".join(_ARROW_OPS))
+
+
+def shuffle_count_text(text: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange\b", text))
+
+
+def codegen_spans_text(text: str) -> int:
+    """Formatted mode annotates member operators with ``[codegen id : N]``
+    (the ``WholeStageCodegen (N)`` header only appears in simple mode)."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", text)))
+
+
+def arrow_stage_count_text(text: str) -> int:
+    """Number of Arrow-vectorized Python operators (the sanctioned
+    Pandas-UDF slow path) — detail headers only, so each node counts
+    once."""
+    return len(_ARROW_RE.findall(text))
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of distinct Exchange operators (shuffles) in the physical
     plan (formatted mode: one "(n) Exchange" detail header per node;
     ReusedExchange intentionally not counted — it pays no new shuffle)."""
-    return len(re.findall(r"\(\d+\) Exchange\b", explain_str(df)))
+    return shuffle_count_text(explain_str(df))
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """How many WholeStageCodegen spans the plan has (wider = better).
-
-    Formatted mode annotates member operators with ``[codegen id : N]``
-    (the ``WholeStageCodegen (N)`` header only appears in simple mode)."""
-    return len(set(re.findall(r"\[codegen id : (\d+)\]", explain_str(df))))
+    """How many WholeStageCodegen spans the plan has (wider = better)."""
+    return codegen_spans_text(explain_str(df))

@@ -5,7 +5,7 @@
 subset on every CI run and pin it to the committed baseline — a change
 that adds a shuffle, drops a broadcast join, grows the Pandas-UDF stage
 count, or introduces row-at-a-time Python / a cartesian product fails
-here instead of on a 100 TB cluster. (The full 115-query sweep runs
+here instead of on a 100 TB cluster. (The full registry sweep runs
 per-round via the tool; the subset keeps the suite fast.)
 """
 

@@ -699,9 +699,13 @@ def test_stream_static_broadcast_join_enrichment(spark, sf_dir, tmp_path):
     pipeline uses to tag arriving documents with source metadata). The
     static side re-broadcasts per micro-batch, needs no watermark, and
     the streamed total must equal the batch join exactly."""
-    ev = load_table(spark, sf_dir, "events").limit(2000)
+    load_table(spark, sf_dir, "events").limit(2000).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stsrc"))
     src = str(tmp_path / "stsrc")
-    ev.write.mode("overwrite").parquet(src)
+    # re-read the snapshot: limit() is not row-stable across jobs, so the
+    # stream, the dim, and the expectation must share ONE materialized set
+    ev = spark.read.parquet(src)
     dim = (
         ev.select("user_id")
         .distinct()

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -46,27 +45,22 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 
 
 def audit_one(df) -> dict:
-    from polar_spark.plans.explain import explain_str
+    from polar_spark.plans.explain import (
+        arrow_stage_count_text,
+        codegen_spans_text,
+        explain_str,
+        shuffle_count_text,
+    )
 
     text = explain_str(df)
     return {
-        "shuffles": len(re.findall(r"\(\d+\) Exchange\b", text)),
+        "shuffles": shuffle_count_text(text),
         "broadcast": "BroadcastHashJoin" in text,
         "bnlj": "BroadcastNestedLoopJoin" in text,
         "python_eval": "BatchEvalPython" in text,
-        "arrow_eval": sum(
-            text.count(op)
-            for op in (
-                "ArrowEvalPython",
-                "FlatMapGroupsInPandas",
-                "MapInPandas",
-                "FlatMapCoGroupsInPandas",
-                "FlatMapGroupsInPandasWithState",
-            )
-        ),
+        "arrow_eval": arrow_stage_count_text(text),
         "cartesian": "CartesianProduct" in text,
-        # formatted mode tags members with "[codegen id : N]"
-        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", text))),
+        "codegen_spans": codegen_spans_text(text),
     }
 
 
