@@ -1039,3 +1039,30 @@ def test_audio_window_energy_exact(spark):
     assert rows[(2, 0)]["n_samples"] == 256
     assert rows[(2, 1)]["n_samples"] == 44
     assert rows[(2, 1)]["energy"] == 44 * 63 * 63
+
+
+def test_brute_force_exclude_on_null_semantics(spark):
+    """exclude_on must follow SQL <> three-valued logic: a NULL-labeled
+    candidate never qualifies as a negative, and a NULL-labeled query
+    anchor keeps no candidates at all."""
+    from polar_spark.functions.similarity import brute_force_topk
+
+    cands = spark.createDataFrame(
+        [(1, 0, [1, 0]), (2, None, [1, 1]), (3, 1, [0, 1])],
+        "vec_id bigint, label int, cv array<bigint>",
+    )
+    queries = spark.createDataFrame(
+        [(10, 0, [1, 1]), (11, None, [1, 1])],
+        "qid bigint, qlabel int, qv array<bigint>",
+    )
+    rows = brute_force_topk(
+        queries, cands, k=3, exclude_on=("qlabel", "label")
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    # anchor label 0: candidate 1 (label 0) equal → out; 2 (NULL) → out;
+    # 3 (label 1) → the only hard negative
+    assert by_q.get(10) == {3}
+    # NULL anchor: nothing qualifies
+    assert 11 not in by_q
