@@ -77,6 +77,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "knn_hard_negatives",
     "top_event_transitions",
     "profile_table_stats",
+    "event_rate_anomaly",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",

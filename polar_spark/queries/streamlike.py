@@ -516,3 +516,74 @@ def top_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("transition"))
         .limit(15)
     )
+
+
+@query(
+    "event_rate_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), trail AS (
+  SELECT event_type, hour, n,
+    COUNT(*) OVER w AS m,
+    SUM(n) OVER w AS s,
+    SUM(n * n) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+  CAST(m AS BIGINT) AS m, CAST(s AS BIGINT) AS s,
+  CASE WHEN m >= 12
+        AND (n * m - s) * (n * m - s) > 9 * (m * sq - s * s)
+       THEN 1 ELSE 0 END AS anomaly
+FROM trail
+""",
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ops staple: flag hours whose event rate deviates >3σ
+    from the trailing 24-hour mean, per event type. The z-score test is
+    algebraically cleared of division — flag iff
+    (n·m − s)² > 9·(m·sq − s²) over integer counts — so both engines
+    decide every row with exact integer arithmetic (no float variance
+    whose last bit could flip a flag). Warm-up hours (fewer than 12
+    trailing samples) never flag.
+
+    Scale: one hash shuffle into (type, hour) groups (map-side
+    combinable — the shuffle carries hourly aggregates, not events),
+    then a bounded ROWS-frame window per type over the tiny hourly
+    series. The same shape runs continuously as a Structured Streaming
+    sliding aggregate (streaming/aggregates.py) with the flag applied in
+    foreachBatch.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    t = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+    )
+    dev = F.col("n") * F.col("m") - F.col("s")
+    spread = F.col("m") * F.col("sq") - F.col("s") * F.col("s")
+    return t.select(
+        "event_type",
+        "hour",
+        "n",
+        "m",
+        "s",
+        F.when((F.col("m") >= 12) & (dev * dev > 9 * spread), 1)
+        .otherwise(0)
+        .alias("anomaly"),
+    )
