@@ -38,6 +38,11 @@ AUDIT_SUBSET = [
     "bpe_pair_merge_counts",
     "sql_recursive_order_chain",
     "chunk_documents_sliding",
+    "top_event_transitions",
+    "profile_table_stats",
+    "event_rate_anomaly",
+    "knn_hard_negatives",
+    "multimodal_audio_energy",
 ]
 
 
