@@ -587,3 +587,73 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("anomaly"),
     )
+
+
+@query(
+    "scd2_user_type_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM ordered
+), runs AS (
+  SELECT user_id, event_type, run_id,
+    MIN(ts) AS effective_from, COUNT(*) AS n_events
+  FROM changes GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, CAST(run_id AS BIGINT) AS run_id,
+  effective_from,
+  LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY run_id)
+    AS effective_to,
+  n_events
+FROM runs
+""",
+)
+def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build, Spark-first: each
+    user's consecutive runs of one event type become validity intervals
+    [effective_from, effective_to) — the change-tracking table a MERGE
+    statement maintains row-by-row in a warehouse, derived here in one
+    declarative pass (gaps-and-islands: lag to mark change points,
+    running sum to number runs, lead for the closing edge; event_id
+    breaks timestamp ties so both engines order identically; the
+    current run's effective_to is NULL = open interval).
+
+    Scale: ONE hash shuffle on user_id serves all three window passes
+    (same partitioning — Catalyst reuses the exchange), then a
+    (user, run) aggregation that combines map-side. No joins, no state,
+    no MERGE: at 100 TB this rebuilds the full dimension in a single
+    pass, or runs incrementally per micro-batch over only the users
+    present in the batch.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = (
+        ev.withColumn("run_id", F.sum(changed).over(w))
+        .groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.min("ts").alias("effective_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        "n_events",
+    )
