@@ -79,6 +79,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "profile_table_stats",
     "event_rate_anomaly",
     "scd2_user_type_intervals",
+    "tfidf_top_terms_per_source",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",

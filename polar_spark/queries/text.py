@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from polar_spark.functions.text import (
     EN_STOPWORDS,
@@ -420,4 +421,68 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(20)
+    )
+
+
+@query(
+    "tfidf_top_terms_per_source",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT source, tf.term, tf, df,
+    CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+) t WHERE rnk <= 5
+""",
+)
+def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinctive terms: the 5 terms most characteristic of each
+    source, scored tf·N/df (one IEEE division of exact integers — both
+    engines produce bit-identical doubles, unlike a log-idf whose libm
+    could differ in the last bit).
+
+    Scale: explode → (source, term) count with map-side combine; df is a
+    (doc, term)-distinct then term count — vocabulary-sized, so the
+    df⋈tf join is a hash join on term (NOT broadcast: at 100 TB the
+    vocabulary is large); N is a 1-row broadcast. Top-5 per source via
+    window over the source-term aggregate (already small).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.count()
+    scored = tf.join(df_, "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "df", "score", "rnk")
     )
