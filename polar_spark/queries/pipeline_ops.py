@@ -275,3 +275,94 @@ def pack_token_shards_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("shard"),
     )
+
+
+@query(
+    "impute_group_median",
+    oracle="""
+WITH masked AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM masked
+  GROUP BY event_type
+)
+SELECT event_id, masked.event_type,
+  coalesce(v, med) AS value_imputed,
+  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_missing
+FROM masked JOIN med ON masked.event_type = med.event_type
+""",
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the per-group exact median — the
+    feature-cleaning staple. Missingness is synthesized deterministically
+    (event_id % 7) because the testdata has no NULLs; the operator under
+    test is the impute itself. Spark `percentile(0.5)` and DuckDB
+    `quantile_cont` share the (n−1)·q interpolation law and both ignore
+    NULLs, so the imputed doubles are bit-identical.
+
+    Scale: one combinable aggregation into |groups| medians (exact
+    percentile shuffles per-group value multisets — for high-cardinality
+    groups at 100 TB swap in approx_percentile), then the medians
+    broadcast back onto the row stream — no second shuffle of the facts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med"))
+    return ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce("v", "med").alias("value_imputed"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_missing"),
+    )
+
+
+@query(
+    "outlier_iqr_by_type",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, q1, q3,
+  CAST(SUM(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                  OR e.value > q3 + 1.5 * (q3 - q1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type, q1, q3
+""",
+)
+def outlier_iqr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screening per group: values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Both engines evaluate the SAME float
+    expression sequence over bit-identical exact quantiles, so the fence
+    comparison can never disagree.
+
+    Scale: one aggregation for the quartiles, quartiles broadcast back,
+    one combinable count — the facts shuffle once (for the exact
+    per-group quantile), stream through the fence check unshuffled.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        (F.col("value") < F.col("q1") - F.lit(1.5) * iqr)
+        | (F.col("value") > F.col("q3") + F.lit(1.5) * iqr)
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

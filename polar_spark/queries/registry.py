@@ -80,6 +80,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "event_rate_anomaly",
     "scd2_user_type_intervals",
     "tfidf_top_terms_per_source",
+    "impute_group_median",
+    "outlier_iqr_by_type",
     # rows-only (no SQL oracle) entries last: if the driver's ~50-query
     # sample cuts the head short, it drops the weakest checks first
     "knn_pq_adc",
