@@ -82,8 +82,14 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "tfidf_top_terms_per_source",
     "impute_group_median",
     "outlier_iqr_by_type",
-    # rows-only (no SQL oracle) entries last: if the driver's ~50-query
-    # sample cuts the head short, it drops the weakest checks first
+    # The head now exceeds the driver's ~50-query sample (61 never-
+    # driver-sampled entries compete for 50 slots): priority order is the
+    # VERDICT-r3-named 21, then earlier round-4 additions, then this
+    # session's — entries past ~position 50 (including the oracle-checked
+    # tail below) wait for the round-5 rotation, when the driver-greened
+    # prefix gets pruned from the head. Rows-only (no SQL oracle) entries
+    # go last of all: if the cut lands mid-head it drops the weakest
+    # checks first.
     "knn_pq_adc",
     "knn_ivfpq_stored",
     "semdedup_incremental",

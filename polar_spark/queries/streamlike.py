@@ -536,7 +536,9 @@ WITH hourly AS (
 SELECT event_type, hour, n,
   CAST(m AS BIGINT) AS m, CAST(s AS BIGINT) AS s,
   CASE WHEN m >= 12
-        AND (n * m - s) * (n * m - s) > 9 * (m * sq - s * s)
+        AND CAST(n * m - s AS DECIMAL(19,0)) * CAST(n * m - s AS DECIMAL(19,0))
+            > CAST(9 * m AS DECIMAL(3,0)) * CAST(sq AS DECIMAL(19,0))
+              - CAST(3 * s AS DECIMAL(19,0)) * CAST(3 * s AS DECIMAL(19,0))
        THEN 1 ELSE 0 END AS anomaly
 FROM trail
 """,
@@ -545,9 +547,14 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ops staple: flag hours whose event rate deviates >3σ
     from the trailing 24-hour mean, per event type. The z-score test is
     algebraically cleared of division — flag iff
-    (n·m − s)² > 9·(m·sq − s²) over integer counts — so both engines
-    decide every row with exact integer arithmetic (no float variance
-    whose last bit could flip a flag). Warm-up hours (fewer than 12
+    (n·m − s)² > (9m)·sq − (3s)² over integer counts — so both engines
+    decide every row with exact arithmetic (no float variance whose
+    last bit could flip a flag). The squares run in DECIMAL(19,0)² →
+    (38,0): an int64 square would overflow once an hourly count passes
+    ~1.2·10⁸ (a hot type at 100 TB), and Spark's ANSI mode would throw
+    where DuckDB silently promotes to HUGEINT — folding the 9 into the
+    operands (9m ≤ tiny, 3s still < 10¹⁹) keeps every product within
+    DECIMAL(38,0) on BOTH engines. Warm-up hours (fewer than 12
     trailing samples) never flag.
 
     Scale: one hash shuffle into (type, hour) groups (map-side
@@ -575,15 +582,17 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("s"),
         F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
     )
-    dev = F.col("n") * F.col("m") - F.col("s")
-    spread = F.col("m") * F.col("sq") - F.col("s") * F.col("s")
+    dev = (F.col("n") * F.col("m") - F.col("s")).cast("decimal(19,0)")
+    nine_m = (F.lit(9) * F.col("m")).cast("decimal(3,0)")
+    three_s = (F.lit(3) * F.col("s")).cast("decimal(19,0)")
+    rhs = nine_m * F.col("sq").cast("decimal(19,0)") - three_s * three_s
     return t.select(
         "event_type",
         "hour",
         "n",
         "m",
         "s",
-        F.when((F.col("m") >= 12) & (dev * dev > 9 * spread), 1)
+        F.when((F.col("m") >= 12) & (dev * dev > rhs), 1)
         .otherwise(0)
         .alias("anomaly"),
     )

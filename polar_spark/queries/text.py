@@ -472,13 +472,16 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    n_docs = d.count()
-    scored = tf.join(df_, "term").select(
+    # N as a lazy 1-row broadcast cross join (the oracle's CROSS JOIN n):
+    # an eager d.count() here would run a hidden full-scan job at plan-
+    # construction time, invisible to the plan audit
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "source",
         "term",
         "tf",
         "df",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
     )
     w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
     return (
