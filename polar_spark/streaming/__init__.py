@@ -7,3 +7,7 @@ from polar_spark.streaming.dedup import (  # noqa: F401
     StreamingNearDup,
     StreamingSemDedup,
 )
+from polar_spark.streaming.sketches import (  # noqa: F401
+    StreamingCountMin,
+    StreamingKMV,
+)

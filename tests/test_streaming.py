@@ -731,3 +731,66 @@ def test_stream_static_broadcast_join_enrichment(spark, sf_dir, tmp_path):
         for r in ev.join(dim, "user_id").groupBy("cohort").count().collect()
     }
     assert got == expect
+
+
+def test_streaming_sketches_match_batch(spark, sf_dir, tmp_path):
+    """Continuously-maintained sketches must equal the one-shot batch
+    sketch over everything ingested: count-min by counter linearity,
+    KMV by the k-smallest-of-union law (bit-identical estimates). Also
+    proves replay idempotency: re-applying an epoch leaves the store
+    unchanged."""
+    from polar_spark.functions.sketches import cm_counters, cm_estimate, kmv_distinct
+    from polar_spark.streaming.sketches import StreamingCountMin, StreamingKMV
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sk_src")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    cm = StreamingCountMin(spark, str(tmp_path / "cm_store"), value_col="event_type")
+    kmv = StreamingKMV(
+        spark, str(tmp_path / "kmv_store"), keys=["event_type"], value_col="user_id"
+    )
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q1 = cm.start(stream, checkpoint_dir=str(tmp_path / "cm_cp"))
+    q1.awaitTermination(180)
+    q2 = kmv.start(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "kmv_cp"),
+    )
+    q2.awaitTermination(180)
+
+    keys = snap.select("event_type").distinct()
+    got_cm = {
+        r["event_type"]: r["est_count"]
+        for r in cm.estimate(keys, "event_type").collect()
+    }
+    want_cm = {
+        r["event_type"]: r["est_count"]
+        for r in cm_estimate(cm_counters(snap, "event_type"), keys, "event_type").collect()
+    }
+    assert got_cm == want_cm and len(got_cm) == 5
+
+    got_kmv = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv.estimate().collect()
+    }
+    want_kmv = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(snap, ["event_type"], "user_id").collect()
+    }
+    assert got_kmv == want_kmv  # bit-identical merge law
+
+    # replay idempotency: re-applying an already-recorded MID-STREAM
+    # epoch is a no-op (epoch 0 after later epochs is the deliberate
+    # checkpoint-reset path and does re-apply)
+    assert cm.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "cm_cp")) is False
+    assert got_cm == {
+        r["event_type"]: r["est_count"]
+        for r in cm.estimate(keys, "event_type").collect()
+    }
