@@ -81,6 +81,10 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "dedup_strip_dup_chunks",
     "bpe_pair_merge_counts",
+    "scd2_user_type_intervals",
+    "event_rate_anomaly",
+    "retention_cohort_daily",
+    "tfidf_top_terms_per_source",
 ]
 
 
@@ -152,6 +156,10 @@ SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q8_market_share",
     "q17_small_qty_revenue",
+    # events/documents-bound analytics at 10×
+    "scd2_user_type_intervals",
+    "event_rate_anomaly",
+    "tfidf_top_terms_per_source",
 ]
 
 
