@@ -82,6 +82,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "tfidf_top_terms_per_source",
     "impute_group_median",
     "outlier_iqr_by_type",
+    "referential_integrity_audit",
+    "session_entry_exit_paths",
     # The head now exceeds the driver's ~50-query sample (61 never-
     # driver-sampled entries compete for 50 slots): priority order is the
     # VERDICT-r3-named 21, then earlier round-4 additions, then this

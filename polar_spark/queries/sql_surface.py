@@ -602,3 +602,66 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+    AS childless_orders,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    AS unknown_parts,
+  (SELECT COUNT(*) FROM orders) AS n_orders,
+  (SELECT COUNT(*) FROM lineitem) AS n_lineitems
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency audit — the check every pipeline runs
+    before trusting a multi-table drop: orphan facts (lineitems without
+    an order, orders without a customer, lineitems referencing unknown
+    parts) and childless parents, as one row of counts.
+
+    Scale: each check is an anti join on its key — the fact side
+    shuffles once per check (or broadcasts the dimension where small:
+    part/customer broadcast, the orders⇄lineitem pair hashes); counts
+    combine map-side. The audit never materializes the offending rows —
+    swap `.count()`-style aggregation for the anti-join DataFrame itself
+    to triage.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    counts = [
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        o.agg(F.count(F.lit(1)).alias("v")),
+        l.agg(F.count(F.lit(1)).alias("v")),
+    ]
+    names = [
+        "orphan_lineitems",
+        "childless_orders",
+        "orphan_orders",
+        "unknown_parts",
+        "n_orders",
+        "n_lineitems",
+    ]
+    out = counts[0].select(F.col("v").alias(names[0]))
+    for df_c, nm in zip(counts[1:], names[1:]):
+        out = out.crossJoin(F.broadcast(df_c.select(F.col("v").alias(nm))))
+    return out

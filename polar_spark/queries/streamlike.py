@@ -666,3 +666,77 @@ def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("effective_from").over(w2).alias("effective_to"),
         "n_events",
     )
+
+
+@query(
+    "session_entry_exit_paths",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM marked
+), ranked AS (
+  SELECT user_id, sess_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sess_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM sess
+), paths AS (
+  SELECT user_id, sess_id,
+    MIN(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+    MIN(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+  FROM ranked GROUP BY user_id, sess_id
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM paths GROUP BY entry_type, exit_type
+""",
+)
+def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: how users enter and leave 30-minute
+    sessions — the (entry event type, exit event type) distribution
+    (complements top_event_transitions' within-session view).
+    Gaps-and-islands sessionization; event_id breaks timestamp ties so
+    both engines pick identical entry/exit rows, and the 30-minute gap
+    compares in exact MICROSECONDS on both sides (a seconds-truncating
+    cast would misclassify gaps within a second of the boundary).
+
+    Scale: every window partitions on user_id (or its (user, session)
+    refinement) — ONE user-hash exchange serves the whole chain; the
+    final matrix is ≤ |types|² rows with map-side partials.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w))
+    ws = Window.partitionBy("user_id", "sess_id")
+    ranked = sess.select(
+        "user_id",
+        "sess_id",
+        "event_type",
+        F.row_number()
+        .over(ws.orderBy("ts", "event_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(ws.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("entry_type"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("exit_type"),
+    )
+    return paths.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
