@@ -84,6 +84,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "outlier_iqr_by_type",
     "referential_integrity_audit",
     "session_entry_exit_paths",
+    "equidepth_hist_doc_lengths",
     # The head now exceeds the driver's ~50-query sample (61 never-
     # driver-sampled entries compete for 50 slots): priority order is the
     # VERDICT-r3-named 21, then earlier round-4 additions, then this

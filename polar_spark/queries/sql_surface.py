@@ -665,3 +665,45 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df_c, nm in zip(counts[1:], names[1:]):
         out = out.crossJoin(F.broadcast(df_c.select(F.col("v").alias(nm))))
     return out
+
+
+@query(
+    "equidepth_hist_doc_lengths",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+  MIN(n_chars) AS lo, MAX(n_chars) AS hi
+FROM b GROUP BY bucket
+""",
+)
+def equidepth_hist_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of document lengths — the statistic a
+    cost-based optimizer keeps per column (and a curation pipeline uses
+    to pick length cutoffs): NTILE(10) boundaries with per-bucket
+    count/lo/hi. doc_id breaks length ties so both engines assign
+    identical buckets (NTILE's remainder-to-leading-buckets law is SQL
+    standard and shared).
+
+    Scale: the empty-partition global NTILE is the textbook single-sort
+    bottleneck — acceptable here because the windowed input is one
+    (n_chars, doc_id) pair per doc, NOT the documents themselves
+    (project first, sort 16 bytes/row); for true 100 TB histograms use
+    `profile_table_stats`-style percentile_approx boundaries instead.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
