@@ -636,3 +636,80 @@ def q7_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+@query(
+    "orders_monthly_revenue_growth",
+    oracle=f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+    SUM(CAST(o_totalprice AS {_DEC})) AS rev
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month, CAST(rev AS DOUBLE) AS revenue,
+  CAST(CAST(rev AS DOUBLE) / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) - 1.0
+       AS DOUBLE) AS mom_growth
+FROM m
+""",
+)
+def orders_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the lag-over-aggregate
+    reporting shape. The ratio divides two already-bit-identical
+    decimal-sum doubles in the same order on both engines; the first
+    month's growth is NULL.
+
+    Scale: the month aggregation is the only data-sized shuffle
+    (map-side partials into |months| rows); the growth window runs over
+    that tiny aggregate — the empty partitionBy is safe there.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
+            - F.lit(1.0)
+        ).alias("mom_growth"),
+    )
+
+
+@query(
+    "priority_share_by_month",
+    oracle=f"""
+WITH pm AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+    SUM(CAST(o_totalprice AS {_DEC})) AS rev
+  FROM orders GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+)
+SELECT month, o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+  CAST(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY month) AS DOUBLE)
+       AS DOUBLE) AS share
+FROM pm
+""",
+)
+def priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via window: each priority's fraction of its
+    month's revenue (the ratio_to_report shape). The window SUM runs
+    over exact decimals, so numerator and denominator are bit-identical
+    before the single double division.
+
+    Scale: one aggregation shuffle into (month, priority) rows, then the
+    share window partitions on month over that small aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pm = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.partitionBy("month")
+    return pm.select(
+        "month",
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+        ).alias("share"),
+    )
