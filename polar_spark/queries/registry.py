@@ -87,7 +87,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "equidepth_hist_doc_lengths",
     "orders_monthly_revenue_growth",
     "priority_share_by_month",
-    # The head now exceeds the driver's ~50-query sample (61 never-
+    # The head now exceeds the driver's ~50-query sample (66 never-
     # driver-sampled entries compete for 50 slots): priority order is the
     # VERDICT-r3-named 21, then earlier round-4 additions, then this
     # session's — entries past ~position 50 (including the oracle-checked

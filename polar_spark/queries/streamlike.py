@@ -710,17 +710,13 @@ def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement) — ONE user-hash exchange serves the whole chain; the
     final matrix is ≤ |types|² rows with map-side partials.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load_table(spark, sf_dir, "events")
-    new_sess = F.when(
-        F.lag("ts").over(w).isNull()
-        | (
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-            > 1_800_000_000
-        ),
-        1,
-    ).otherwise(0)
-    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w))
+    # reuse the sessionize operator (same lag/unix_micros/cumsum chain
+    # session_windows_30m runs) — one gap law, defined once
+    sess = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800,
+        session_col="sess_id", tiebreakers=("event_id",),
+    )
     ws = Window.partitionBy("user_id", "sess_id")
     ranked = sess.select(
         "user_id",

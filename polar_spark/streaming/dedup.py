@@ -131,19 +131,18 @@ class StreamingNearDup:
         checkpoint_dir: str | None = None,
         trigger_seconds: float | None = None,
     ) -> StreamingQuery:
-        cp = checkpoint_dir or os.path.join(self.index.path, "_checkpoint")
+        from polar_spark.streaming.ingest import start_epoch_sink
 
-        def _sink(batch_df: DataFrame, epoch: int) -> None:
+        def _apply(batch_df: DataFrame, epoch: int, cp: str) -> None:
             self.apply_batch(batch_df, epoch, cp, id_col=id_col, text_col=text_col)
 
-        writer = stream_df.writeStream.foreachBatch(_sink).option(
-            "checkpointLocation", cp
+        return start_epoch_sink(
+            stream_df,
+            _apply,
+            os.path.join(self.index.path, "_checkpoint"),
+            checkpoint_dir=checkpoint_dir,
+            trigger_seconds=trigger_seconds,
         )
-        if trigger_seconds is not None:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        else:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
 
     def pairs(self) -> DataFrame:
         """All pairs emitted so far (exactly-once under replay: each
@@ -341,19 +340,18 @@ class StreamingSemDedup:
         checkpoint_dir: str | None = None,
         trigger_seconds: float | None = None,
     ):
-        cp = checkpoint_dir or os.path.join(self.index_path, "_checkpoint")
+        from polar_spark.streaming.ingest import start_epoch_sink
 
-        def _sink(batch_df: DataFrame, epoch: int) -> None:
+        def _apply(batch_df: DataFrame, epoch: int, cp: str) -> None:
             self.apply_batch(batch_df, epoch, cp, id_col=id_col, vec_col=vec_col)
 
-        writer = stream_df.writeStream.foreachBatch(_sink).option(
-            "checkpointLocation", cp
+        return start_epoch_sink(
+            stream_df,
+            _apply,
+            os.path.join(self.index_path, "_checkpoint"),
+            checkpoint_dir=checkpoint_dir,
+            trigger_seconds=trigger_seconds,
         )
-        if trigger_seconds is not None:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        else:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
 
     def kept(self) -> DataFrame:
         """The deduplicated corpus (all kept vectors)."""

@@ -149,3 +149,31 @@ def stream_topic(spark: SparkSession, catalog: TopicCatalog, topic: str) -> Data
     same tailing the reference's segment reader does,
     internal/data/segment_reader.go:106-195)."""
     return catalog.read_stream(topic)
+
+
+def start_epoch_sink(
+    stream_df,
+    apply,
+    default_checkpoint: str,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+):
+    """Shared foreachBatch wiring for the epoch-idempotent sinks
+    (StreamingNearDup / StreamingSemDedup / streaming sketches): resolve
+    the checkpoint (whose path doubles as the sink instance key), wire
+    ``apply(batch_df, epoch, checkpoint)``, and trigger availableNow
+    unless a processingTime cadence is given — held ONCE so trigger or
+    checkpoint-default fixes reach every sink."""
+    cp = checkpoint_dir or default_checkpoint
+
+    def _sink(batch_df, epoch: int) -> None:
+        apply(batch_df, epoch, cp)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", cp
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

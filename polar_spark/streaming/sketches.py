@@ -11,32 +11,43 @@ streaming/dedup.py), and the live sketch is just the merge of all
 stored partials. Merging happens at READ time over O(epochs · sketch)
 rows — never the raw stream.
 
+One store belongs to ONE sink lineage: unlike the dedup stores (where a
+duplicate partition is idempotent), sketch partials ADD — a partition
+surviving from an earlier lineage would silently inflate every estimate.
+So the store is purged whenever a new lineage starts: a checkpoint reset
+(epoch 0 arriving after later epochs of the same checkpoint) or a fresh
+checkpoint over a non-empty store.
+
 This is the 100 TB shape for continuous cardinality / heavy-hitter
 monitoring: the broker ingests at full rate while per-epoch partials
-land beside the topic, and any consumer can materialize the
-current estimate without a stateful streaming aggregation (no state
-store, no watermark coupling — reading the store IS the query).
+land beside the topic, and any consumer can materialize the current
+estimate without a stateful streaming aggregation (no state store, no
+watermark coupling — reading the store IS the query).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from polar_spark.functions.sketches import (
     CM_ROWS,
     CM_WIDTH,
     DEFAULT_K,
+    _k_smallest_hashes,
     _kmv_estimate,
     cm_counters,
     cm_estimate,
     kmv_partial,
 )
 from polar_spark.streaming.dedup import EpochLedger, epoch_tag
-from polar_spark.streaming.ingest import _sink_instance_key
+from polar_spark.streaming.ingest import _sink_instance_key, start_epoch_sink
 
 
 class _EpochPartialSink:
@@ -51,17 +62,40 @@ class _EpochPartialSink:
     def _partial(self, batch_df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    # -- store maintenance -------------------------------------------------
+    def _partition_dirs(self) -> list[os.DirEntry]:
+        return [
+            e
+            for e in os.scandir(self.store_path)
+            if e.is_dir() and e.name.startswith("ep=")
+        ]
+
+    def _purge(self) -> None:
+        """Drop every stored partial. Sketch partials ADD when merged, so
+        partitions from an earlier lineage (pre-reset epochs, or a prior
+        checkpoint) must not survive into a reprocessing run — they would
+        silently inflate every estimate."""
+        for e in self._partition_dirs():
+            shutil.rmtree(e.path, ignore_errors=True)
+
     def apply_batch(self, batch_df: DataFrame, epoch: int, sink_id: str) -> bool:
         """Apply one micro-batch idempotently; False = already applied
         (foreachBatch retry — store untouched)."""
         key = _sink_instance_key(sink_id)
         last = self._epochs.last(key)
         reset = epoch == 0 and last > 0
+        # a FRESH checkpoint (key never recorded) over a non-empty store
+        # is also a new lineage: the old lineage's partials must go
+        new_lineage = epoch == 0 and last < 0 and bool(self._partition_dirs())
         if last >= epoch and not reset:
             return False
+        if reset or new_lineage:
+            self._purge()
         if not batch_df.isEmpty():
             tag = epoch_tag(key, epoch)
-            self._partial(batch_df).write.mode("overwrite").parquet(
+            partial = self._partial(batch_df)
+            self._save_schema(partial)
+            partial.write.mode("overwrite").parquet(
                 os.path.join(self.store_path, f"ep={tag}")
             )
         self._epochs.record(key, epoch, force=reset)
@@ -73,29 +107,50 @@ class _EpochPartialSink:
         checkpoint_dir: str | None = None,
         trigger_seconds: float | None = None,
     ) -> StreamingQuery:
-        cp = checkpoint_dir or os.path.join(self.store_path, "_checkpoint")
-
-        def _sink(batch_df: DataFrame, epoch: int) -> None:
-            self.apply_batch(batch_df, epoch, cp)
-
-        writer = stream_df.writeStream.foreachBatch(_sink).option(
-            "checkpointLocation", cp
+        return start_epoch_sink(
+            stream_df,
+            self.apply_batch,
+            os.path.join(self.store_path, "_checkpoint"),
+            checkpoint_dir=checkpoint_dir,
+            trigger_seconds=trigger_seconds,
         )
-        if trigger_seconds is not None:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        else:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+
+    # -- reads -------------------------------------------------------------
+    def _schema_path(self) -> str:
+        return os.path.join(self.store_path, "_partial_schema.json")
+
+    def _save_schema(self, partial: DataFrame) -> None:
+        if not os.path.exists(self._schema_path()):
+            tmp = self._schema_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(partial.schema.json())
+            os.replace(tmp, self._schema_path())
+
+    def _empty_partial(self) -> DataFrame | None:
+        if not os.path.exists(self._schema_path()):
+            return None
+        with open(self._schema_path()) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return self.spark.createDataFrame([], schema)
 
     def _stored(self) -> DataFrame | None:
-        has = any(
-            e.name.startswith("ep=")
-            for e in os.scandir(self.store_path)
-            if e.is_dir()
-        )
-        if not has:
+        """All stored partials; None = cold store. Mirrors the
+        read-safety of streaming/dedup.py: a read failure over a store
+        with at least one COMPLETED epoch re-raises (swallowing it would
+        silently serve wrong estimates); only a cold/partial store with
+        no completed write anywhere reads as empty."""
+        parts = self._partition_dirs()
+        if not parts:
             return None
-        return self.spark.read.parquet(self.store_path).drop("ep")
+        try:
+            return self.spark.read.parquet(self.store_path).drop("ep")
+        except Exception:
+            complete = any(
+                os.path.exists(os.path.join(e.path, "_SUCCESS")) for e in parts
+            )
+            if complete:
+                raise
+            return None
 
 
 class StreamingCountMin(_EpochPartialSink):
@@ -158,12 +213,15 @@ class StreamingKMV(_EpochPartialSink):
     def estimate(self) -> DataFrame:
         stored = self._stored()
         if stored is None:
-            schema = ", ".join(f"{c} string" for c in self.keys)
-            return self.spark.createDataFrame(
-                [], f"{schema}, n_kept bigint, est_distinct double"
-            )
-        from polar_spark.functions.sketches import _k_smallest_hashes
-
+            # schema-stable empty result: key types come from the saved
+            # partial schema (first write records it), so the empty→
+            # populated transition never changes column types
+            stored = self._empty_partial()
+            if stored is None:
+                schema = ", ".join(f"{c} string" for c in self.keys)
+                return self.spark.createDataFrame(
+                    [], f"{schema}, n_kept bigint, est_distinct double"
+                )
         return _kmv_estimate(
             _k_smallest_hashes(stored, self.keys, self.k), self.keys, self.k
         )

@@ -794,3 +794,61 @@ def test_streaming_sketches_match_batch(spark, sf_dir, tmp_path):
         r["event_type"]: r["est_count"]
         for r in cm.estimate(keys, "event_type").collect()
     }
+
+
+def test_streaming_sketch_new_lineage_purges_store(spark, sf_dir, tmp_path):
+    """Sketch partials ADD when merged, so a NEW lineage (fresh
+    checkpoint over a non-empty store, or a checkpoint reset) must purge
+    the old partials — otherwise every estimate silently doubles after a
+    reprocess. Also: estimate() stays schema-stable on an empty store
+    (key types come from the saved partial schema)."""
+    from polar_spark.functions.sketches import cm_counters, cm_estimate
+    from polar_spark.streaming.sketches import StreamingCountMin, StreamingKMV
+
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    snap_dir = str(tmp_path / "lin_src")
+    ev.write.mode("overwrite").parquet(snap_dir)
+    snap = spark.read.parquet(snap_dir)
+    keys = snap.select("event_type").distinct()
+
+    cm = StreamingCountMin(spark, str(tmp_path / "lin_cm"), value_col="event_type")
+    # first lineage: two epochs
+    half = snap.filter(F.col("event_id") % 2 == 0)
+    assert cm.apply_batch(half, epoch=0, sink_id="cpA") is True
+    assert cm.apply_batch(snap.subtract(half), epoch=1, sink_id="cpA") is True
+    want = {
+        r["event_type"]: r["est_count"]
+        for r in cm_estimate(cm_counters(snap, "event_type"), keys, "event_type").collect()
+    }
+    got1 = {
+        r["event_type"]: r["est_count"]
+        for r in cm.estimate(keys, "event_type").collect()
+    }
+    assert got1 == want
+    # NEW lineage (different checkpoint) reprocesses everything: the old
+    # lineage's partials must be purged, not added to
+    assert cm.apply_batch(snap, epoch=0, sink_id="cpB") is True
+    got2 = {
+        r["event_type"]: r["est_count"]
+        for r in cm.estimate(keys, "event_type").collect()
+    }
+    assert got2 == want  # NOT doubled
+
+    # reset within the SAME checkpoint (epoch 0 after epoch > 0) purges too
+    assert cm.apply_batch(half, epoch=1, sink_id="cpB") is True
+    assert cm.apply_batch(snap, epoch=0, sink_id="cpB") is True
+    got3 = {
+        r["event_type"]: r["est_count"]
+        for r in cm.estimate(keys, "event_type").collect()
+    }
+    assert got3 == want
+
+    # KMV: schema-stable empty estimate after first write recorded types
+    kmv = StreamingKMV(
+        spark, str(tmp_path / "lin_kmv"), keys=["user_id"], value_col="event_id"
+    )
+    assert kmv.apply_batch(snap, epoch=0, sink_id="cpK") is True
+    populated_schema = dict(kmv.estimate().dtypes)
+    kmv._purge()
+    empty_schema = dict(kmv.estimate().dtypes)
+    assert empty_schema == populated_schema  # bigint keys, not string
