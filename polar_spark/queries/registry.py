@@ -87,6 +87,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "equidepth_hist_doc_lengths",
     "orders_monthly_revenue_growth",
     "priority_share_by_month",
+    "debounce_repeated_events",
+    "customer_rfm_segments",
     # The head now exceeds the driver's ~50-query sample (66 never-
     # driver-sampled entries compete for 50 slots): priority order is the
     # VERDICT-r3-named 21, then earlier round-4 additions, then this

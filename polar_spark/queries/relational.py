@@ -713,3 +713,57 @@ def priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
         ).alias("share"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey AS c,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS freq,
+    SUM(CAST(o_totalprice AS {_DEC})) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT c, freq,
+    NTILE(4) OVER (ORDER BY last_order DESC, c) AS r_quartile,
+    NTILE(4) OVER (ORDER BY freq DESC, c) AS f_quartile,
+    NTILE(4) OVER (ORDER BY monetary DESC, c) AS m_quartile
+  FROM base
+)
+SELECT CAST(r_quartile AS INT) AS r_quartile,
+       CAST(f_quartile AS INT) AS f_quartile,
+       CAST(m_quartile AS INT) AS m_quartile,
+       COUNT(*) AS n_customers, CAST(SUM(freq) AS BIGINT) AS n_orders
+FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, rolled up to segment sizes (the standard CRM cut).
+    Quartiles rank on exact values (timestamp / count / exact-decimal
+    spend) with customer-key tie-breaks, so both engines assign
+    identical segments.
+
+    Scale: one custkey aggregation over orders; the three NTILE windows
+    run over the CUSTOMER-sized aggregate — at 100 TB replace the
+    global-sort NTILEs with percentile_approx boundaries (same caveat as
+    equidepth_hist_doc_lengths); the final rollup is ≤ 64 segments.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(_dec("o_totalprice")).alias("monetary"),
+    )
+    scored = base.select(
+        "c",
+        "freq",
+        F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), F.col("c"))).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), F.col("c"))).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("c"))).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("freq").cast("bigint").alias("n_orders"),
+    )

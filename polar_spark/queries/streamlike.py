@@ -736,3 +736,39 @@ def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@query(
+    "debounce_repeated_events",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM g WHERE gap_us IS NULL OR gap_us > 300000000
+""",
+)
+def debounce_repeated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event when the SAME (user, type) fired within
+    the previous 5 minutes — the duplicate-click / retry-storm cleaning
+    step (distinct from dedup_redelivered_events' exact-id dedup: here
+    the ids differ and the signal is temporal proximity). Gap compared
+    in exact microseconds; event_id breaks timestamp ties.
+
+    Scale: one hash shuffle on (user, type) for the lag window — state
+    is one previous timestamp per partition-local group, nothing
+    accumulates. The streaming form is
+    ``dropDuplicatesWithinWatermark`` on a (user, type) key (covered by
+    stateful_dedup_builtin's machinery).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") > 300_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
