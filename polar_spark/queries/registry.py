@@ -89,7 +89,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "priority_share_by_month",
     "debounce_repeated_events",
     "customer_rfm_segments",
-    # The head now exceeds the driver's ~50-query sample (66 never-
+    # The head now exceeds the driver's ~50-query sample (68 never-
     # driver-sampled entries compete for 50 slots): priority order is the
     # VERDICT-r3-named 21, then earlier round-4 additions, then this
     # session's — entries past ~position 50 (including the oracle-checked
