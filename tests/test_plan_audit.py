@@ -43,6 +43,9 @@ AUDIT_SUBSET = [
     "event_rate_anomaly",
     "knn_hard_negatives",
     "multimodal_audio_energy",
+    "session_entry_exit_paths",
+    "customer_rfm_segments",
+    "debounce_repeated_events",
 ]
 
 
