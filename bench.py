@@ -422,18 +422,72 @@ def main() -> None:
     _bench_ingest_consume(spark, timings, extra)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra": extra,
-            }
-        )
+
+    # Full per-query detail FIRST (humans + git history read this)...
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }
+    print("BENCH_DETAIL " + json.dumps(detail), flush=True)
+
+    # ...then a compact summary as the FINAL line (VERDICT r4 #1): the
+    # driver keeps only the last 2,000 chars of output and parses the
+    # trailing JSON line — r4's single ~3 KB line was decapitated and
+    # recorded as `parsed: null`. Stop Spark before printing so no JVM
+    # shutdown warning lands after the JSON, and hard-cap the line at
+    # 1,500 chars by shedding the query subset if it ever outgrows it.
+    spark.stop()
+    print(summary_line(timings, extra, sf, total), flush=True)
+
+
+# the driver's stdout tail capture is 2,000 chars; stay well inside it
+SUMMARY_MAX_CHARS = 1500
+
+
+def summary_line(timings: dict, extra: dict, sf, total) -> str:
+    """Compact trailing JSON line, hard-capped at SUMMARY_MAX_CHARS."""
+    ratios = extra.get("scale10_ratio") or {}
+    worst = max(
+        ((r, q) for q, r in ratios.items() if r is not None), default=(None, None)
     )
+    key_queries = [
+        "q1_pricing_summary",
+        "q8_market_share",
+        "dedup_minhash_verified",
+        "dedup_simhash",
+        "knn_ivf_probe",
+        "text_quality_stats",
+        "session_windows_30m",
+        "ingest_events",
+        "consume_events",
+    ]
+    summary = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {q: timings[q] for q in key_queries if q in timings},
+        "extra": {
+            "n_queries": len(timings),
+            "ingest_msgs_per_sec": extra.get("ingest_msgs_per_sec"),
+            "ingest_unkeyed_msgs_per_sec": extra.get("ingest_unkeyed_msgs_per_sec"),
+            "consume_msgs_per_sec": extra.get("consume_msgs_per_sec"),
+            "produce_latency_ms_p50": extra.get("produce_latency_ms_p50"),
+            "poll_latency_ms_p50": extra.get("poll_latency_ms_p50"),
+            "scale10_worst_ratio": worst[0],
+            "scale10_worst_query": worst[1],
+            "detail": "full per-query JSON on the BENCH_DETAIL line above",
+        },
+    }
+    line = json.dumps(summary)
+    if len(line) > SUMMARY_MAX_CHARS:  # never outgrow the tail capture
+        summary["queries"] = {}
+        line = json.dumps(summary)
+    return line
 
 
 if __name__ == "__main__":

@@ -23,57 +23,12 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    "skew_salted_join",
-    "skew_salted_agg",
-    "stateful_dedup_stream",
-    "stateful_dedup_builtin",
-    "stateful_offset_assign",
-    "stream_join_click_purchase",
-    "stats_moments_by_type",
-    "split_train_eval_deterministic",
-    "quota_downsample_per_source",
-    "contamination_ngram_overlap",
-    "text_redact_numbers",
-    "mixture_resample_by_source",
-    "sql_correlated_scalar_subquery",
-    "window_function_breadth",
-    "array_function_breadth",
-    "quantiles_order_prices",
-    "full_outer_nation_activity",
-    "histogram_value_buckets",
-    "embedding_coverage_by_source",
-    "embedding_outlier_centroid",
-    "unpivot_nation_metrics",
-    "knn_ivf_stored_cells",
-    "dedup_clusters_cc",
-    "pack_token_shards_sequential",
-    "dedup_incremental_index",
-    "gopher_quality_filter",
-    "dup_span_detect",
-    "semdedup_embedding_prune",
-    "bloom_semi_join_orders",
-    "sql_not_in_null_aware",
-    "chunk_dup_ratio",
-    "consume_seek_timestamp",
-    "quality_linear_classifier",
-    "mixture_quality_buckets",
-    # round-4 additions: TPC-H completion (never driver-sampled yet)
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q13_order_count_dist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_bracketed_revenue",
-    "q22_dormant_customers",
-    "dedup_strip_dup_chunks",
-    "bpe_pair_merge_counts",
-    "retention_cohort_daily",
-    "sql_recursive_order_chain",
-    "multimodal_audio_energy",
+    # Round-5 rotation (VERDICT r4 ask #2): the 50 names sampled green in
+    # CORRECTNESS_r04.json are pruned from the head; what remains is the 18
+    # never-driver-sampled entries — 15 oracle-checked first, rows-only
+    # last — followed by round-5 additions as they land. With ~50 sample
+    # slots this head finally fits, so after round 5 every registry query
+    # has at least one driver-green CORRECTNESS row.
     "knn_hard_negatives",
     "top_event_transitions",
     "profile_table_stats",
@@ -89,14 +44,13 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "priority_share_by_month",
     "debounce_repeated_events",
     "customer_rfm_segments",
-    # The head now exceeds the driver's ~50-query sample (68 never-
-    # driver-sampled entries compete for 50 slots): priority order is the
-    # VERDICT-r3-named 21, then earlier round-4 additions, then this
-    # session's — entries past ~position 50 (including the oracle-checked
-    # tail below) wait for the round-5 rotation, when the driver-greened
-    # prefix gets pruned from the head. Rows-only (no SQL oracle) entries
-    # go last of all: if the cut lands mid-head it drops the weakest
-    # checks first.
+    # round-5 additions (oracle-checked)
+    "equidepth_hist_doc_lengths_approx",
+    "customer_rfm_segments_approx",
+    "sketch_cm_stream_vs_batch",
+    "sketch_kmv_stream_vs_batch",
+    # rows-only (no SQL oracle) entries go last: if the sample cut lands
+    # mid-head it drops the weakest checks first.
     "knn_pq_adc",
     "knn_ivfpq_stored",
     "semdedup_incremental",
