@@ -76,6 +76,44 @@ def arrow_stage_count_text(text: str) -> int:
     return len(_ARROW_RE.findall(text))
 
 
+def global_window_count_text(text: str) -> int:
+    """Number of Window nodes with an EMPTY partition spec — the
+    single-task global sort Spark warns about ("Moving all data to a
+    single partition"). Formatted mode prints an ordered partitioned
+    window's Arguments as ``[exprs], [partitionSpec], [orderSpec]``
+    (three top-level bracket groups); two groups is ambiguous — either
+    a GLOBAL ordered window (``[exprs], [orderSpec]``) or a partitioned
+    unordered one (``[exprs], [partitionSpec]``) — disambiguated by the
+    sort-direction markers only order specs carry. Acceptable ONLY over
+    aggregate- or value-domain-sized inputs (month tables, value
+    histograms) — never over a fact table; tests pin the per-query
+    baseline."""
+    count = 0
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window(InPandas)?\b", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            arg = lines[j].strip()
+            if arg.startswith("Arguments: "):
+                groups: list[str] = []
+                depth = 0
+                start = -1
+                for pos, ch in enumerate(arg):
+                    if ch == "[":
+                        if depth == 0:
+                            start = pos
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            groups.append(arg[start : pos + 1])
+                if len(groups) == 2 and re.search(r" (ASC|DESC) ", groups[-1]):
+                    count += 1
+                break
+    return count
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of distinct Exchange operators (shuffles) in the physical
     plan (formatted mode: one "(n) Exchange" detail header per node;

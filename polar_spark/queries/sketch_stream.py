@@ -1,0 +1,153 @@
+"""Driver-checkable law queries for the CONTINUOUSLY-MAINTAINED sketches
+(streaming/sketches.py) — VERDICT r4 ask #5.
+
+Both sketches are linear/mergeable, so the law under test is exact:
+an epoch-partitioned store maintained incrementally (three batches
+applied through the foreachBatch sink machinery, replay-idempotent)
+must answer queries BIT-IDENTICALLY to the one-shot batch sketch over
+the full table — and the one-shot sketch already has an exact DuckDB
+form (deterministic md5 hashing), so the streamed path inherits a full
+value-hash oracle instead of the weaker rows-only check.
+
+Reference parity: polar's consumers tail a topic and keep their own
+running aggregates (reference internal/consuming, poll loop); these
+sinks are the Spark-native form — per-epoch partials beside the topic,
+merged at read time, no stateful streaming query to babysit.
+
+Build-side state follows the ``semdedup_incremental`` discipline: the
+store is built once per (sf_dir, Spark application) under a _DONE
+sentinel, so the driver's repeated invocations reuse it and epoch 0
+never re-applies against a populated store.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polar_spark.queries.registry import query
+from polar_spark.sources.tables import load_table
+
+# three batches split on a stable content key — any split obeys the
+# merge law; thirds-by-id mimic time progress without ordering reqs
+_SPLITS = (F.col("event_id") % 3 == 0, F.col("event_id") % 3 == 1, F.col("event_id") % 3 == 2)
+
+
+def _store_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}:{kind}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"polar_sketch_{kind}_{tag}")
+
+
+def _built_once(root: str, build) -> None:
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        build()
+        with open(done, "w"):
+            pass
+
+
+@query(
+    "sketch_cm_stream_vs_batch",
+    oracle="""
+WITH js AS (SELECT unnest(range(0, 4)) AS cm_row),
+occ AS (
+  SELECT cm_row,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(cm_row::VARCHAR || ':' || event_type), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 64) AS cm_bucket
+  FROM events CROSS JOIN js
+), counters AS (
+  SELECT cm_row, cm_bucket, COUNT(*) AS cnt FROM occ GROUP BY cm_row, cm_bucket
+), keys AS (SELECT DISTINCT event_type FROM events),
+kb AS (
+  SELECT event_type, cm_row,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(cm_row::VARCHAR || ':' || event_type), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 64) AS cm_bucket
+  FROM keys CROSS JOIN js
+)
+SELECT kb.event_type, MIN(c.cnt) AS est_count
+FROM kb JOIN counters c USING (cm_row, cm_bucket)
+GROUP BY kb.event_type
+""",
+)
+def sketch_cm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min maintained ACROSS three ingest epochs (StreamingCountMin
+    epoch store, counter addition at read) answers heavy-hitter point
+    queries identically to the one-shot batch sketch — whose exact
+    DuckDB form is the oracle. Counter linearity makes the equality
+    exact, not approximate; the md5 buckets make it value-checkable.
+
+    Scale: each epoch's partial is O(rows·width) after map-side
+    combine, independent of batch size; the read merges O(epochs ·
+    rows·width) stored rows — never the raw stream."""
+    from polar_spark.streaming.sketches import StreamingCountMin
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "cm")
+    sink = StreamingCountMin(spark, os.path.join(root, "store"), "event_type")
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    keys = ev.select("event_type").distinct()
+    return sink.estimate(keys, "event_type")
+
+
+@query(
+    "sketch_kmv_stream_vs_batch",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv
+  FROM events
+), mins AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS h_k
+  FROM mins WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 / (h_k / 1152921504606846976.0) END AS est_distinct
+FROM agg
+""",
+)
+def sketch_kmv_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type KMV distinct-user sketch maintained across three
+    ingest epochs (StreamingKMV epoch store): each epoch keeps its ≤ k
+    smallest distinct hashes, the live estimate re-selects k smallest
+    over the union — the k-smallest-of-union law makes the streamed
+    estimate bit-identical to the one-shot sketch, which is the DuckDB
+    oracle here.
+
+    Scale: per-epoch partial is O(groups · k); reads merge
+    O(epochs · groups · k) stored rows."""
+    from polar_spark.streaming.sketches import StreamingKMV
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "kmv")
+    sink = StreamingKMV(
+        spark, os.path.join(root, "store"), ["event_type"], "user_id", k=64
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    return sink.estimate()

@@ -74,9 +74,17 @@ class _EpochPartialSink:
         """Drop every stored partial. Sketch partials ADD when merged, so
         partitions from an earlier lineage (pre-reset epochs, or a prior
         checkpoint) must not survive into a reprocessing run — they would
-        silently inflate every estimate."""
+        silently inflate every estimate. The saved partial schema goes
+        with them: _save_schema only writes when the file is absent, so
+        a stale schema from a purged lineage with different key/value
+        types would otherwise pin empty-store reads to the OLD schema
+        (ADVICE r4)."""
         for e in self._partition_dirs():
             shutil.rmtree(e.path, ignore_errors=True)
+        try:
+            os.remove(self._schema_path())
+        except FileNotFoundError:
+            pass
 
     def apply_batch(self, batch_df: DataFrame, epoch: int, sink_id: str) -> bool:
         """Apply one micro-batch idempotently; False = already applied

@@ -1,0 +1,92 @@
+"""distributed_row_number / distributed_ntile must produce EXACTLY the
+ranks a single-task global window would — same remainder law, same
+tie-breaks — while never planning an empty-partitionBy Window node
+(the 100 TB single-sort the operator exists to kill)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polar_spark.operators.global_rank import (
+    distributed_ntile,
+    distributed_row_number,
+    ntile_from_rank,
+)
+from polar_spark.plans.explain import explain_str, global_window_count_text
+
+
+def _mixed_df(spark, n=997):
+    # heavy ties on v (v = id % 13) + unique tiebreak id; deliberately
+    # not a round number so NTILE's remainder law is exercised
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 13).alias("v"), (F.col("id") % 7).alias("w")
+    )
+
+
+def test_row_number_matches_global_window(spark):
+    df = _mixed_df(spark)
+    got, total = distributed_row_number(
+        df, [F.col("v").desc(), F.col("id")], rank_col="rn", num_partitions=8
+    )
+    assert total == 997
+    exp = df.withColumn(
+        "rn_exp",
+        F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id"))),
+    )
+    bad = (
+        got.join(exp.select("id", "rn_exp"), "id")
+        .filter(F.col("rn") != F.col("rn_exp"))
+        .count()
+    )
+    assert bad == 0
+
+
+@pytest.mark.parametrize("n", [4, 10])
+def test_ntile_matches_global_window(spark, n):
+    df = _mixed_df(spark)
+    got = distributed_ntile(
+        df, n, [F.col("v"), F.col("w").desc(), F.col("id")], "b", num_partitions=8
+    )
+    exp = df.withColumn(
+        "b_exp",
+        F.ntile(n).over(Window.orderBy(F.col("v"), F.col("w").desc(), F.col("id"))),
+    )
+    bad = (
+        got.join(exp.select("id", "b_exp"), "id")
+        .filter(F.col("b") != F.col("b_exp"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ntile_fewer_rows_than_buckets(spark):
+    df = spark.range(3)
+    got = distributed_ntile(df, 10, [F.col("id")], "b", num_partitions=4)
+    rows = {r["id"]: r["b"] for r in got.collect()}
+    assert rows == {0: 1, 1: 2, 2: 3}
+
+
+def test_ntile_empty_input(spark):
+    df = spark.range(0)
+    got = distributed_ntile(df, 4, [F.col("id")], "b", num_partitions=4)
+    assert got.count() == 0
+    assert dict(got.dtypes)["b"] == "int"
+
+
+def test_plan_has_no_global_window(spark):
+    df = _mixed_df(spark)
+    got = distributed_ntile(df, 4, [F.col("v"), F.col("id")], "b", num_partitions=8)
+    text = explain_str(got)
+    assert global_window_count_text(text) == 0
+    # the rank window must still exist — partitioned by range-partition id
+    assert "row_number()" in text
+
+
+def test_global_window_detector(spark):
+    df = _mixed_df(spark)
+    g = df.withColumn("r", F.ntile(4).over(Window.orderBy("v", "id")))
+    p = df.withColumn("r", F.row_number().over(Window.partitionBy("w").orderBy("id")))
+    assert global_window_count_text(explain_str(g)) == 1
+    assert global_window_count_text(explain_str(p)) == 0

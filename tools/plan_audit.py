@@ -49,6 +49,7 @@ def audit_one(df) -> dict:
         arrow_stage_count_text,
         codegen_spans_text,
         explain_str,
+        global_window_count_text,
         shuffle_count_text,
     )
 
@@ -61,6 +62,10 @@ def audit_one(df) -> dict:
         "arrow_eval": arrow_stage_count_text(text),
         "cartesian": "CartesianProduct" in text,
         "codegen_spans": codegen_spans_text(text),
+        # empty-partitionBy windows: single-task sorts. Non-zero is
+        # tolerable ONLY over aggregate-/value-domain-sized inputs
+        # (months, value histograms) — never a fact table (VERDICT r4)
+        "global_window": global_window_count_text(text),
     }
 
 
@@ -108,6 +113,11 @@ def main(names: list[str]) -> int:
             if rec["arrow_eval"] > old["arrow_eval"]:
                 regressions.append(
                     f"{n}: arrow stages {old['arrow_eval']}→{rec['arrow_eval']}"
+                )
+            if rec["global_window"] > old.get("global_window", 0):
+                regressions.append(
+                    f"{n}: global (empty-partitionBy) windows "
+                    f"{old.get('global_window', 0)}→{rec['global_window']}"
                 )
     if not names:
         with open(OUT, "w") as f:
