@@ -27,14 +27,17 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table
 
 # three batches split on a stable content key — any split obeys the
-# merge law; thirds-by-id mimic time progress without ordering reqs
-_SPLITS = (F.col("event_id") % 3 == 0, F.col("event_id") % 3 == 1, F.col("event_id") % 3 == 2)
+# merge law; thirds-by-id mimic time progress without ordering reqs.
+# SQL strings, NOT Column objects: building F.col() at module scope
+# requires a live SparkContext and would break `import polar_spark.queries`
+# (and with it pytest collection / tools/gen_catalog.py) in processes that
+# import before creating a session.
+_SPLITS = ("event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2")
 
 
 def _store_root(spark: SparkSession, sf_dir: str, kind: str) -> str:

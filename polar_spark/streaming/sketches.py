@@ -74,17 +74,19 @@ class _EpochPartialSink:
         """Drop every stored partial. Sketch partials ADD when merged, so
         partitions from an earlier lineage (pre-reset epochs, or a prior
         checkpoint) must not survive into a reprocessing run — they would
-        silently inflate every estimate. The saved partial schema goes
-        with them: _save_schema only writes when the file is absent, so
-        a stale schema from a purged lineage with different key/value
-        types would otherwise pin empty-store reads to the OLD schema
-        (ADVICE r4)."""
+        silently inflate every estimate.
+
+        The saved partial schema SURVIVES the purge (empty-store
+        estimates stay schema-stable within a lineage), but is marked
+        stale: the first write of the NEW lineage overwrites it, so a
+        retyped lineage never serves the old key/value types past its
+        first batch (reconciles ADVICE r4's stale-type hole with the
+        schema-stability contract in tests/test_streaming.py)."""
         for e in self._partition_dirs():
             shutil.rmtree(e.path, ignore_errors=True)
-        try:
-            os.remove(self._schema_path())
-        except FileNotFoundError:
-            pass
+        if os.path.exists(self._schema_path()):
+            with open(self._stale_marker_path(), "w"):
+                pass
 
     def apply_batch(self, batch_df: DataFrame, epoch: int, sink_id: str) -> bool:
         """Apply one micro-batch idempotently; False = already applied
@@ -127,12 +129,22 @@ class _EpochPartialSink:
     def _schema_path(self) -> str:
         return os.path.join(self.store_path, "_partial_schema.json")
 
+    def _stale_marker_path(self) -> str:
+        return os.path.join(self.store_path, "_partial_schema.stale")
+
     def _save_schema(self, partial: DataFrame) -> None:
-        if not os.path.exists(self._schema_path()):
+        """Write-if-absent-or-purged: within a lineage the first write
+        pins the partial schema; a purge marks it stale so the next
+        lineage's first write re-pins (possibly retyped) instead of
+        inheriting the purged lineage's types."""
+        stale = os.path.exists(self._stale_marker_path())
+        if stale or not os.path.exists(self._schema_path()):
             tmp = self._schema_path() + ".tmp"
             with open(tmp, "w") as f:
                 f.write(partial.schema.json())
             os.replace(tmp, self._schema_path())
+            if stale:
+                os.remove(self._stale_marker_path())
 
     def _empty_partial(self) -> DataFrame | None:
         if not os.path.exists(self._schema_path()):

@@ -61,6 +61,12 @@ def test_plan_matches_committed_baseline(spark, sf_dir, name, baseline):
 
     from polar_spark.queries import QUERIES
 
+    # order-independence: earlier tests may leave tables persisted
+    # (the dedup suite caches shingle tables), and a cached relation
+    # changes the captured plan (InMemoryTableScan swallows exchanges) —
+    # audit from a cache-free catalog so the baseline compare is
+    # deterministic regardless of suite order (VERDICT r5 #3)
+    spark.catalog.clearCache()
     rec = audit_one(QUERIES[name].fn(spark, sf_dir))
     old = baseline[name]
     assert not rec["python_eval"], f"{name}: row-at-a-time Python appeared"

@@ -852,3 +852,13 @@ def test_streaming_sketch_new_lineage_purges_store(spark, sf_dir, tmp_path):
     kmv._purge()
     empty_schema = dict(kmv.estimate().dtypes)
     assert empty_schema == populated_schema  # bigint keys, not string
+
+    # RETYPED lineage (ADVICE r4): after a purge, the first write of the
+    # next lineage must overwrite the saved schema — a string-keyed
+    # lineage over the same store must not inherit the bigint key type
+    retyped = snap.withColumn("user_id", F.col("user_id").cast("string"))
+    assert kmv.apply_batch(retyped, epoch=0, sink_id="cpK2") is True
+    assert dict(kmv.estimate().dtypes)["user_id"] == "string"
+    # ...and the retyped schema is now the stable one for empty reads
+    kmv._purge()
+    assert dict(kmv.estimate().dtypes)["user_id"] == "string"
