@@ -487,6 +487,13 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
     if len(line) > SUMMARY_MAX_CHARS:  # never outgrow the tail capture
         summary["queries"] = {}
         line = json.dumps(summary)
+    if len(line) > SUMMARY_MAX_CHARS:
+        # the fixed fields themselves outgrew the cap (ADVICE r5): shed
+        # the extras block too rather than emit a line the driver's
+        # 2,000-char tail capture could decapitate
+        summary["extra"] = {"n_queries": len(timings)}
+        line = json.dumps(summary)
+    assert len(line) <= SUMMARY_MAX_CHARS, "summary_line contract violated"
     return line
 
 

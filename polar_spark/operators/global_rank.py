@@ -21,10 +21,11 @@ ranks the single-task window would produce (the order columns must
 form a total order — include a unique tiebreaker), so callers keep
 their exact NTILE oracles.
 
-Determinism note: the range partitioner's reservoir sample uses a
-fixed per-partition seed and the lineage below it is deterministic, so
-the two passes this operator runs (count pass + rank pass) see
-identical partition ids.
+Determinism: the range-partitioned relation is materialized exactly
+once (eager ``localCheckpoint``) before either pass reads it — the
+count pass and the rank pass therefore see identical partition ids by
+construction, not by assumption about the partitioner's sampling seed
+(which is per-job and NOT stable across jobs; ADVICE r5).
 
 Reference parity: polarstreams/polar has no windowed rank (it is a
 streaming log engine); this operator exists for the analytics surface
@@ -59,6 +60,17 @@ def distributed_row_number(
     parted = df.repartitionByRange(num_partitions, *order_by).withColumn(
         "_gr_pid", F.spark_partition_id()
     )
+    # Materialize the range partitioning ONCE (ADVICE r5, high):
+    # RangePartitioner samples its bounds with a seed derived from the
+    # per-job RDD id, so the counts job and the rank job — two separate
+    # jobs over the same lineage — could pick DIFFERENT bounds whenever
+    # a partition exceeds the sample size; pass-1 offsets would then
+    # mismatch pass-2 partition ids (wrong/duplicate ranks, rows dropped
+    # by the offset join). localCheckpoint pins it: both jobs read the
+    # same stored blocks, and the blocks are released by the context
+    # cleaner once the result DataFrame is unreferenced — no persist
+    # leak in a long-lived session.
+    parted = parted.localCheckpoint(eager=True)
 
     # O(num_partitions) driver rows — bounded metadata, not data
     sizes = {
@@ -99,14 +111,24 @@ def ntile_from_rank(rank: Column, n: int, total: int) -> Column:
     ).cast("int")
 
 
-def ntile_bounds(bucket: Column, n: int, total: int) -> tuple[Column, Column]:
+def ntile_bounds(
+    bucket: Column, n: int, total: int | Column
+) -> tuple[Column, Column]:
     """Rank interval [lo, hi] covered by NTILE bucket ``bucket`` (1-based)
     under the same remainder-to-leading-buckets law — the bucket-side
     dual of :func:`ntile_from_rank`, used when bucketing value-domain
-    aggregates by rank-interval overlap instead of ranking rows."""
-    q, r = divmod(int(total), n)
-    lo = (bucket - 1) * q + F.least(bucket - 1, F.lit(r)) + 1
-    hi = bucket * q + F.least(bucket, F.lit(r))
+    aggregates by rank-interval overlap instead of ranking rows
+    (equidepth_hist_doc_lengths). ``total`` may be a Python int or a
+    Column (e.g. a broadcast 1-row count), so the formula lives in ONE
+    place for both driver-known and plan-computed totals (ADVICE r5)."""
+    if isinstance(total, Column):
+        q: Column = F.floor(total / n)
+        r: Column = total % n
+    else:
+        qi, ri = divmod(int(total), n)
+        q, r = F.lit(qi), F.lit(ri)
+    lo = (bucket - 1) * q + F.least(bucket - 1, r) + 1
+    hi = bucket * q + F.least(bucket, r)
     return lo.cast("bigint"), hi.cast("bigint")
 
 

@@ -754,15 +754,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     range partitions, O(num_partitions) offset prefix-sum broadcast
     back — exactly the ranks the global sort would produce (unique
     customer-key tiebreak ⇒ total order), so the exact NTILE oracle is
-    unchanged. No single-task stage anywhere; the custkey aggregate is
-    persisted so the three rank passes reuse one orders scan.
+    unchanged. No single-task stage anywhere. The custkey aggregate
+    needs no persist: the first ntile pass eagerly localCheckpoints its
+    range-partitioned form, so the orders scan runs exactly once and
+    nothing lingers in the long-lived driver session (ADVICE r5).
     """
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("c")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(_dec("o_totalprice")).alias("monetary"),
-    ).persist()
+    )
     scored = distributed_ntile(
         base, 4, [F.col("last_order").desc(), F.col("c")], "r_quartile"
     )
@@ -806,7 +808,8 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one orders→customer aggregation shuffle; boundaries and the
     18 indicator sums ride two more aggregations over the same
-    customer aggregate (persisted) with map-side combine; nothing is
+    customer aggregate (materialized once via localCheckpoint, blocks
+    GC-cleaned) with map-side combine; nothing is
     ever sorted.
     """
     acc = 10000
@@ -820,7 +823,11 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("frequency"),
             F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
         )
-        .persist()
+        # two reads (bounds agg + indicator sums) of one materialization;
+        # localCheckpoint blocks are freed by the context cleaner when the
+        # result is unreferenced — .persist() here leaked cached partitions
+        # across registry invocations in the long-lived session (ADVICE r5)
+        .localCheckpoint(eager=False)
     )
     metrics = ["frequency", "monetary", "recency"]
     bounds = base.agg(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polar_spark.operators.global_rank import ntile_bounds
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table, register_views
 
@@ -716,12 +717,9 @@ def equidepth_hist_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = vc.agg(F.sum("cnt").alias("_n"))  # 1 row
     b = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
-    q = F.floor(F.col("_n") / 10)
-    r = F.col("_n") % 10
+    b_lo, b_hi = ntile_bounds(F.col("bucket"), 10, F.col("_n"))
     buckets = b.crossJoin(F.broadcast(total)).select(
-        "bucket",
-        ((F.col("bucket") - 1) * q + F.least(F.col("bucket") - 1, r) + 1).alias("b_lo"),
-        (F.col("bucket") * q + F.least(F.col("bucket"), r)).alias("b_hi"),
+        "bucket", b_lo.alias("b_lo"), b_hi.alias("b_hi")
     )
     joined = vc.join(
         F.broadcast(buckets),
