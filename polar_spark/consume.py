@@ -196,9 +196,15 @@ class ConsumerGroup:
         range-sample + range-shuffle. Positions come from the tails
         ledger (O(1) metadata, read BEFORE the scan so a concurrent
         producer can only make positions an under-estimate → safe
-        re-delivery, never skipped records); a record-limited poll
-        instead persists the served batch and derives positions from it,
-        because ``limit`` is not deterministic across re-executions.
+        re-delivery, never skipped records). A record-capped poll serves
+        a DETERMINISTIC offset window per partition computed from that
+        same ledger (waterfilled in partition order — the order
+        CollectLimit consumed partitions in), so poll() itself schedules
+        ZERO jobs and needs no persist; only a byte-budgeted poll still
+        persists its batch, because the byte cut depends on data and its
+        ``limit`` must be pinned. A window overlapping an aborted
+        reservation's offset gap serves fewer rows than the cap, but
+        positions advance past the gap so a poll loop always progresses.
         """
         self.catalog.check_not_mid_repartition(topic)
         committed = self.committed(topic)
@@ -213,12 +219,52 @@ class ConsumerGroup:
         if partitions is not None:
             df = df.filter(F.col("partition").isin(partitions))
             committed = {p: o for p, o in committed.items() if p in partitions}
-        cond = None
-        for p, off in committed.items():
-            c = (F.col("partition") == p) & (F.col("offset") > off)
-            cond = c if cond is None else (cond | c)
-        if cond is None:
+        if not committed:
             return PollResult(df.limit(0), {})
+        if max_records is not None and max_bytes is None:
+            # record-capped poll, ZERO jobs in poll() itself: the serve
+            # window is computed ARITHMETICALLY from the tails ledger —
+            # per-partition offset ranges waterfilled in partition order
+            # (the same order CollectLimit consumed partitions in), so
+            # the batch is deterministic across re-executions with no
+            # limit, no persist, and no positions job. Positions are the
+            # window ends. A window overlapping an aborted reservation's
+            # offset gap serves fewer than max_records rows (the gap has
+            # no records); positions still advance past it, so a poll
+            # loop always progresses — at-least-once is unaffected.
+            remaining = int(max_records)
+            windows: dict[int, tuple[int, int]] = {}
+            for q in sorted(committed):
+                if remaining <= 0:
+                    break
+                lo = committed[q]
+                lag = tails.get(q, -1) - lo
+                if lag <= 0:
+                    continue
+                take = min(lag, remaining)
+                windows[q] = (lo, lo + take)
+                remaining -= take
+            if not windows:
+                return PollResult(df.limit(0), {})
+            # ONE expression string, not a py4j Column chain: building
+            # ~4 Column ops per partition costs a py4j round-trip each —
+            # at 12+ partitions that is pure driver latency on a path
+            # that schedules no job at all
+            wcond = " OR ".join(
+                f"(partition = {q} AND offset > {lo} AND offset <= {hi})"
+                for q, (lo, hi) in windows.items()
+            )
+            # no exchange: partition dirs prune the scan and the window
+            # bounds push to footers; rows sort within each scan task
+            # (one partition's files rarely split tasks at poll sizes).
+            # Strict per-partition offset order is json_items()'s job —
+            # it array_sorts independent of plan order — so the serving
+            # path stays a single shuffle-free stage.
+            out = df.filter(wcond).sortWithinPartitions("partition", "offset")
+            return PollResult(out, {q: hi for q, (_lo, hi) in windows.items()})
+        cond = " OR ".join(
+            f"(partition = {p} AND offset > {off})" for p, off in committed.items()
+        )
         out = (
             df.filter(cond)
             .repartition("partition")

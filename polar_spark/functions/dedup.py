@@ -34,17 +34,9 @@ SHINGLE_WORDS = 3
 MINHASH_PRIME = 2147483647  # 2³¹−1; Kirsch-Mitzenmacher modulus
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Widen a narrow scan before CPU-heavy per-row work.
-
-    Small topic tables arrive as a single parquet split → one task → one
-    core. At 100 TB the scan already has thousands of splits and this is
-    a no-op (no shuffle); locally it buys full-core parallelism for the
-    signature computation downstream."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# canonical under-split-scan widener (sources/tables.py) — kept under
+# its historical local name; same no-op-at-scale contract
+from polar_spark.sources.tables import parallelize_small_scan as _spread  # noqa: E402
 
 
 def shingles_expr(text_col: str, strict: bool = False) -> F.Column:

@@ -40,6 +40,23 @@ from polar_spark.topics import TopicCatalog, normalize_events
 MAX_MESSAGE_BYTES = 1024 * 1024  # reference MaxMessageSize 1 MiB
 # (internal/conf/config.go:252-254; internal/producing/server.go:146-152)
 
+# Batches whose optimizer-estimated scan size is below this take the
+# driver-side fast path: one narrow collect job + pyarrow staging write,
+# no shuffle, no second job. This is the latency analog of the
+# reference's per-request ack path — a produce REQUEST is a single-
+# leader write there too (internal/producing/coalescer.go); bulk loads
+# above the threshold keep the fully distributed two-pass plan.
+SMALL_BATCH_BYTES = 4 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` — driver-side metadata
+    (file sizes for scans), no job. Unestimable plans return huge."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
 
 def _plan_is_row_stable(df: DataFrame) -> bool:
     """True when ``df``'s plan is made exclusively of row-stable nodes
@@ -91,11 +108,18 @@ def keyless_offset_plan(
 
 
 class Producer:
-    def __init__(self, catalog: TopicCatalog, metrics=None):
+    def __init__(
+        self,
+        catalog: TopicCatalog,
+        metrics=None,
+        small_batch_bytes: int = SMALL_BATCH_BYTES,
+    ):
         self.catalog = catalog
         # optional polar_spark.metrics.Metrics sink (counters mirror the
         # reference's polar_producer_* series, internal/metrics/metrics.go:13-27)
         self.metrics = metrics
+        # 0/None disables the driver-side small-batch fast path
+        self.small_batch_bytes = small_batch_bytes
 
     def produce(
         self,
@@ -149,6 +173,12 @@ class Producer:
         if validate_size:
             # reference rejects messages > 1 MiB with 400
             ev = ev.filter(F.octet_length("value") <= MAX_MESSAGE_BYTES)
+
+        if self.small_batch_bytes and _plan_size_bytes(ev) <= self.small_batch_bytes:
+            # per-request latency path: one collect job, driver-side
+            # offsets + staging write; same reservation/validate/publish
+            # machinery as the distributed paths
+            return self._produce_small(ev, topic, p, key_col, arrival_cols)
 
         if key_col is None and arrival_cols is None:
             # keyless produce has NO ordering guarantee in the reference
@@ -242,6 +272,137 @@ class Producer:
         finally:
             if pin:
                 keyed.unpersist()
+
+    def _produce_small(
+        self,
+        ev: DataFrame,
+        topic: str,
+        p: int,
+        key_col: str | None,
+        arrival_cols: list[str] | None,
+    ) -> dict[int, int]:
+        """Driver-side small-batch produce: ONE narrow collect job, then
+        offsets, staging parquet, validation, and publish all on the
+        driver — the per-request ack path (reference: a produce request
+        is a single-leader write, internal/producing/coalescer.go). The
+        distributed two-job paths stay for bulk loads; the gate is the
+        optimizer's scan-size estimate (:data:`SMALL_BATCH_BYTES`).
+
+        Semantics match the distributed paths exactly: keyed rows place
+        by the same JVM Murmur3-parity hash (computed inside the collect
+        job's projection — never reimplemented in Python), null-key and
+        keyless rows round-robin with the produced-total rotation,
+        arrival is ``arrival_cols`` order (driver sort, nulls first,
+        matching Spark asc_nulls_first) or collected row order (= input
+        order: the plan is narrow, partitions concatenate in scan
+        order). Offset reservation, per-file footer validation, and
+        in-order publish are the same machinery — a batch written by
+        this path is indistinguishable on disk. Single evaluation also
+        means nondeterministic inputs (limit/sample) need no pinning
+        here.
+        """
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if key_col is not None:
+            part_expr = F.when(
+                F.col("key").isNotNull(), partition_col(F.col("key"), p)
+            ).otherwise(F.lit(-1))
+        else:
+            part_expr = F.lit(-1).cast("int")
+        tbl = ev.withColumn("partition", part_expr).toArrow()
+        n = tbl.num_rows
+        if n == 0:
+            return self.catalog.tails(topic)
+
+        if arrival_cols:
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[(c, "ascending") for c in arrival_cols],
+                null_placement="at_start",
+            )
+            tbl = tbl.take(idx)
+
+        # normalize timestamps to what the Spark writer produces
+        # (TIMESTAMP_MICROS, UTC-adjusted) so files from both paths read
+        # identically under the topic schema — and never nanos, which the
+        # session's legacy nanosAsLong conf would resurface as longs
+        ts_i = tbl.schema.get_field_index("timestamp")
+        ts_type = tbl.schema.field(ts_i).type
+        if pa.types.is_timestamp(ts_type):
+            arr = tbl.column(ts_i)
+            if ts_type.tz is None:
+                tz = ev.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+                arr = pc.assume_timezone(arr, tz)
+            arr = pc.cast(arr, pa.timestamp("us", tz="UTC"))
+            tbl = tbl.set_column(ts_i, "timestamp", arr)
+
+        parts = tbl.column("partition").to_pylist()
+        # round-robin spread for keyless/null-key rows, rotated by the
+        # topic's produced totals (keyless_offset_plan's rotation law) so
+        # successive small batches don't hot-spot partition 0
+        rot = sum(t + 1 for t in self.catalog.tails(topic).values()) % p
+        rr = 0
+        by_part: dict[int, list[int]] = {}
+        for i, q in enumerate(parts):
+            if q is None or q < 0:
+                q = (rr + rot) % p
+                rr += 1
+            by_part.setdefault(int(q), []).append(i)
+        counts = {q: len(ix) for q, ix in by_part.items()}
+
+        def plan(reserved: dict[int, int]):
+            new_tails = {q: reserved.get(q, -1) + c for q, c in counts.items()}
+            return new_tails, {q: reserved.get(q, -1) for q in counts}
+
+        seq, _ends, bases = self.catalog.reserve(topic, plan)
+        staging = self.catalog.staging_dir(topic, seq)
+        try:
+            for q, ix in by_part.items():
+                sl = tbl.take(pa.array(ix, type=pa.int64()))
+                base = bases[q]
+                out = pa.table(
+                    {
+                        "topic": sl.column("topic"),
+                        "offset": pa.array(
+                            range(base + 1, base + 1 + len(ix)), type=pa.int64()
+                        ),
+                        "timestamp": sl.column("timestamp"),
+                        "key": sl.column("key"),
+                        "value": sl.column("value"),
+                    }
+                )
+                d = os.path.join(staging, f"partition={q}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    out,
+                    os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+                    compression="zstd",
+                )
+            # committer-contract parity: the Spark writer drops _SUCCESS
+            # when the staging write is complete; observers (tests, ops
+            # tooling) key off it to distinguish write-complete-but-
+            # unpublished from still-writing
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+            expect = {
+                q: [(c, bases[q] + 1, bases[q] + c)] for q, c in counts.items()
+            }
+            self._validate_staging(topic, staging, expect)
+            self.catalog.publish(topic, seq, staging=staging)
+        except BaseException:
+            self.catalog.abort(topic, seq)
+            raise
+        if self.metrics is not None:
+            vals = tbl.column("value").to_pylist()
+            self.metrics.on_produce(
+                topic, n, sum(len(v.encode()) for v in vals if v is not None)
+            )
+        return self.catalog.tails(topic)
 
     def _validate_staging(
         self,

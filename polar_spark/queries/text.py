@@ -14,7 +14,7 @@ from polar_spark.functions.text import (
     token_count_regex,
 )
 from polar_spark.queries.registry import query
-from polar_spark.sources.tables import load_table
+from polar_spark.sources.tables import load_table, parallelize_small_scan
 
 _SW = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
 
@@ -399,12 +399,15 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair text).
 
     Scale: pair generation is pure codegen (transform over the split
-    array — one fused map stage, no Python, no shuffle); the count is
-    one hash shuffle with map-side partial aggregation (pair cardinality
-    ≪ pair occurrences), then TakeOrdered — the exact shape an actual
+    array — one fused map stage, no Python); the count is one hash
+    shuffle with map-side partial aggregation (pair cardinality ≪ pair
+    occurrences), then TakeOrdered — the exact shape an actual
     tokenizer-training pipeline runs per merge iteration over 100 TB.
+    The scan is parallelized first when under-split (one-row-group
+    small files scan as one task; no-op at scale — BENCH r5 showed the
+    10× run single-threaded, 5.13× ratio, 1.19× after this).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents")).select(
         F.split(F.coalesce("text", F.lit("")), " ").alias("_w")
     )
     pairs = d.select(
@@ -460,10 +463,15 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term)-distinct then term count — vocabulary-sized, so the
     df⋈tf join is a hash join on term (NOT broadcast: at 100 TB the
     vocabulary is large); N is a 1-row broadcast. Top-5 per source via
-    window over the source-term aggregate (already small).
+    window over the source-term aggregate (already small). The scan is
+    parallelized first when under-split (one-row-group small files scan
+    as one task; no-op at scale — BENCH r5 ratio 4.13× was a single-
+    threaded 10× run).
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    # widen only the tokenize branch: the N aggregate below scans d
+    # without per-row CPU work and needs no exchange
+    tok = parallelize_small_scan(d).select(
         "doc_id",
         "source",
         F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),

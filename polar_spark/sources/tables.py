@@ -66,6 +66,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism IFF its
+    scan is under-split — a parquet row group is the unit of split, so a
+    small table written as one file/one row group scans as ONE task and
+    starves every core but one, no matter what ``maxPartitionBytes``
+    says. CPU-heavy per-row work downstream (tokenize/explode/Arrow
+    UDFs) then runs single-threaded and scales linearly with corpus
+    bytes (BENCH r5: bpe 5.13×, tfidf 4.13× at 10× — both single-task
+    scans of the one-row-group documents file).
+
+    At real scale this is a NO-OP: a 100 TB table scans as thousands of
+    splits ≥ default parallelism, so the condition is false and no
+    exchange enters the plan. The shuffle this adds on small inputs
+    moves only the small input itself."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register testdata tables as temp views for the SQL surface."""
     for name in tables or TABLES:

@@ -848,3 +848,89 @@ def test_repartition_refuses_inflight_reservations(spark, tmp_path):
         repartition_topic(cat, "busy", 3)
     cat.publish("busy", seq, staging=None)  # resolve → now it works
     assert set(repartition_topic(cat, "busy", 3)) == {0, 1, 2}
+
+
+def test_small_batch_fast_path_parity(spark, sf_dir, tmp_path):
+    """The driver-side small-batch produce (produce.py _produce_small)
+    must be indistinguishable on disk from the distributed path: same
+    partition placement (same key hash), same offsets, same values AND
+    timestamps (TIMESTAMP_MICROS parity — a nanos file would resurface
+    as longs under the session's legacy conf), and files from both
+    paths must coexist in one topic."""
+    import os
+
+    cat, _ = _engine(spark, tmp_path)
+    fast = Producer(cat)  # default threshold: small input → fast path
+    slow = Producer(cat, small_batch_bytes=0)  # distributed path pinned
+    src = os.path.join(str(tmp_path), "in.parquet")
+    _events(spark, sf_dir).limit(600).write.mode("overwrite").parquet(src)
+    small = spark.read.parquet(src)
+
+    cat.ensure_topic("fp_a", num_partitions=8)
+    cat.ensure_topic("fp_b", num_partitions=8)
+    fast.produce(small, "fp_a", key_col="user_id", value_col="props", ts_col="ts")
+    slow.produce(small, "fp_b", key_col="user_id", value_col="props", ts_col="ts")
+    a = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"], str(r["timestamp"]))
+        for r in cat.read("fp_a").collect()
+    )
+    b = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"], str(r["timestamp"]))
+        for r in cat.read("fp_b").collect()
+    )
+    assert a == b and len(a) == 600
+
+    # mixed-writer topic: distributed append onto fast-path files, read
+    # as one log with contiguous offsets
+    slow.produce(small, "fp_a", key_col="user_id", value_col="props", ts_col="ts")
+    mixed = cat.read("fp_a")
+    assert mixed.count() == 1200
+    for r in (
+        mixed.groupBy("partition")
+        .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"),
+             F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        assert r["lo"] == 0 and r["hi"] == r["c"] - 1
+
+    # keyless fast path spreads and stays contiguous
+    cat.ensure_topic("fp_k", num_partitions=4)
+    fast.produce(small, "fp_k", value_col="props", ts_col="ts")
+    fast.produce(small, "fp_k", value_col="props", ts_col="ts")
+    spread = cat.read("fp_k").groupBy("partition").count().collect()
+    assert sum(r["count"] for r in spread) == 1200 and len(spread) == 4
+
+
+def test_poll_offset_window_advances_past_gap(spark, sf_dir, tmp_path):
+    """Record-capped polls serve arithmetic offset windows; a window
+    overlapping an aborted reservation's gap serves fewer rows but its
+    positions still advance, so a poll loop never wedges and never
+    re-serves or skips a real record."""
+    import os
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("gap", num_partitions=1)
+    src = os.path.join(str(tmp_path), "gap_in.parquet")
+    _events(spark, sf_dir).limit(200).write.mode("overwrite").parquet(src)
+    small = spark.read.parquet(src)
+
+    prod.produce(small, "gap", value_col="props", ts_col="ts")  # offsets 0..199
+    # aborted reservation: offsets 200..299 become a gap
+    seq, _e, _ = cat.reserve("gap", lambda cur: ({0: cur.get(0, -1) + 100}, None))
+    cat.publish("gap", seq, staging=None)
+    prod.produce(small, "gap", value_col="props", ts_col="ts")  # 300..499
+
+    g = ConsumerGroup(cat, "g")
+    g.register("gap", EARLIEST)
+    seen: list[int] = []
+    polls = 0
+    while polls < 50:
+        res = g.poll("gap", max_records=150)
+        offs = [r["offset"] for r in res.df.collect()]
+        g.commit("gap", res.positions)
+        res.release()
+        polls += 1
+        if not offs and res.positions == {}:
+            break
+        seen.extend(offs)
+    assert sorted(seen) == list(range(0, 200)) + list(range(300, 500))
