@@ -98,6 +98,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH b AS (
   SELECT doc_id, coalesce(text, '') AS t FROM documents
+  WHERE length(coalesce(text, '')) = strlen(coalesce(text, ''))
 ), w AS (
   SELECT doc_id, t,
     unnest(range(0, CAST(ceil(len(t) / 256.0) AS INT))) AS wi
@@ -118,15 +119,23 @@ FROM c
 """,
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-modality plumbing: blobs (UTF-8 bytes of the synthetic docs
-    — pure-ASCII, so the oracle's per-character codepoints equal the
-    engine's per-byte samples) decoded as fake 8-bit PCM and reduced to
-    per-window integer energy/peak features through the real
-    mapInPandas batch interface (functions/multimodal.audio_window_energy)."""
+    """Audio-modality plumbing: text blobs decoded as fake 8-bit PCM and
+    reduced to per-window integer energy/peak features through the real
+    mapInPandas batch interface (functions/multimodal.audio_window_energy).
+
+    ASCII contract, SELF-ENFORCING (ADVICE r4): the engine samples
+    BYTES of the UTF-8 blob while the oracle enumerates CHARACTER
+    codepoints — equal only for pure-ASCII payloads. Both sides
+    therefore restrict to ASCII rows by the same law (chars == octets:
+    Spark ``length = octet_length``, DuckDB ``length = strlen``), so the
+    comparison no longer depends on a testdata property stated in prose;
+    a future non-ASCII doc is excluded identically on both sides."""
     from polar_spark.functions.multimodal import attach_blob, audio_window_energy
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .filter(F.length("text") == F.octet_length("text"))
     )
     blobs = attach_blob(d, "doc_id", "text", mime="audio/pcm;rate=8000")
     return audio_window_energy(blobs, "doc_id", "blob", window=256)
