@@ -221,7 +221,7 @@ class ConsumerGroup:
             committed = {p: o for p, o in committed.items() if p in partitions}
         if not committed:
             return PollResult(df.limit(0), {})
-        if max_records is not None and max_bytes is None:
+        if max_records is not None or max_bytes is not None:
             # record-capped poll, ZERO jobs in poll() itself: the serve
             # window is computed ARITHMETICALLY from the tails ledger —
             # per-partition offset ranges waterfilled in partition order
@@ -232,6 +232,12 @@ class ConsumerGroup:
             # offset gap serves fewer than max_records rows (the gap has
             # no records); positions still advance past it, so a poll
             # loop always progresses — at-least-once is unaffected.
+            # A byte budget composes on top: the cut runs WITHIN the
+            # deterministic window, so the chain stays deterministic
+            # across re-executions and needs no persist — only the
+            # positions collect (the byte cut depends on data) remains.
+            if max_records is None:
+                max_records = max_bytes  # a record consumes ≥1 budget byte
             remaining = int(max_records)
             windows: dict[int, tuple[int, int]] = {}
             for q in sorted(committed):
@@ -261,7 +267,47 @@ class ConsumerGroup:
             # it array_sorts independent of plan order — so the serving
             # path stays a single shuffle-free stage.
             out = df.filter(wcond).sortWithinPartitions("partition", "offset")
-            return PollResult(out, {q: hi for q, (_lo, hi) in windows.items()})
+            if max_bytes is None:
+                return PollResult(out, {q: hi for q, (_lo, hi) in windows.items()})
+            # byte budget over the already-window-capped batch: cumulative
+            # value bytes in (partition, offset) order; the single-task
+            # window is bounded by max_records rows, not the backlog.
+            # Everything below is deterministic (window bounds are
+            # arithmetic, no limit), so no persist — the positions
+            # collect and any caller re-read compute identical batches.
+            from pyspark.sql.window import Window as _W
+
+            w = _W.orderBy("partition", "offset")
+            budg = (
+                out.withColumn(
+                    "_cum",
+                    F.sum(F.coalesce(F.octet_length("value"), F.lit(0))).over(
+                        w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+                    ),
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .withColumn(
+                    "_served", (F.col("_cum") <= max_bytes) | (F.col("_rn") == 1)
+                )
+            )
+            # positions: served max per partition; a window with rows but
+            # none served (budget exhausted) must NOT advance (those
+            # records are re-served next poll); a window with NO rows at
+            # all (aborted-reservation gap) advances to its end so the
+            # loop never wedges on a gap
+            stats = budg.groupBy("partition").agg(
+                F.max(F.when(F.col("_served"), F.col("offset"))).alias("sm")
+            ).collect()
+            pos = {q: hi for q, (_lo, hi) in windows.items()}
+            for r in stats:
+                if r["sm"] is None:
+                    pos.pop(r["partition"], None)
+                else:
+                    pos[r["partition"]] = r["sm"]
+            out = budg.filter("_served").drop("_cum", "_rn", "_served")
+            return PollResult(out, pos)
+        # full drain: every record in (committed, tail] is served, so
+        # the tails ledger IS the served position — zero extra jobs
         cond = " OR ".join(
             f"(partition = {p} AND offset > {off})" for p, off in committed.items()
         )
@@ -270,42 +316,12 @@ class ConsumerGroup:
             .repartition("partition")
             .sortWithinPartitions("partition", "offset")
         )
-        if max_records is None and max_bytes is None:
-            # full drain: every record in (committed, tail] is served, so
-            # the tails ledger IS the served position — zero extra jobs
-            pos = {
-                p: tails[p]
-                for p, off in committed.items()
-                if tails.get(p, -1) > off
-            }
-            return PollResult(out, pos)
-        if max_records is None:
-            max_records = max_bytes  # every record consumes ≥1 budget byte
-        out = out.limit(max_records)
-        if max_bytes is not None:
-            # byte budget over the already-record-capped batch: cumulative
-            # value bytes in (partition, offset) order; the single-task
-            # window is bounded by max_records rows, not the backlog
-            from pyspark.sql.window import Window as _W
-
-            w = _W.orderBy("partition", "offset")
-            out = (
-                out.withColumn(
-                    "_cum",
-                    F.sum(F.coalesce(F.octet_length("value"), F.lit(0))).over(
-                        w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
-                    ),
-                )
-                .withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_cum") <= max_bytes) | (F.col("_rn") == 1))
-                .drop("_cum", "_rn")
-            )
-        out = out.persist()
         pos = {
-            r["partition"]: r["m"]
-            for r in out.groupBy("partition").agg(F.max("offset").alias("m")).collect()
+            p: tails[p]
+            for p, off in committed.items()
+            if tails.get(p, -1) > off
         }
-        return PollResult(out, pos, _cached=True)
+        return PollResult(out, pos)
 
     def commit(self, topic: str, positions: dict[int, int]) -> dict[int, int]:
         """Advance committed offsets (commit-after-deliver = at-least-once:

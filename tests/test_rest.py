@@ -238,13 +238,22 @@ def test_parallel_produce_and_poll_distinct_keys(server):
     got: list[dict] = []
 
     def consumer():
+        import time as _time
+
         try:
-            for _ in range(40):
+            for _ in range(100):
                 code, body = _req("POST", f"{u}/v1/consumer/poll?consumerId=pp1")
                 if code == 200:
                     got.extend(
                         v for it in json.loads(body) for v in it["values"]
                     )
+                else:
+                    # empty polls are near-instant now (the record-capped
+                    # serve path schedules no Spark job when there is no
+                    # backlog), so pace the loop like a real client —
+                    # without this the 100 attempts burn out before the
+                    # first concurrent produce publishes
+                    _time.sleep(0.1)
                 if len(got) >= 6:
                     return
         except Exception as e:  # noqa: BLE001

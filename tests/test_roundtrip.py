@@ -934,3 +934,37 @@ def test_poll_offset_window_advances_past_gap(spark, sf_dir, tmp_path):
             break
         seen.extend(offs)
     assert sorted(seen) == list(range(0, 200)) + list(range(300, 500))
+
+
+def test_poll_byte_budget_window_drains_exactly_once(spark, sf_dir, tmp_path):
+    """Byte-budgeted polls over the deterministic offset window: the
+    budget cuts a prefix, positions advance only over served (or
+    gap-only) ranges, and a commit loop drains every record exactly
+    once — including across an aborted-reservation gap."""
+    import os
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("bb", num_partitions=2)
+    src = os.path.join(str(tmp_path), "bb_in.parquet")
+    _events(spark, sf_dir).limit(120).write.mode("overwrite").parquet(src)
+    small = spark.read.parquet(src)
+    prod.produce(small, "bb", value_col="props", ts_col="ts")
+    seq, _e, _ = cat.reserve("bb", lambda cur: ({0: cur.get(0, -1) + 25}, None))
+    cat.publish("bb", seq, staging=None)  # offset gap in partition 0
+    prod.produce(small, "bb", value_col="props", ts_col="ts")
+
+    g = ConsumerGroup(cat, "g")
+    g.register("bb", EARLIEST)
+    seen = set()
+    for _ in range(300):
+        res = g.poll("bb", max_records=64, max_bytes=2048)
+        rows = res.df.collect()
+        for r in rows:
+            k = (r["partition"], r["offset"])
+            assert k not in seen, k  # exactly-once within the drain
+            seen.add(k)
+        g.commit("bb", res.positions)
+        res.release()
+        if not rows and not res.positions:
+            break
+    assert len(seen) == 240  # all real records, none lost to the gap
