@@ -39,6 +39,14 @@ LATEST = "startFromLatest"
 OFFSET_COMPLETED = 2**63 - 1  # reference OffsetCompleted = math.MaxInt64
 # (internal/types/models_offset.go:17)
 
+# Bounded polls at or below this row cap are served by a DRIVER-SIDE
+# parquet read (the reference broker's segment read,
+# internal/data/segment_reader.go — a poll is a single-node read of a
+# few chunks, never a cluster job). Above it, or when the windowed file
+# set is large, the distributed scan path serves instead.
+SMALL_POLL_ROWS = 16384
+SMALL_POLL_MAX_FILES = 512
+
 
 @dataclass
 class PollResult:
@@ -84,6 +92,19 @@ class PollResult:
             ).alias("values"),
         )
         return grouped.orderBy("topic", "partition")
+
+
+def _nullable_topic_schema():
+    """TOPIC_SCHEMA with every field nullable — what a parquet file scan
+    yields (Spark forces nullability on file sources), so the driver-side
+    poll path is schema-indistinguishable from the distributed one."""
+    from pyspark.sql import types as T
+
+    from polar_spark.topics import TOPIC_SCHEMA
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in TOPIC_SCHEMA.fields]
+    )
 
 
 def ledger_name_enc(name: str) -> str:
@@ -252,6 +273,10 @@ class ConsumerGroup:
                 remaining -= take
             if not windows:
                 return PollResult(df.limit(0), {})
+            if int(max_records) <= SMALL_POLL_ROWS:
+                local = self._poll_local(topic, windows, max_bytes)
+                if local is not None:
+                    return local
             # ONE expression string, not a py4j Column chain: building
             # ~4 Column ops per partition costs a py4j round-trip each —
             # at 12+ partitions that is pure driver latency on a path
@@ -322,6 +347,134 @@ class ConsumerGroup:
             if tails.get(p, -1) > off
         }
         return PollResult(out, pos)
+
+    def _poll_local(
+        self,
+        topic: str,
+        windows: dict[int, tuple[int, int]],
+        max_bytes: int | None,
+    ) -> PollResult | None:
+        """Driver-side bounded poll: read the windowed offset ranges
+        straight from the partition dirs with pyarrow — row-group stats
+        prune non-overlapping files/row-groups, the rows come back as a
+        local relation, and no Spark job is scheduled at all (the
+        caller's collect over a LocalTableScan is milliseconds). This is
+        the read-side twin of produce's small-batch path and the direct
+        analog of the reference broker serving a poll from its segment
+        files (internal/data/segment_reader.go:106-195) — a bounded poll
+        is a single-node read of a few chunks, never a cluster job.
+
+        Returns None to fall back to the distributed scan: too many
+        candidate files (a deep backlog is a cluster-sized read), or any
+        read error (e.g. a concurrent compaction swapping files — the
+        Spark path re-lists and the engine facade's compaction gate
+        serializes that properly).
+        """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            ddir = self.catalog.data_dir(topic)
+            tasks: list[tuple[int, str]] = []
+            for q in windows:
+                pdir = os.path.join(ddir, f"partition={q}")
+                if not os.path.isdir(pdir):
+                    continue
+                tasks.extend(
+                    (q, os.path.join(pdir, fn))
+                    for fn in os.listdir(pdir)
+                    if fn.endswith(".parquet")
+                )
+            if len(tasks) > SMALL_POLL_MAX_FILES:
+                return None
+
+            cols = ["topic", "offset", "timestamp", "key", "value"]
+
+            def _one(args: tuple[int, str]):
+                q, path = args
+                lo, hi = windows[q]
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                idx = md.schema.to_arrow_schema().get_field_index("offset")
+                rgs = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    # stats missing → must read; else prune on overlap
+                    if st is None or not st.has_min_max or (
+                        st.max > lo and st.min <= hi
+                    ):
+                        rgs.append(rg)
+                if not rgs:
+                    return None
+                t = pf.read_row_groups(rgs, columns=cols)
+                off = t.column("offset")
+                mask = pc.and_(pc.greater(off, lo), pc.less_equal(off, hi))
+                t = t.filter(mask)
+                if t.num_rows == 0:
+                    return None
+                return t.append_column(
+                    "partition", pa.array([q] * t.num_rows, type=pa.int32())
+                )
+
+            parts: list = []
+            if tasks:
+                with ThreadPoolExecutor(max_workers=min(16, len(tasks))) as ex:
+                    parts = [t for t in ex.map(_one, tasks) if t is not None]
+
+            spark = self.catalog.spark
+            if not parts:
+                # pure-gap windows: nothing stored in range; positions
+                # still advance so the poll loop progresses
+                empty = spark.createDataFrame([], _nullable_topic_schema())
+                return PollResult(
+                    empty, {q: hi for q, (_lo, hi) in windows.items()}
+                )
+
+            tbl = pa.concat_tables(parts, promote_options="permissive")
+            order = pc.sort_indices(
+                tbl, sort_keys=[("partition", "ascending"), ("offset", "ascending")]
+            )
+            tbl = tbl.take(order).select(
+                ["topic", "partition", "offset", "timestamp", "key", "value"]
+            )
+
+            pos = {q: hi for q, (_lo, hi) in windows.items()}
+            if max_bytes is not None:
+                vals = tbl.column("value")
+                nbytes = pc.binary_length(vals.cast(pa.binary())).fill_null(0)
+                cum = pc.cumulative_sum(nbytes.combine_chunks())
+                served = pc.less_equal(cum, max_bytes).to_pylist()
+                served[0] = True  # always serve ≥1 record for progress
+                # per-partition position law (same as the Spark byte
+                # path): served max advances; rows-present-none-served
+                # does NOT advance; gap-only windows keep their default
+                parts_l = tbl.column("partition").to_pylist()
+                offs_l = tbl.column("offset").to_pylist()
+                seen_rows: set[int] = set()
+                served_max: dict[int, int] = {}
+                for p_, o_, s_ in zip(parts_l, offs_l, served):
+                    seen_rows.add(p_)
+                    if s_:
+                        served_max[p_] = max(served_max.get(p_, -1), o_)
+                for q in seen_rows:
+                    if q in served_max:
+                        pos[q] = served_max[q]
+                    else:
+                        pos.pop(q, None)
+                tbl = tbl.filter(pa.array(served))
+
+            # explicit schema: bit-identical column types/nullability to
+            # the scan path (file scans force nullable), so callers
+            # can't observe which path served
+            return PollResult(
+                spark.createDataFrame(tbl, schema=_nullable_topic_schema()), pos
+            )
+        except Exception:
+            return None  # any surprise → the distributed path serves
 
     def commit(self, topic: str, positions: dict[int, int]) -> dict[int, int]:
         """Advance committed offsets (commit-after-deliver = at-least-once:

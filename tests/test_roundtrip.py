@@ -968,3 +968,44 @@ def test_poll_byte_budget_window_drains_exactly_once(spark, sf_dir, tmp_path):
         if not rows and not res.positions:
             break
     assert len(seen) == 240  # all real records, none lost to the gap
+
+
+def test_poll_local_read_parity_with_distributed(spark, sf_dir, tmp_path, monkeypatch):
+    """The driver-side bounded-poll read (consume.py _poll_local) must be
+    indistinguishable from the distributed scan: same rows, positions,
+    and schema; and it must FALL BACK (not fail) when the windowed file
+    set exceeds the cap."""
+    import os
+
+    import polar_spark.consume as C
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("lp", num_partitions=4)
+    src = os.path.join(str(tmp_path), "lp_in.parquet")
+    _events(spark, sf_dir).limit(1000).write.mode("overwrite").parquet(src)
+    small = spark.read.parquet(src)
+    prod.produce(small, "lp", key_col="user_id", value_col="props", ts_col="ts")
+    prod.produce(small, "lp", key_col="user_id", value_col="props", ts_col="ts")
+
+    def batch(group):
+        g = ConsumerGroup(cat, group)
+        g.register("lp", EARLIEST)
+        res = g.poll("lp", max_records=700)
+        rows = sorted(
+            (r["partition"], r["offset"], r["key"], r["value"], str(r["timestamp"]))
+            for r in res.df.collect()
+        )
+        return rows, res.positions, res.df.schema
+
+    rows_l, pos_l, schema_l = batch("gl")
+    monkeypatch.setattr(C, "SMALL_POLL_ROWS", 0)  # force distributed path
+    rows_d, pos_d, schema_d = batch("gd")
+    assert rows_l == rows_d and len(rows_l) == 700
+    assert pos_l == pos_d and schema_l == schema_d
+
+    # file-cap fallback: with the cap at 0 every local attempt falls
+    # back, and the distributed path serves the identical batch
+    monkeypatch.setattr(C, "SMALL_POLL_ROWS", 16384)
+    monkeypatch.setattr(C, "SMALL_POLL_MAX_FILES", 0)
+    rows_f, pos_f, _ = batch("gf")
+    assert rows_f == rows_l and pos_f == pos_l
