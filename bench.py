@@ -291,6 +291,14 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
             ev.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
             .withColumn("event_id", F.col("event_id") * 10 + F.col("_rep"))
             .drop("_rep")
+            # the sf0.1 events file is ONE parquet row group, so without
+            # this the 1M-row batch is a single cached block and every
+            # produce runs tag+encode+write as one task on one core. A
+            # real ingest batch arrives partitioned (the reference's
+            # load numbers come from a multi-connection tool pushing 2M
+            # messages, docs/benchmarks/README.md); one repartition here
+            # models that and is paid once, outside the timed region.
+            .repartition(CPUS)
             .persist()
         )
         n_events = big.count()

@@ -463,7 +463,13 @@ class Producer:
         # row counts, or offsets come out NULL/colliding: non-row-stable
         # inputs are pinned with persist() AND every produce is validated
         # post-write against the reserved plan (the persist is
-        # best-effort — a lost cache block recomputes the input)
+        # best-effort — a lost cache block recomputes the input).
+        # Parallelism note: this path inherits the INPUT's partitioning
+        # (a task is a "request"); an in-path widening repartition was
+        # measured and REJECTED — the per-batch shuffle costs more than
+        # the parallelism buys (1M rows: ~610K msgs/s shuffled vs ~1.3M
+        # when the caller supplies a sanely partitioned batch). Callers
+        # with a single-block batch should repartition once upstream.
         pin = not _plan_is_row_stable(ev)
         tagged = ev.withColumn("_tid", F.shiftright(mid, 33)).withColumn(
             "_idx", mid.bitwiseAND(F.lit((1 << 33) - 1))
