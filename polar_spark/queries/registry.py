@@ -23,37 +23,41 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-5 rotation (VERDICT r4 ask #2): the 50 names sampled green in
-    # CORRECTNESS_r04.json are pruned from the head; what remains is the 18
-    # never-driver-sampled entries — 15 oracle-checked first, rows-only
-    # last — followed by round-5 additions as they land. With ~50 sample
-    # slots this head finally fits, so after round 5 every registry query
-    # has at least one driver-green CORRECTNESS row.
-    "knn_hard_negatives",
-    "top_event_transitions",
-    "profile_table_stats",
-    "event_rate_anomaly",
-    "scd2_user_type_intervals",
-    "tfidf_top_terms_per_source",
-    "impute_group_median",
-    "outlier_iqr_by_type",
-    "referential_integrity_audit",
-    "session_entry_exit_paths",
-    "equidepth_hist_doc_lengths",
-    "orders_monthly_revenue_growth",
-    "priority_share_by_month",
-    "debounce_repeated_events",
-    "customer_rfm_segments",
-    # round-5 additions (oracle-checked)
-    "equidepth_hist_doc_lengths_approx",
-    "customer_rfm_segments_approx",
+    # Round-6 rotation: every registry query is driver-proven cumulatively
+    # (r1-r5), so the head now serves a different job — put the queries
+    # whose IMPLEMENTATION CHANGED this round (plus the round-6 additions)
+    # where the driver's ~50-slot sample will re-prove them post-change.
+    # New round-6 law queries (oracle-checked):
+    "knn_pq_recall_law",
+    "knn_ivfpq_recall_law",
+    # changed: module-scope Column fix (VERDICT r5 #1)
     "sketch_cm_stream_vs_batch",
     "sketch_kmv_stream_vs_batch",
-    # rows-only (no SQL oracle) entries go last: if the sample cut lands
-    # mid-head it drops the weakest checks first.
+    # changed: global_rank localCheckpoint determinism fix + persist scope
+    "customer_rfm_segments",
+    "customer_rfm_segments_approx",
+    # changed: shared ntile_bounds law
+    "equidepth_hist_doc_lengths",
+    "equidepth_hist_doc_lengths_approx",
+    # changed: under-split-scan widening
+    "bpe_pair_merge_counts",
+    "tfidf_top_terms_per_source",
+    "dedup_simhash",
+    "dup_span_detect",
+    # changed: ASCII contract now self-enforcing
+    "multimodal_audio_energy",
+    # changed: produce/poll fast paths feed these end-to-end queries
+    "ingest_partition_offset",
+    "consume_poll_window",
+    "consume_reset_latest",
+    "consume_seek_timestamp",
+    "dedup_redelivered_events",
+    "stateful_offset_assign",
+    "binary_frame_roundtrip",
+    "ndjson_roundtrip",
+    # changed: corpus-proportional ADC shortlist (rows-only entries last)
     "knn_pq_adc",
     "knn_ivfpq_stored",
-    "semdedup_incremental",
 )
 
 

@@ -239,31 +239,38 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     out = pq_topk_adc(
-        queries, enc, books, k=5, shortlist=100,
+        queries, enc, books, k=5, shortlist=_pq_shortlist(qv),
         rerank=qv.select("vec_id", F.col("v").alias("cv")),
     ).select("qid", "vec_id", "dot", "rn")
     qv.unpersist()
     return out
 
 
-@query("knn_ivfpq_stored")  # no oracle: trained PQ codebook (iterative)
-def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Faiss-IVFADC+R over a MATERIALIZED index
-    (sources/ivf_index.write_ivfpq_index / ivfpq_topk_stored): coarse
-    cell + PQ codes assigned once at ingest and stored cell-partitioned;
-    queries probe nprobe cells (partition-pruned), ADC-scan the codes
-    column only (vector column pruned from the hot scan — plan-asserted
-    in tests/test_plans.py), exact-re-rank the shortlist from the stored
-    raw vectors. Rows-only driver check; recall/exactness
-    pytest-asserted in tests/test_operators.py."""
+def _pq_shortlist(corpus: DataFrame, floor: int = 400, cap: int = 4096) -> int:
+    """Corpus-proportional ADC shortlist (~2 % of n, floored/capped):
+    a FIXED shortlist makes recall fall as the corpus grows — more
+    candidates compete for the same ADC slots, so the true top-k slips
+    below the cut (observed on the synthetic corpus: shortlist=100 gives
+    recall@5 ≥ 0.9 at 200 vectors but < 0.8 at 2 000; 400 restores
+    0.92). Faiss sizes its IVFADC shortlist the same way. The floor is
+    high because the synthetic embeddings are RANDOM — the hardest case
+    for PQ, whose cells carry no structure to exploit; clustered real
+    embeddings rank far better per slot. The count is one O(1)-output
+    job; the shuffle stays O(parts·shortlist·|Q|), independent of n past
+    the cap — past which the honest recall lever is a better codebook
+    (more iters/subspaces), not an unbounded rerank set."""
+    return min(cap, max(floor, corpus.count() // 50))
+
+
+def _ivfpq_index_and_queries(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir + Spark application) the materialized
+    IVFADC index and the standard 10-query probe set; shared by the
+    search query and its recall-law twin so both hit the SAME index."""
     import hashlib as _hashlib
     import tempfile
 
     from polar_spark.functions.similarity import train_pq_codebook
-    from polar_spark.sources.ivf_index import (
-        ivfpq_topk_stored,
-        write_ivfpq_index,
-    )
+    from polar_spark.sources.ivf_index import write_ivfpq_index
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
@@ -280,11 +287,99 @@ def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = qv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    out = ivfpq_topk_stored(spark, path, queries, k=5, shortlist=100).select(
+    shortlist = _pq_shortlist(qv)
+    qv.unpersist()
+    return path, queries, shortlist
+
+
+@query("knn_ivfpq_stored")  # no oracle: trained PQ codebook (iterative)
+def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Faiss-IVFADC+R over a MATERIALIZED index
+    (sources/ivf_index.write_ivfpq_index / ivfpq_topk_stored): coarse
+    cell + PQ codes assigned once at ingest and stored cell-partitioned;
+    queries probe nprobe cells (partition-pruned), ADC-scan the codes
+    column only (vector column pruned from the hot scan — plan-asserted
+    in tests/test_plans.py), exact-re-rank the shortlist from the stored
+    raw vectors. Rows-only driver check on the result rows themselves;
+    the recall/exactness LAW is value-hash-checked by its
+    ``knn_ivfpq_recall_law`` twin and pytest-asserted in
+    tests/test_operators.py."""
+    from polar_spark.sources.ivf_index import ivfpq_topk_stored
+
+    path, queries, shortlist = _ivfpq_index_and_queries(spark, sf_dir)
+    return ivfpq_topk_stored(spark, path, queries, k=5, shortlist=shortlist).select(
         "qid", "vec_id", "dot", "rn"
     )
-    qv.unpersist()
-    return out
+
+
+def _recall_law(got: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row verdict over an ANN result vs its exact baseline — the
+    boundary-law oracle pattern (VERDICT r4 #3): DuckDB cannot reproduce
+    a trained quantizer, but the GUARANTEE the pytest suite pins
+    (aggregate recall@5 ≥ 0.8; re-ranked dots exactly equal the true
+    dots for every hit) is a deterministic boolean the driver CAN
+    value-hash. Everything is lazy single-row aggregates crossed
+    together (1-row BNLJ, same auditable shape as profile_table_stats)."""
+    j = got.join(
+        exact.select("qid", "vec_id", F.col("dot").alias("_ed")),
+        ["qid", "vec_id"],
+    )
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum((F.col("dot") != F.col("_ed")).cast("long")).alias("n_bad"),
+    )
+    base = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("qid").alias("nq"),
+    )
+    npq = got.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        base.crossJoin(npq)
+        .crossJoin(stats)
+        .select(
+            F.col("nq").cast("long").alias("n_queries"),
+            F.col("n_rows").cast("long").alias("n_result_rows"),
+            # integer form of n_hits / n_exact >= 0.8 — no float compare
+            (F.col("n_hits") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+            (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).alias("rerank_exact_ok"),
+        )
+    )
+
+
+_LAW_ORACLE = """
+SELECT CAST(q AS BIGINT) AS n_queries, CAST(5 * q AS BIGINT) AS n_result_rows,
+       TRUE AS recall_ok, TRUE AS rerank_exact_ok
+FROM (SELECT COUNT(*) AS q FROM embeddings WHERE vec_id < 10) t
+"""
+
+
+@query("knn_pq_recall_law", oracle=_LAW_ORACLE)
+def knn_pq_recall_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search law, value-hash-checked: the ``knn_pq_adc`` result
+    must cover ≥ 80 % of the exact brute-force top-5 (recall@5, the
+    bound tests/test_operators.py:753 pins) and every overlapping pair's
+    re-ranked dot must equal the exact integer dot. Upgrades the
+    rows-only check on the trained-quantizer query to a full oracle on
+    its guarantee — training is deterministic (md5-seeded, fixed
+    iters), so the booleans are stable."""
+    return _recall_law(
+        knn_pq_adc(spark, sf_dir), knn_bruteforce_dot(spark, sf_dir)
+    )
+
+
+@query("knn_ivfpq_recall_law", oracle=_LAW_ORACLE)
+def knn_ivfpq_recall_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-IVFADC law, value-hash-checked: ``knn_ivfpq_stored`` vs
+    the exact search over the SAME probed cells of the SAME materialized
+    index (``ivf_topk_stored`` — the baseline
+    tests/test_operators.py:857 uses): aggregate recall@5 ≥ 0.8 and
+    exact re-ranked dots on every hit."""
+    from polar_spark.sources.ivf_index import ivf_topk_stored, ivfpq_topk_stored
+
+    path, queries, shortlist = _ivfpq_index_and_queries(spark, sf_dir)
+    got = ivfpq_topk_stored(spark, path, queries, k=5, shortlist=shortlist)
+    exact = ivf_topk_stored(spark, path, queries, k=5)
+    return _recall_law(got, exact)
 
 
 @query("semdedup_incremental")  # no oracle: greedy-prefix dedup is sequential
