@@ -252,6 +252,20 @@ def _bench_scale(spark, extra: dict) -> None:
     try:
         _build_scaled_corpus(spark, dst)
         spark.catalog.clearCache()
+        # re-warm the Python worker pool: the corpus build + cache clear
+        # take long enough for idle pandas-UDF workers to be reaped, so
+        # without this the FIRST 10× run of every Arrow-backed query pays
+        # a full pool respawn (numpy/pandas import × CPUS) that reads as
+        # a 2-3× scale-ratio inflation on the knn/lsh family
+        from pyspark.sql import functions as F
+
+        from polar_spark.functions.similarity import lsh_bucket, quantize
+        from polar_spark.sources.tables import load_table
+
+        emb_w = load_table(spark, dst, "embeddings")
+        emb_w.repartition(CPUS).select(
+            lsh_bucket(quantize("embedding"), dims=64).alias("b")
+        ).groupBy("b").count().count()
         timings: dict[str, float] = {}
         for name in SCALE_HEADLINE:
             fn = QUERIES[name].fn
