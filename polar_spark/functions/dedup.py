@@ -457,13 +457,32 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Blocked-LSH candidate generation (pigeonhole guarantee): the 64-bit
-    signature is split into ``max_hamming + 1`` blocks — any pair within
-    ``max_hamming`` differing bits agrees on at least one whole block, so
-    joining on (block_idx, block_bits) finds every qualifying pair while
-    only same-block rows ever shuffle together (never O(n²)). Exact
-    Hamming is then verified with two 32-bit ``bit_count(xor)`` ops —
-    integer XOR, not per-character comparison."""
+    Two-stage, exact:
+
+    1. **Exact-signature collapse.** Docs are grouped by their 64-bit
+       signature first (one corpus shuffle, the only one); pairs inside
+       a group are Hamming-0 by definition and are emitted by an
+       output-sized join-free explode over the member list. Exact
+       duplicates (the dominant dup class in web corpora) therefore
+       never enter candidate generation, and the LSH stage below runs
+       over DISTINCT signatures — its cost is bounded by signature
+       diversity, not corpus size.
+    2. **Blocked-LSH over distinct signatures** (pigeonhole guarantee):
+       the 64-bit signature is split into ``max_hamming + 1`` blocks —
+       any pair within ``max_hamming`` differing bits agrees on at least
+       one whole block, so joining on (block_idx, block_bits) finds
+       every qualifying signature pair while only same-block rows ever
+       shuffle together. Exact Hamming is verified with two 32-bit
+       ``bit_count(xor)`` ops, duplicates from multi-block agreement are
+       dropped on the (small) signature-pair table, and group pairs are
+       expanded back to doc pairs by two signature-count-sized joins
+       plus an output-sized explode.
+
+    Scale note: with ``max_hamming=8`` the block keys are ~7 bits, so
+    stage 2 is ~n_sig²/2⁷ per block — collapsing to distinct signatures
+    is what keeps that quadratic term off the corpus size. A group whose
+    membership is huge yields a quadratic OUTPUT (every pair genuinely
+    qualifies); cap or keep-one upstream if pairs are not needed."""
     n_blocks = max_hamming + 1
     base = 64 // n_blocks
     rem = 64 % n_blocks
@@ -475,23 +494,43 @@ def simhash_pairs(
         bounds.append((pos, ln))
         pos += ln
 
-    from pyspark import StorageLevel
+    # collapse the corpus to signature groups in ONE shuffle, then
+    # materialize (GC-cleaned): the block explode (both join sides), the
+    # within-group pair emission and both membership expansions all read
+    # this signature-count-sized table — the corpus itself is never
+    # shuffled again. A group's member list is bounded by its size g and
+    # its pair OUTPUT by g²; the list is strictly the cheaper of the two
+    # (see the quadratic-output note in the docstring).
+    groups = (
+        simhash_signatures(df, id_col, text_col)
+        .groupBy("sim")
+        .agg(F.collect_list("id").alias("ids"))
+        .select(
+            "sim",
+            "ids",
+            F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
+            F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
-    # persist: the a/b sides of the block self-join would otherwise each
-    # recompute the whole signature pipeline (explode + 64-sum agg over
-    # the corpus); the signature table is one short row per doc
-    sims = simhash_signatures(df, id_col, text_col).select(
-        "id",
+    # within-group pairs are Hamming 0 by definition: emit every
+    # unordered member pair join-free with a nested-transform explode
+    same = (
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> named_struct('id_a', least(x, y),"
+                    " 'id_b', greatest(x, y)))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
+    )
+    blocks = groups.select(
         "sim",
-        F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
-        F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # carry h1/h2 INTO the exploded block rows: the bucket join then has
-    # both sides' integers in hand — the signature pipeline runs exactly
-    # once and no join-back to sims is needed (two fewer shuffles of the
-    # full corpus; the duplicated payload is just two longs × n_blocks)
-    blocks = sims.select(
-        "id",
         "h1",
         "h2",
         F.explode(
@@ -505,22 +544,26 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "h1", "h2", "b.blk", "b.key")
+    ).select("sim", "h1", "h2", "b.blk", "b.key")
 
     a = blocks.select(
-        F.col("id").alias("id_a"), F.col("h1").alias("h1a"),
+        F.col("sim").alias("sim_a"), F.col("h1").alias("h1a"),
         F.col("h2").alias("h2a"), "blk", "key",
     )
     b = blocks.select(
-        F.col("id").alias("id_b"), F.col("h1").alias("h1b"),
+        F.col("sim").alias("sim_b"), F.col("h1").alias("h1b"),
         F.col("h2").alias("h2b"), "blk", "key",
     )
-    return (
+    # sim_a < sim_b both orients the pair and excludes equal signatures
+    # (already emitted as `same`); the distinct() runs on the
+    # signature-PAIR table — before membership expansion, where it is
+    # smallest — to drop multi-block agreement duplicates
+    cand = (
         a.join(b, ["blk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("sim_a") < F.col("sim_b"))
         .select(
-            "id_a",
-            "id_b",
+            "sim_a",
+            "sim_b",
             (
                 F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
                 + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b")))
@@ -529,6 +572,35 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # expand qualifying signature pairs back to doc pairs: two joins on
+    # the signature-count-sized groups table (never the corpus), then an
+    # output-sized member cross-product explode
+    cross = (
+        cand.join(
+            groups.select(
+                F.col("sim").alias("sim_a"), F.col("ids").alias("ids_a")
+            ),
+            "sim_a",
+        )
+        .join(
+            groups.select(
+                F.col("sim").alias("sim_b"), F.col("ids").alias("ids_b")
+            ),
+            "sim_b",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, x -> transform(ids_b,"
+                    " y -> named_struct('id_a', least(x, y),"
+                    " 'id_b', greatest(x, y)))))"
+                )
+            ).alias("p"),
+            "hamming",
+        )
+        .select("p.id_a", "p.id_b", "hamming")
+    )
+    return same.unionByName(cross)
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
