@@ -117,6 +117,50 @@ def test_simhash_identical_and_disjoint(spark):
     assert out[(1, 2)] == 0
 
 
+def test_simhash_replica_corpus_matches_brute_force(spark):
+    """Pin the two-stage (signature-collapse → blocked-LSH) pipeline
+    against brute-force all-pairs Hamming on a corpus dominated by
+    exact-duplicate groups — the shape the collapse stage exists for.
+    Rotated texts share a word multiset, so replicas 0-9 of each base
+    doc collapse into ONE signature group; cross-group near-dups must
+    still surface through the block join."""
+    from polar_spark.functions.dedup import simhash_signatures
+
+    bases = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river bend",
+        "entirely different subject matter about distributed query engines",
+    ]
+    rows = []
+    for b_idx, text in enumerate(bases):
+        words = text.split(" ")
+        for rep in range(4):
+            rot = words[rep:] + words[:rep]  # same multiset → same signature
+            rows.append((b_idx * 10 + rep, " ".join(rot)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    sigs = {r["id"]: r["sim"] for r in
+            simhash_signatures(df, "doc_id", "text").collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 8:
+                want[(a, b)] = h
+    assert got == want
+    # sanity on the shape itself: replicas collapsed (hamming 0 inside
+    # each base), and the near-dup base pair (0, 1) crossed groups
+    assert got[(0, 1)] == 0 and got[(0, 3)] == 0
+    assert any(a < 10 <= b for (a, b) in got), "cross-group pair missing"
+    # the disjoint-subject base (docs 20-23) must not pair with the rest
+    assert not any(a < 20 <= b for (a, b) in got)
+
+
 def test_brute_force_topk_query_cap(spark, sf_dir):
     """|Q| beyond the driver-collect cap must raise, not OOM the driver
     (VERDICT r2 "What's wrong" #4)."""
