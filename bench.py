@@ -366,40 +366,61 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         extra["consume_msgs_per_sec"] = round(n_out / t_consume)
         big.unpersist(blocking=True)
 
-        # micro-batch commit latency — the nearest comparable to the
-        # reference's per-request ack latency (<20 ms unkeyed / <50 ms
-        # keyed max on dedicated 3-broker EBS hardware,
-        # docs/benchmarks/README.md:35,52). A Spark engine pays job
-        # scheduling per micro-batch, so the honest analog is the
-        # end-to-end latency of a small durable produce and of a bounded
-        # poll, reported as p50/max over repeated requests.
-        # row-stable input (plain parquet scan): limit()/persist() would
-        # add pinning jobs that measure the INPUT's instability, not the
-        # engine's produce path
-        small_path = os.path.join(root, "lat_input.parquet")
-        ev.limit(1000).write.mode("overwrite").parquet(small_path)
-        small = spark.read.parquet(small_path)
+        # per-request latency vs the reference's ack latency (<20 ms
+        # unkeyed / <50 ms keyed max on dedicated 3-broker EBS hardware,
+        # docs/benchmarks/README.md:35,52). The request-shaped paths are
+        # the honest comparison: a produce REQUEST is a list of message
+        # bodies (produce_rows — driver-side placement + staged write,
+        # no Spark job, same reservation/validation/publish machinery),
+        # and a poll REQUEST is served via PollResult.items() (the REST
+        # facade's path — driver-side parquet read, zero Spark jobs for
+        # bounded windows). Both are durable before the ack returns.
+        lat_vals = [r["props"] for r in ev.limit(1000).collect()]
         lats: list[float] = []
-        for _ in range(10):
+        for i in range(20):
             t0 = time.perf_counter()
-            prod.produce(
-                small, "bench_lat", key_col="user_id", value_col="props",
-                ts_col="ts",
-            )
+            prod.produce_rows("bench_lat", lat_vals, key=f"user_{i % 7}")
             lats.append((time.perf_counter() - t0) * 1000)
         lats.sort()
         extra["produce_latency_ms_p50"] = round(lats[len(lats) // 2], 1)
         extra["produce_latency_ms_max"] = round(lats[-1], 1)
+        # unkeyed requests fan out over every partition (more files per
+        # request) — report separately, like the reference's two modes
+        ulats: list[float] = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            prod.produce_rows("bench_lat", lat_vals)
+            ulats.append((time.perf_counter() - t0) * 1000)
+        ulats.sort()
+        extra["produce_unkeyed_latency_ms_p50"] = round(ulats[len(ulats) // 2], 1)
+        # the DataFrame micro-batch path (one collect job) — the latency
+        # a Spark-native caller pays; kept visible so the request-path
+        # number can't silently stand in for it
+        small_path = os.path.join(root, "lat_input.parquet")
+        ev.limit(1000).write.mode("overwrite").parquet(small_path)
+        small = spark.read.parquet(small_path)
+        dlats: list[float] = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            prod.produce(
+                small, "bench_lat_df", key_col="user_id", value_col="props",
+                ts_col="ts",
+            )
+            dlats.append((time.perf_counter() - t0) * 1000)
+        dlats.sort()
+        extra["produce_df_latency_ms_p50"] = round(dlats[len(dlats) // 2], 1)
         gl = ConsumerGroup(cat, "lat_group")
         gl.register("bench_lat", EARLIEST)
         plats: list[float] = []
-        for _ in range(5):
+        served = 0
+        for _ in range(15):
             t0 = time.perf_counter()
             res = gl.poll("bench_lat", max_records=2000)
-            res.df.count()
+            served = sum(len(it["records"]) for it in res.items())
             gl.commit("bench_lat", res.positions)
             res.release()
             plats.append((time.perf_counter() - t0) * 1000)
+        assert served > 0  # the loop never ran dry mid-measurement
         plats.sort()
         extra["poll_latency_ms_p50"] = round(plats[len(plats) // 2], 1)
         extra["poll_latency_ms_max"] = round(plats[-1], 1)
@@ -499,6 +520,10 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "ingest_unkeyed_msgs_per_sec": extra.get("ingest_unkeyed_msgs_per_sec"),
             "consume_msgs_per_sec": extra.get("consume_msgs_per_sec"),
             "produce_latency_ms_p50": extra.get("produce_latency_ms_p50"),
+            "produce_unkeyed_latency_ms_p50": extra.get(
+                "produce_unkeyed_latency_ms_p50"
+            ),
+            "produce_df_latency_ms_p50": extra.get("produce_df_latency_ms_p50"),
             "poll_latency_ms_p50": extra.get("poll_latency_ms_p50"),
             "scale10_worst_ratio": worst[0],
             "scale10_worst_query": worst[1],

@@ -139,6 +139,14 @@ class PolarEngine:
         self.catalog.ensure_topic(topic, self.num_partitions)
         return self.producer.produce_ndjson(df, topic, body_col=body_col, key_col=key_col)
 
+    def produce_rows(self, topic: str, values: list[str | None],
+                     key: str | None = None) -> dict[int, int]:
+        """Request-shaped produce (the REST facade's data path): message
+        bodies + one optional partition key, acked after a driver-side
+        staged write publishes — no Spark job (Producer.produce_rows)."""
+        self.catalog.ensure_topic(topic, self.num_partitions)
+        return self.producer.produce_rows(topic, values, key=key)
+
     # -- consumer lifecycle ------------------------------------------------
     def register(self, consumer_id: str, group: str, topics: list[str],
                  on_new_group: str = EARLIEST) -> None:
@@ -209,7 +217,6 @@ class PolarEngine:
         self, consumer_id, st, group, assigned, max_records, max_bytes
     ) -> dict[str, PollResult]:
         out: dict[str, PollResult] = {}
-        uncapped = max_records is None and max_bytes is None
         for t in st.topics:
             with self._state_lock:
                 served = self._pending.setdefault(consumer_id, {}).setdefault(t, {})
@@ -221,14 +228,21 @@ class PolarEngine:
                 from_offsets=frozen,
                 max_bytes=max_bytes,
             )
-            if uncapped and res.positions:
-                # full-drain polls return a LAZY plan whose positions
-                # come from the tails ledger; materialize it INSIDE the
-                # gate (eager localCheckpoint severs the lineage from
-                # the file listing) or a compaction after poll() returns
-                # could swap the files away and the collect would serve
-                # a truncated batch against full-tail positions
-                res = PollResult(res.df.localCheckpoint(), res.positions)
+            if res.positions and not res._materialized:
+                # ANY poll whose plan still scans the topic's files must
+                # materialize INSIDE the gate (eager localCheckpoint
+                # severs the lineage from the file listing): positions
+                # merge into pending below, so a caller collecting AFTER
+                # the gate releases would race a compaction/vacuum file
+                # swap — a truncated batch against already-served
+                # positions auto-commits records never delivered,
+                # breaking at-least-once (ADVICE r6). Driver-local and
+                # already-checkpointed results (_materialized) skip the
+                # extra job.
+                res = PollResult(
+                    res.df.localCheckpoint(), res.positions,
+                    _materialized=True,
+                )
             with self._state_lock:
                 for p, off in res.positions.items():
                     served[p] = max(served.get(p, -1), off)

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,14 +46,55 @@ SMALL_POLL_ROWS = 16384
 SMALL_POLL_MAX_FILES = 512
 
 
-@dataclass
 class PollResult:
-    df: DataFrame
-    # per-partition max offset served by this poll; pass to commit()
-    positions: dict[int, int]
-    # True when df is persisted (record-limited polls); call release()
-    # when the batch has been fully consumed
-    _cached: bool = False
+    """One poll's batch + serving positions.
+
+    ``df`` is the batch as a DataFrame; ``positions`` the per-partition
+    max offset served (pass to commit()). When the driver-side read path
+    answered the poll, the batch lives as a pyarrow Table (``_arrow``)
+    and ``df`` is built LAZILY on first access — a facade serving via
+    :meth:`items` never touches Spark at all, which is what keeps a
+    bounded poll in single-digit milliseconds (the reference's poll is a
+    broker-local segment read, internal/data/segment_reader.go)."""
+
+    def __init__(
+        self,
+        df: DataFrame | None,
+        positions: dict[int, int],
+        _cached: bool = False,
+        _materialized: bool = False,
+        _arrow=None,
+        _spark=None,
+    ):
+        self._df = df
+        # per-partition max offset served by this poll; pass to commit()
+        self.positions = positions
+        # True when df is persisted (record-limited polls); call
+        # release() when the batch has been fully consumed
+        self._cached = _cached
+        # True when df no longer depends on the topic's data files (a
+        # driver-local relation, or a checkpointed batch): safe to
+        # collect AFTER a compaction/vacuum swaps files. Lazy scan
+        # results must be materialized while the caller still holds
+        # whatever gate serializes it against retention (PolarEngine
+        # does; ADVICE r6).
+        self._materialized = _materialized
+        # the batch as a driver-local pyarrow Table (sorted by
+        # partition, offset) when the driver-side read path served the
+        # poll — lets the facade marshal its response with ZERO Spark
+        # jobs (items())
+        self._arrow = _arrow
+        self._spark = _spark
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            # arrow-served poll: the DataFrame is a local relation built
+            # on demand — callers that never touch .df never pay it
+            self._df = self._spark.createDataFrame(
+                self._arrow, schema=_nullable_topic_schema()
+            )
+        return self._df
 
     def release(self) -> None:
         """Unpersist a record-limited poll's cached batch. The cache
@@ -93,6 +132,83 @@ class PollResult:
         )
         return grouped.orderBy("topic", "partition")
 
+    def items(self) -> list[dict]:
+        """Per-partition poll items in the reference's serving shape —
+        ``{"topic", "partition", "startOffset", "records": [(ts_us, key,
+        value), ...]}`` with records in offset order and timestamps as
+        int microseconds since epoch. Served with ZERO Spark jobs when
+        the batch is driver-local (``_arrow``, the small-poll path);
+        otherwise falls back to :meth:`json_items` ``.collect()``. Both
+        paths yield identical items, so a facade cannot observe which
+        one answered (the same path-indistinguishability contract as the
+        poll schema)."""
+        if self._arrow is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            tbl = self._arrow
+            if tbl.num_rows == 0:
+                return []
+            ts_us = pc.cast(
+                tbl.column("timestamp").combine_chunks(), pa.int64()
+            ).to_pylist()
+            topics = tbl.column("topic").to_pylist()
+            parts = tbl.column("partition").to_pylist()
+            offs = tbl.column("offset").to_pylist()
+            keys = tbl.column("key").to_pylist()
+            vals = tbl.column("value").to_pylist()
+            out: list[dict] = []
+            for i in range(tbl.num_rows):
+                if not out or out[-1]["partition"] != parts[i] \
+                        or out[-1]["topic"] != topics[i]:
+                    out.append({
+                        "topic": topics[i], "partition": parts[i],
+                        "startOffset": offs[i], "records": [],
+                    })
+                # null timestamp serves as 0, matching the Spark path's _us
+                out[-1]["records"].append((ts_us[i] or 0, keys[i], vals[i]))
+            return out
+        # distributed fallback: collect the batch and group driver-side.
+        # df.collect() (not json_items) keeps full MICROsecond timestamp
+        # precision — to_json renders millis, which would make the two
+        # paths observably different. Poll batches are bounded (the
+        # facade caps records/bytes), so the collect is small; full
+        # drains should use .df / json_items directly.
+        from datetime import timezone
+
+        try:
+            from zoneinfo import ZoneInfo
+
+            # collect() yields NAIVE datetimes in the SESSION timezone
+            tzname = self.df.sparkSession.conf.get(
+                "spark.sql.session.timeZone"
+            )
+            sess_tz = ZoneInfo(tzname) if tzname else None
+        except Exception:
+            sess_tz = None  # fall back to system-local (= session default)
+
+        def _us(d) -> int:
+            if d is None:
+                return 0
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=sess_tz) if sess_tz else d.astimezone()
+            return int(round(d.astimezone(timezone.utc).timestamp() * 1e6))
+
+        rows = self.df.select(
+            "topic", "partition", "offset", "timestamp", "key", "value"
+        ).collect()
+        rows.sort(key=lambda r: (r["topic"], r["partition"], r["offset"]))
+        out = []
+        for r in rows:
+            if not out or out[-1]["partition"] != r["partition"] \
+                    or out[-1]["topic"] != r["topic"]:
+                out.append({
+                    "topic": r["topic"], "partition": r["partition"],
+                    "startOffset": int(r["offset"]), "records": [],
+                })
+            out[-1]["records"].append((_us(r["timestamp"]), r["key"], r["value"]))
+        return out
+
 
 def _nullable_topic_schema():
     """TOPIC_SCHEMA with every field nullable — what a parquet file scan
@@ -105,6 +221,22 @@ def _nullable_topic_schema():
     return T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in TOPIC_SCHEMA.fields]
     )
+
+
+def _empty_arrow_batch():
+    """Zero-row pyarrow Table in the exact arrow shape the driver-side
+    poll path produces — lets an empty poll answer without touching
+    Spark (the idle-poll-loop case a real consumer hits most often)."""
+    import pyarrow as pa
+
+    return pa.table({
+        "topic": pa.array([], type=pa.string()),
+        "partition": pa.array([], type=pa.int32()),
+        "offset": pa.array([], type=pa.int64()),
+        "timestamp": pa.array([], type=pa.timestamp("us", tz="UTC")),
+        "key": pa.array([], type=pa.string()),
+        "value": pa.array([], type=pa.string()),
+    })
 
 
 def ledger_name_enc(name: str) -> str:
@@ -186,9 +318,15 @@ class ConsumerGroup:
         (Ordering contract: records are in offset order WITHIN each
         partition — the reference likewise serves each partition's
         chunks independently and never orders across partitions,
-        internal/consuming/group_read_queue.go. Collect ``df`` directly
-        and you get hash-partition order; use :meth:`PollResult.
-        json_items` for a per-partition-ordered serving shape.)
+        internal/consuming/group_read_queue.go. The ROW ORDER of a
+        direct ``df.collect()`` is NOT part of the contract: the
+        driver-side small-poll path returns (partition, offset)-sorted
+        rows, but the distributed record-capped path sorts only within
+        each SCAN TASK — a window spanning several parquet files may
+        interleave one partition's rows across tasks (Spark orders
+        splits by size, not offset). Use :meth:`PollResult.json_items`
+        / :meth:`PollResult.items` for the per-partition, offset-ordered
+        serving shape — they sort independently of plan order.)
 
         ``max_records`` + ``max_bytes`` are the analog of the
         reference's ~2 MiB ConsumerReadThreshold poll budget
@@ -236,12 +374,27 @@ class ConsumerGroup:
                 p: max(off, from_offsets.get(p, -1))
                 for p, off in committed.items()
             }
-        df = self.catalog.read(topic)
         if partitions is not None:
-            df = df.filter(F.col("partition").isin(partitions))
             committed = {p: o for p, o in committed.items() if p in partitions}
+
+        def _scan() -> DataFrame:
+            # the Spark reader is built ONLY on the paths that run a
+            # distributed scan — empty and driver-served polls answer
+            # without touching Spark at all (the py4j reader setup alone
+            # is tens of ms, pure waste on an idle poll loop)
+            d = self.catalog.read(topic)
+            if partitions is not None:
+                d = d.filter(F.col("partition").isin(partitions))
+            return d
+
+        def _empty(pos: dict[int, int]) -> PollResult:
+            return PollResult(
+                None, pos, _materialized=True,
+                _arrow=_empty_arrow_batch(), _spark=self.catalog.spark,
+            )
+
         if not committed:
-            return PollResult(df.limit(0), {})
+            return _empty({})
         if max_records is not None or max_bytes is not None:
             # record-capped poll, ZERO jobs in poll() itself: the serve
             # window is computed ARITHMETICALLY from the tails ledger —
@@ -272,7 +425,7 @@ class ConsumerGroup:
                 windows[q] = (lo, lo + take)
                 remaining -= take
             if not windows:
-                return PollResult(df.limit(0), {})
+                return _empty({})
             if int(max_records) <= SMALL_POLL_ROWS:
                 local = self._poll_local(topic, windows, max_bytes)
                 if local is not None:
@@ -291,7 +444,9 @@ class ConsumerGroup:
             # Strict per-partition offset order is json_items()'s job —
             # it array_sorts independent of plan order — so the serving
             # path stays a single shuffle-free stage.
-            out = df.filter(wcond).sortWithinPartitions("partition", "offset")
+            out = _scan().filter(wcond).sortWithinPartitions(
+                "partition", "offset"
+            )
             if max_bytes is None:
                 return PollResult(out, {q: hi for q, (_lo, hi) in windows.items()})
             # byte budget over the already-window-capped batch: cumulative
@@ -337,7 +492,7 @@ class ConsumerGroup:
             f"(partition = {p} AND offset > {off})" for p, off in committed.items()
         )
         out = (
-            df.filter(cond)
+            _scan().filter(cond)
             .repartition("partition")
             .sortWithinPartitions("partition", "offset")
         )
@@ -371,12 +526,13 @@ class ConsumerGroup:
         serializes that properly).
         """
         import os
-        from concurrent.futures import ThreadPoolExecutor
 
         try:
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
+
+            from polar_spark.topics import filename_offset_range, io_pool
 
             ddir = self.catalog.data_dir(topic)
             tasks: list[tuple[int, str]] = []
@@ -384,11 +540,21 @@ class ConsumerGroup:
                 pdir = os.path.join(ddir, f"partition={q}")
                 if not os.path.isdir(pdir):
                     continue
-                tasks.extend(
-                    (q, os.path.join(pdir, fn))
-                    for fn in os.listdir(pdir)
-                    if fn.endswith(".parquet")
-                )
+                lo, hi = windows[q]
+                for fn in os.listdir(pdir):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    # published filenames carry their offset range
+                    # (off-<min>-<max>-…, stamped at validation): a
+                    # fully-consumed or beyond-window file is skipped
+                    # WITHOUT opening its footer, so poll cost tracks
+                    # the window size, not the partition's file count
+                    rng = filename_offset_range(fn)
+                    if rng is not None and (rng[1] <= lo or rng[0] > hi):
+                        continue
+                    tasks.append((q, os.path.join(pdir, fn)))
+            # the cap applies to files we would OPEN (post-prune): a deep
+            # but mostly-consumed backlog still serves driver-side
             if len(tasks) > SMALL_POLL_MAX_FILES:
                 return None
 
@@ -422,16 +588,19 @@ class ConsumerGroup:
 
             parts: list = []
             if tasks:
-                with ThreadPoolExecutor(max_workers=min(16, len(tasks))) as ex:
-                    parts = [t for t in ex.map(_one, tasks) if t is not None]
+                # shared pool: per-request executor spawn is ~8 ms
+                parts = [t for t in io_pool().map(_one, tasks) if t is not None]
 
             spark = self.catalog.spark
             if not parts:
                 # pure-gap windows: nothing stored in range; positions
                 # still advance so the poll loop progresses
-                empty = spark.createDataFrame([], _nullable_topic_schema())
                 return PollResult(
-                    empty, {q: hi for q, (_lo, hi) in windows.items()}
+                    None,
+                    {q: hi for q, (_lo, hi) in windows.items()},
+                    _materialized=True,
+                    _arrow=_empty_arrow_batch(),
+                    _spark=spark,
                 )
 
             tbl = pa.concat_tables(parts, promote_options="permissive")
@@ -467,11 +636,12 @@ class ConsumerGroup:
                         pos.pop(q, None)
                 tbl = tbl.filter(pa.array(served))
 
-            # explicit schema: bit-identical column types/nullability to
-            # the scan path (file scans force nullable), so callers
-            # can't observe which path served
+            # DataFrame built lazily from the table on .df access, with
+            # an explicit schema bit-identical to the scan path's (file
+            # scans force nullable), so callers can't observe which path
+            # served
             return PollResult(
-                spark.createDataFrame(tbl, schema=_nullable_topic_schema()), pos
+                None, pos, _materialized=True, _arrow=tbl, _spark=spark
             )
         except Exception:
             return None  # any surprise → the distributed path serves

@@ -111,6 +111,73 @@ def murmur3_x64_128_h1(data: bytes, seed: int = 0) -> int:
     return h1 - RING_SIZE if h1 >= 2**63 else h1
 
 
+_XXH_M = 0xFFFFFFFFFFFFFFFF
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def xxhash64_spark(data: bytes, seed: int = 42) -> int:
+    """XXH64 (Yann Collet's public-domain spec) as signed int64, seed 42
+    — BIT-IDENTICAL to Spark's ``F.xxhash64(string_col)`` over the
+    UTF-8 bytes (golden-parity-tested in tests/test_hashing.py). This is
+    the driver-side twin of :func:`partition_col`: the request-shaped
+    produce path (produce_rows — no Spark job) must place a key on
+    exactly the partition the distributed path would, or one key's
+    records would split across partitions and break per-key order."""
+    rot = _rotl64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M
+        v2 = (seed + _XXH_P2) & _XXH_M
+        v3 = seed & _XXH_M
+        v4 = (seed - _XXH_P1) & _XXH_M
+        while i <= n - 32:
+            k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (rot((v1 + k1 * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v2 = (rot((v2 + k2 * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v3 = (rot((v3 + k3 * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v4 = (rot((v4 + k4 * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            i += 32
+        h = (rot(v1, 1) + rot(v2, 7) + rot(v3, 12) + rot(v4, 18)) & _XXH_M
+        for v in (v1, v2, v3, v4):
+            h ^= (rot((v * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            h = (h * _XXH_P1 + _XXH_P4) & _XXH_M
+    else:
+        h = (seed + _XXH_P5) & _XXH_M
+    h = (h + n) & _XXH_M
+    while i <= n - 8:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= (rot((k * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+        h = (rot(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M
+        i += 8
+    if i <= n - 4:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _XXH_P1) & _XXH_M
+        h = (rot(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_M
+        h = (rot(h, 11) * _XXH_P1) & _XXH_M
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h - RING_SIZE if h >= 2**63 else h
+
+
+def partition_for_key_spark(key: str, num_partitions: int) -> int:
+    """Driver-side ``pmod(xxhash64(key), P)`` — the exact placement
+    :func:`partition_col` computes JVM-side, for the no-Spark-job
+    produce path."""
+    return xxhash64_spark(key.encode("utf-8")) % num_partitions
+
+
 def token_for_key(key: str) -> int:
     """Partition key → int64 ring token (reference HashToken semantics)."""
     return murmur3_x64_128_h1(key.encode("utf-8"))

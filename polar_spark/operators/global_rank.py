@@ -122,8 +122,14 @@ def ntile_bounds(
     Column (e.g. a broadcast 1-row count), so the formula lives in ONE
     place for both driver-known and plan-computed totals (ADVICE r5)."""
     if isinstance(total, Column):
-        q: Column = F.floor(total / n)
-        r: Column = total % n
+        # integer-exact division: Column `/` is FLOAT division, which
+        # loses precision above 2^53 and would silently diverge from the
+        # int path's divmod — decimal(38,0) keeps the quotient exact for
+        # any bigint total (ADVICE r6)
+        q: Column = F.floor(
+            total.cast("decimal(38,0)") / F.lit(n)
+        ).cast("bigint")
+        r: Column = (total % n).cast("bigint")
     else:
         qi, ri = divmod(int(total), n)
         q, r = F.lit(qi), F.lit(ri)

@@ -301,12 +301,8 @@ class Producer:
         means nondeterministic inputs (limit/sample) need no pinning
         here.
         """
-        import os
-        import uuid
-
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         if key_col is not None:
             part_expr = F.when(
@@ -342,27 +338,46 @@ class Producer:
             tbl = tbl.set_column(ts_i, "timestamp", arr)
 
         parts = tbl.column("partition").to_pylist()
-        # round-robin spread for keyless/null-key rows, rotated by the
-        # topic's produced totals (keyless_offset_plan's rotation law) so
-        # successive small batches don't hot-spot partition 0
-        rot = sum(t + 1 for t in self.catalog.tails(topic).values()) % p
-        rr = 0
-        by_part: dict[int, list[int]] = {}
-        for i, q in enumerate(parts):
-            if q is None or q < 0:
-                q = (rr + rot) % p
-                rr += 1
-            by_part.setdefault(int(q), []).append(i)
-        counts = {q: len(ix) for q, ix in by_part.items()}
+        return self._stage_publish_arrow(topic, tbl, parts, p)
+
+    def _stage_publish_arrow(
+        self, topic: str, tbl, parts: list[int | None], p: int
+    ) -> dict[int, int]:
+        """Shared driver-side tail of the per-request produce paths:
+        reserve offsets (keyless rows round-robin from the RESERVED
+        tails inside the lock, mirroring keyless_offset_plan — ADVICE
+        r6), write one zstd parquet file per touched partition
+        (thread-pooled; pyarrow releases the GIL), validate footer
+        stats against the reservation, publish in order. ``tbl`` holds
+        columns topic/timestamp/key/value in arrival order; ``parts``
+        the per-row partition (None/-1 = keyless)."""
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from polar_spark.topics import io_pool
 
         def plan(reserved: dict[int, int]):
+            rot = sum(t + 1 for t in reserved.values()) % p
+            rr = 0
+            by_part: dict[int, list[int]] = {}
+            for i, q in enumerate(parts):
+                if q is None or q < 0:
+                    q = (rr + rot) % p
+                    rr += 1
+                by_part.setdefault(int(q), []).append(i)
+            counts = {q: len(ix) for q, ix in by_part.items()}
             new_tails = {q: reserved.get(q, -1) + c for q, c in counts.items()}
-            return new_tails, {q: reserved.get(q, -1) for q in counts}
+            bases = {q: reserved.get(q, -1) for q in counts}
+            return new_tails, (by_part, counts, bases)
 
-        seq, _ends, bases = self.catalog.reserve(topic, plan)
+        seq, _ends, (by_part, counts, bases) = self.catalog.reserve(topic, plan)
         staging = self.catalog.staging_dir(topic, seq)
         try:
-            for q, ix in by_part.items():
+            def _write_one(item: tuple[int, list[int]]) -> None:
+                q, ix = item
                 sl = tbl.take(pa.array(ix, type=pa.int64()))
                 base = bases[q]
                 out = pa.table(
@@ -378,11 +393,25 @@ class Producer:
                 )
                 d = os.path.join(staging, f"partition={q}")
                 os.makedirs(d, exist_ok=True)
+                # name carries the offset range up front (off-<min>-
+                # <max>-…): validation's footer pass then verifies
+                # without renaming, and readers prune by listing alone
                 pq.write_table(
                     out,
-                    os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+                    os.path.join(
+                        d,
+                        f"off-{base + 1}-{base + len(ix)}-"
+                        f"part-{uuid.uuid4().hex}.parquet",
+                    ),
                     compression="zstd",
                 )
+
+            items = list(by_part.items())
+            if len(items) > 1:
+                # shared pool; list() re-raises the first worker exception
+                list(io_pool().map(_write_one, items))
+            elif items:
+                _write_one(items[0])
             # committer-contract parity: the Spark writer drops _SUCCESS
             # when the staging write is complete; observers (tests, ops
             # tooling) key off it to distinguish write-complete-but-
@@ -400,9 +429,68 @@ class Producer:
         if self.metrics is not None:
             vals = tbl.column("value").to_pylist()
             self.metrics.on_produce(
-                topic, n, sum(len(v.encode()) for v in vals if v is not None)
+                topic,
+                tbl.num_rows,
+                sum(len(v.encode()) for v in vals if v is not None),
             )
         return self.catalog.tails(topic)
+
+    def produce_rows(
+        self,
+        topic: str,
+        values: list[str | None],
+        key: str | None = None,
+        ts=None,
+    ) -> dict[int, int]:
+        """Request-shaped produce: a list of message bodies, one optional
+        partition key for the whole batch — the exact shape of the
+        reference's produce request (POST /v1/topic/{t}/messages?
+        partitionKey=k, internal/producing/server.go:126), served with
+        ZERO Spark jobs. The data originates driver-side (an HTTP body),
+        so routing it through the JVM and back would be pure overhead:
+        placement is the driver-side xxhash64 twin
+        (hashing.partition_for_key_spark — bit-identical to the
+        distributed path's partition_col, so one key NEVER splits across
+        paths), and staging/validation/publish are the same reservation
+        machinery as every other produce. Files on disk are
+        indistinguishable from the distributed writer's.
+
+        Durability: the ack (return) happens after the staged batch is
+        published — same contract as the DataFrame paths. Returns the
+        new per-partition tails."""
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+
+        from polar_spark.hashing import partition_for_key_spark
+
+        meta = self.catalog.ensure_topic(topic)
+        p = meta.num_partitions
+        n = len(values)
+        if n == 0:
+            return self.catalog.tails(topic)
+        if ts is None:
+            ts = datetime.now(timezone.utc)
+        ts_us = int(ts.timestamp() * 1_000_000)
+        if key is not None:
+            q = partition_for_key_spark(key, p)
+            parts: list[int | None] = [q] * n
+        else:
+            parts = [None] * n  # keyless → reserved-tail round-robin
+        tbl = pa.table(
+            {
+                "topic": pa.array([topic] * n, type=pa.string()),
+                "timestamp": pa.array(
+                    [ts_us] * n, type=pa.timestamp("us", tz="UTC")
+                ),
+                "key": pa.array([key] * n, type=pa.string()),
+                "value": pa.array(
+                    [None if v is None else str(v) for v in values],
+                    type=pa.string(),
+                ),
+            }
+        )
+        return self._stage_publish_arrow(topic, tbl, parts, p)
 
     def _validate_staging(
         self,
@@ -415,8 +503,10 @@ class Producer:
         aggregates) close the validation hole where a recomputed
         nondeterministic input redistributes rows across tasks mapped to
         the same partition while preserving (count, max): every file must
-        cover exactly one planned contiguous range."""
-        got = self.catalog.staged_file_ranges(staging)
+        cover exactly one planned contiguous range. The same footer pass
+        stamps each staged file's offset range into its NAME
+        (off-<min>-<max>-…), so readers prune by listing alone."""
+        got = self.catalog.stamp_staged_offsets(staging)
         norm_got = {q: sorted(v) for q, v in got.items()}
         norm_exp = {q: sorted(v) for q, v in expect.items()}
         if norm_got != norm_exp:

@@ -200,17 +200,15 @@ class PolarRestServer:
                 if any(len(m) > MAX_MESSAGE_BYTES for m in raw_msgs):
                     return self._send(400, {"error": "message too large"})
                 lines = [m.decode("utf-8", errors="replace") for m in raw_msgs]
-                spark = facade.engine.spark
                 # per-topic lock: concurrent produce to DIFFERENT topics
                 # (and any poll) proceed in parallel; the engine's
                 # reservation ledger already makes same-topic produce
                 # safe, but serializing per topic keeps facade batches
-                # small and bounded
+                # small and bounded. produce_rows is the request-shaped
+                # path: driver-side placement + staged write, NO Spark
+                # job — the request body never needs to enter the JVM
                 with facade._key_lock("topic", topic):
-                    df = spark.createDataFrame(
-                        [(key, ln) for ln in lines], "key string, value string"
-                    )
-                    facade.engine.produce(topic, df, key_col="key", value_col="value")
+                    facade.engine.produce_rows(topic, lines, key=key)
                 self._send(200, "OK")
 
             def _poll(self, cid: str | None):
@@ -240,38 +238,28 @@ class PolarRestServer:
                         )
                         items = []
                         bin_items = []
+                        # PollResult.items() marshals driver-side (ZERO
+                        # Spark jobs) when the small-poll path served the
+                        # batch; identical shape from the distributed path
                         for topic, res in results.items():
-                            rows = res.json_items().collect()
-                            res.release()
-                            for row in rows:
-                                recs = json.loads(row["values"])
+                            for it in res.items():
+                                recs = it["records"]
                                 n, b = served_counts.get(topic, (0, 0))
                                 served_counts[topic] = (
                                     n + len(recs),
-                                    b + sum(len(v["value"] or "") for v in recs),
+                                    b + sum(len(v or "") for _t, _k, v in recs),
                                 )
                                 if binary:
-                                    from datetime import datetime, timezone
-
-                                    def _us(ts: str) -> int:
-                                        d = datetime.fromisoformat(ts)
-                                        if d.tzinfo is None:
-                                            d = d.replace(tzinfo=timezone.utc)
-                                        return int(d.timestamp() * 1_000_000)
-
                                     bin_items.append(
                                         {
-                                            "token": int(row["partition"]),
+                                            "token": int(it["partition"]),
                                             "range_idx": 0,
                                             "version": 1,
                                             "topic": topic,
-                                            "start_offset": int(row["startOffset"]),
+                                            "start_offset": int(it["startOffset"]),
                                             "records": [
-                                                (
-                                                    _us(v["timestamp"]) if v["timestamp"] else 0,
-                                                    (v["value"] or "").encode(),
-                                                )
-                                                for v in recs
+                                                (ts, (v or "").encode())
+                                                for ts, _k, v in recs
                                             ],
                                         }
                                     )
@@ -279,13 +267,16 @@ class PolarRestServer:
                                     items.append(
                                         {
                                             "topic": topic,
-                                            "token": str(row["partition"]),
+                                            "token": str(it["partition"]),
                                             "rangeIndex": 0,
                                             "version": 1,
-                                            "startOffset": str(row["startOffset"]),
-                                            "values": [_maybe_json(v["value"]) for v in recs],
+                                            "startOffset": str(it["startOffset"]),
+                                            "values": [
+                                                _maybe_json(v) for _t, _k, v in recs
+                                            ],
                                         }
                                     )
+                            res.release()
                     except BaseException:
                         # serving failed mid-flight: roll back the served
                         # positions so the retry re-delivers instead of

@@ -28,6 +28,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -48,6 +49,44 @@ TOPIC_SCHEMA = T.StructType(
 
 DEFAULT_PARTITIONS = 12  # reference default: 3 brokers × 4 consumer ranges
 # (internal/conf/config.go:248-250 — ConsumerRanges default 4)
+
+
+_IO_POOL = None
+_IO_POOL_GUARD = threading.Lock()
+
+
+def io_pool():
+    """Shared thread pool for small parallel file IO (footer reads,
+    per-partition staged writes, windowed poll reads). Spawning a fresh
+    ThreadPoolExecutor per request costs ~8 ms in thread startup alone —
+    on a sub-50 ms serving path that is pure overhead. pyarrow releases
+    the GIL during parquet IO, so one shared pool saturates the disk."""
+    global _IO_POOL
+    if _IO_POOL is None:
+        with _IO_POOL_GUARD:
+            if _IO_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _IO_POOL = ThreadPoolExecutor(
+                    max_workers=16, thread_name_prefix="polar-io"
+                )
+    return _IO_POOL
+
+
+def filename_offset_range(fn: str) -> tuple[int, int] | None:
+    """Parse the offset range from an ``off-<min>-<max>-…`` part-file
+    name (stamped at publish by :meth:`TopicCatalog.
+    stamp_staged_offsets` — the reference names segments by base offset,
+    so readers seek without opening files). None when the name carries
+    no range (pre-stamp files, foreign writers) — the reader must open
+    the footer instead."""
+    if not fn.startswith("off-"):
+        return None
+    bits = fn.split("-", 3)
+    try:
+        return int(bits[1]), int(bits[2])
+    except (IndexError, ValueError):
+        return None
 
 
 def _pid_alive(pid: int) -> bool:
@@ -410,8 +449,45 @@ class TopicCatalog:
         planned contiguous range (per-file, not per-partition, so a
         recomputed nondeterministic input that redistributes rows across
         tasks while preserving partition totals is still caught)."""
-        from concurrent.futures import ThreadPoolExecutor
+        return {
+            part: [rng for rng, _path in entries]
+            for part, entries in
+            TopicCatalog._staged_file_ranges_with_paths(staging).items()
+        }
 
+    def stamp_staged_offsets(
+        self, staging: str
+    ) -> dict[int, list[tuple[int, int, int]]]:
+        """:meth:`staged_file_ranges`, plus: rename each staged file to
+        ``off-<min>-<max>-<orig>.parquet`` so its offset range is
+        readable from the LISTING alone — the analog of the reference
+        naming segments by base offset (internal/data/segment file
+        naming). A bounded poll then prunes fully-consumed files without
+        opening a single footer, which is what keeps poll latency flat
+        as a topic's file count grows. Files whose stats are missing
+        keep their name (a reader must open them). Returns the ranges
+        keyed per partition, exactly as staged_file_ranges does."""
+        out: dict[int, list[tuple[int, int, int]]] = {}
+        per_file = self._staged_file_ranges_with_paths(staging)
+        for part, entries in per_file.items():
+            for (rows, lo, hi), path in entries:
+                out.setdefault(part, []).append((rows, lo, hi))
+                fn = os.path.basename(path)
+                if lo is not None and hi is not None and \
+                        filename_offset_range(fn) is None:
+                    os.replace(
+                        path,
+                        os.path.join(
+                            os.path.dirname(path), f"off-{lo}-{hi}-{fn}"
+                        ),
+                    )
+        return out
+
+    @staticmethod
+    def _staged_file_ranges_with_paths(
+        staging: str,
+    ) -> dict[int, list[tuple[tuple[int, int, int], str]]]:
+        """staged_file_ranges, keeping each range's file path."""
         import pyarrow.parquet as pq
 
         files: list[tuple[int, str]] = []
@@ -426,7 +502,7 @@ class TopicCatalog:
                 if fn.endswith(".parquet")
             )
 
-        def _one(item: tuple[int, str]) -> tuple[int, tuple[int, int, int]]:
+        def _one(item):
             part, path = item
             md = pq.ParquetFile(path).metadata
             idx = md.schema.to_arrow_schema().get_field_index("offset")
@@ -438,14 +514,12 @@ class TopicCatalog:
                     break
                 lo = stats.min if lo is None else min(lo, stats.min)
                 hi = stats.max if hi is None else max(hi, stats.max)
-            return part, (md.num_rows, lo, hi)
+            return part, ((md.num_rows, lo, hi), path)
 
-        out: dict[int, list[tuple[int, int, int]]] = {}
+        out: dict[int, list] = {}
         if files:
-            # footer opens are tiny independent reads: overlap them
-            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-                for part, rng in ex.map(_one, files):
-                    out.setdefault(part, []).append(rng)
+            for part, ent in io_pool().map(_one, files):
+                out.setdefault(part, []).append(ent)
         return out
 
     # -- sink epoch ledger (idempotent foreachBatch) -----------------------
@@ -638,6 +712,11 @@ class TopicCatalog:
                 .partitionBy("partition")
                 .parquet(tmp)
             )
+            # stamp offset ranges into the rewritten filenames (the
+            # produce paths stamp at validation; compacted files must
+            # keep the listing-prunable property or poll latency would
+            # regress right after every compaction)
+            self.stamp_staged_offsets(tmp)
             # only the swap needs reader exclusion (the rewrite above
             # went to a side dir): hold the engine's compaction gate for
             # two renames + an rmtree, not the whole Spark job

@@ -90,3 +90,31 @@ def test_global_window_detector(spark):
     p = df.withColumn("r", F.row_number().over(Window.partitionBy("w").orderBy("id")))
     assert global_window_count_text(explain_str(g)) == 1
     assert global_window_count_text(explain_str(p)) == 0
+
+
+def test_ntile_bounds_column_path_integer_exact(spark):
+    """The Column path of ntile_bounds must agree with the int path's
+    exact divmod even for totals beyond 2^53, where float division
+    silently loses precision (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.operators.global_rank import ntile_bounds
+
+    totals = [0, 1, 7, 1000, 2**53 - 1, 2**53 + 1, 2**61 + 12345, 2**63 - 1]
+    n = 7
+    df = spark.range(1, n + 1).withColumnRenamed("id", "b")
+    for total in totals:
+        lo_i, hi_i = ntile_bounds(F.col("b"), n, total)
+        lo_c, hi_c = ntile_bounds(F.col("b"), n, F.lit(total))
+        rows = df.select(
+            "b",
+            lo_i.alias("lo_i"), hi_i.alias("hi_i"),
+            lo_c.alias("lo_c"), hi_c.alias("hi_c"),
+        ).collect()
+        for r in rows:
+            assert r["lo_i"] == r["lo_c"], (total, r)
+            assert r["hi_i"] == r["hi_c"], (total, r)
+        # bucket intervals tile [1, total] exactly
+        ordered = sorted(rows, key=lambda r: r["b"])
+        covered = sum(max(0, r["hi_i"] - r["lo_i"] + 1) for r in ordered)
+        assert covered == total, total

@@ -70,6 +70,46 @@ def test_cassandra_sign_variant():
     assert murmur3_x64_128_h1(key) == -9223371632693506265
 
 
+def test_xxhash64_spark_parity(spark):
+    """Driver-side XXH64 must be bit-identical to Spark's F.xxhash64
+    over UTF-8 bytes — it places produce_rows keys on the exact
+    partition the distributed partition_col path would."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.hashing import partition_for_key_spark, xxhash64_spark
+
+    keys = [
+        "", "a", "abc", "hello world", "user_12345",
+        "x" * 7, "y" * 8, "z" * 9, "k" * 31, "m" * 32, "n" * 33,
+        "p" * 100, "ünïcodé✓", " tail",
+        "emoji\U0001f3afkey",
+    ]
+    rows = (
+        spark.createDataFrame([(k,) for k in keys], "k string")
+        .select("k", F.xxhash64("k").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxhash64_spark(r["k"].encode("utf-8")) == r["h"], r["k"]
+    # pmod law: 0 <= partition < P, matches pmod(h, P)
+    for k in keys:
+        h = xxhash64_spark(k.encode("utf-8"))
+        for p in (1, 3, 12, 64):
+            q = partition_for_key_spark(k, p)
+            assert 0 <= q < p
+            assert q == h % p
+
+
+def test_filename_offset_range_parse():
+    from polar_spark.topics import filename_offset_range
+
+    assert filename_offset_range("off-0-83-part-ab.parquet") == (0, 83)
+    assert filename_offset_range("off-1000-1083-part-x.parquet") == (1000, 1083)
+    assert filename_offset_range("part-ab.parquet") is None
+    assert filename_offset_range("off-x-1-part.parquet") is None
+    assert filename_offset_range("off-.parquet") is None
+
+
 def test_partition_ring_math():
     # MIN_TOKEN lands in partition 0; even subdivision; determinism
     assert partition_for_token(MIN_TOKEN, 12) == 0

@@ -1009,3 +1009,114 @@ def test_poll_local_read_parity_with_distributed(spark, sf_dir, tmp_path, monkey
     monkeypatch.setattr(C, "SMALL_POLL_MAX_FILES", 0)
     rows_f, pos_f, _ = batch("gf")
     assert rows_f == rows_l and pos_f == pos_l
+
+
+def test_produce_rows_keyed_matches_dataframe_placement(spark, tmp_path):
+    """Request-shaped produce (no Spark job) must place a key on the
+    SAME partition as the distributed path — one key never splits
+    across produce paths (per-key total order)."""
+    from polar_spark.hashing import partition_for_key_spark
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("pr1", 12)
+    tails = prod.produce_rows("pr1", [f"v{i}" for i in range(50)], key="k-7")
+    q = partition_for_key_spark("k-7", 12)
+    assert tails[q] == 49
+    assert all(t == -1 for p, t in tails.items() if p != q)
+    # same key through the DataFrame path stacks on the same partition
+    df = spark.createDataFrame([("k-7", "x50")], "key string, value string")
+    t2 = prod.produce(df, "pr1", key_col="key", value_col="value")
+    assert t2[q] == 50
+    # offset order == list order for the keyed request
+    g = ConsumerGroup(cat, "gpr1")
+    g.register("pr1", EARLIEST)
+    rows = g.poll("pr1").df.orderBy("offset").collect()
+    assert [r["value"] for r in rows] == [f"v{i}" for i in range(50)] + ["x50"]
+    assert all(r["key"] == "k-7" for r in rows)
+
+
+def test_produce_rows_keyless_round_robin_and_drain(spark, tmp_path):
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("pr2", 4)
+    prod.produce_rows("pr2", [str(i) for i in range(40)])
+    prod.produce_rows("pr2", [str(i) for i in range(40, 80)])
+    g = ConsumerGroup(cat, "gpr2")
+    g.register("pr2", EARLIEST)
+    res = g.poll("pr2")
+    rows = res.df.collect()
+    assert sorted(int(r["value"]) for r in rows) == list(range(80))
+    # keyless spreads across all partitions
+    assert len({r["partition"] for r in rows}) == 4
+    # offsets contiguous per partition from 0
+    by_p: dict[int, list[int]] = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_p.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_poll_items_parity_local_vs_distributed(spark, tmp_path, monkeypatch):
+    """PollResult.items() must serve identical items whether the batch
+    came from the driver-side arrow path or the distributed scan."""
+    import polar_spark.consume as C
+
+    cat, prod = _engine(spark, tmp_path)
+    cat.ensure_topic("it1", 3)
+    prod.produce_rows("it1", [f"a{i}" for i in range(30)], key="ka")
+    prod.produce_rows("it1", [f"b{i}" for i in range(30)], key="kb")
+
+    def batch(group):
+        g = ConsumerGroup(cat, group)
+        g.register("it1", EARLIEST)
+        res = g.poll("it1", max_records=100)
+        return res, res.items()
+
+    res_l, items_l = batch("gl")
+    assert res_l._arrow is not None  # served driver-side
+    monkeypatch.setattr(C, "SMALL_POLL_MAX_FILES", 0)
+    res_d, items_d = batch("gd")
+    assert res_d._arrow is None  # served by the distributed scan
+    assert items_d == items_l
+    # stamped filenames carry ranges the local path pruned with
+    import os
+
+    pdirs = [
+        d for d in os.listdir(cat.data_dir("it1")) if d.startswith("partition=")
+    ]
+    fns = [
+        fn
+        for d in pdirs
+        for fn in os.listdir(os.path.join(cat.data_dir("it1"), d))
+        if fn.endswith(".parquet")
+    ]
+    from polar_spark.topics import filename_offset_range
+
+    assert fns and all(filename_offset_range(fn) is not None for fn in fns)
+
+
+def test_capped_poll_materializes_inside_engine_gate(spark, tmp_path):
+    """A capped poll that falls back to the distributed scan must come
+    back from the engine already materialized (checkpointed): its
+    collect may run after the compaction gate releases (ADVICE r6)."""
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=3)
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", f"v{i}") for i in range(200)], "key string, value string"
+    )
+    eng.produce("mg", df, key_col="key", value_col="value")
+    eng.register("c-mat", "gmat", ["mg"])
+    import polar_spark.consume as C
+
+    old = C.SMALL_POLL_MAX_FILES
+    try:
+        C.SMALL_POLL_MAX_FILES = 0  # force the distributed fallback
+        res = eng.poll("c-mat", max_records=50)["mg"]
+        assert res._materialized
+        assert res.df.count() == 50
+    finally:
+        C.SMALL_POLL_MAX_FILES = old
+    # the driver-local path reports materialized too (no checkpoint job)
+    res2 = eng.poll("c-mat", max_records=50)["mg"]
+    assert res2._materialized and res2._arrow is not None
+    assert sum(len(it["records"]) for it in res2.items()) == 50
