@@ -43,19 +43,130 @@ def _k_smallest_hashes(hashed: DataFrame, keys: list[str], k: int) -> DataFrame:
     )
 
 
+# threshold prefilter: keep rows whose hash is below ~SAFETY·k/n of the
+# hash space — the k smallest distinct hashes of a group with n rows
+# are below that bound unless the group is >98% duplicates, and the
+# exact fallback below catches even that case
+KMV_PREFILTER_SAFETY = 64
+# above this many groups the literal threshold map would bloat the plan;
+# per-group n is small in that regime anyway, so the naive path serves
+KMV_PREFILTER_MAX_GROUPS = 1000
+_HASH_CEIL = 1 << 60
+
+
 def kmv_partial(
-    df: DataFrame, keys: list[str], value_col: str, k: int = DEFAULT_K
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = DEFAULT_K,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Per-group KMV summary: the ≤ k smallest distinct md5-derived
     hashes of ``value_col`` as (keys…, h) rows — the sketch STATE, the
     thing a 100 TB pipeline persists per segment/partition/day and later
-    merges without touching raw data again."""
+    merges without touching raw data again.
+
+    Scale shape (r7 rewrite, VERDICT r6 next #6): the naive form
+    shuffles every DISTINCT (key, hash) pair — at 10× rows the dedupe
+    exchange carried 10× pairs and the per-key top-k window sorted them
+    in num_groups tasks, which was the whole measured 10×-ratio (md5
+    itself is ~6% of 1× wall). The threshold form ships O(k·groups):
+
+    1. one cheap count pass (map-side combine, no md5 — Catalyst prunes
+       it) collects each group's row count n to the driver (O(groups)
+       rows, capped at KMV_PREFILTER_MAX_GROUPS — beyond that the
+       naive path serves, which is exactly the small-n regime where
+       the prefilter keeps everything anyway);
+    2. rows are prefiltered to ``h ≤ 2^60 · SAFETY·k/n`` via a literal
+       per-group threshold map — the k-th smallest of a group's
+       n_d ≤ n distinct hashes concentrates at k/n_d·2^60, so the
+       filter keeps ~SAFETY·k·n_d/n distinct candidates per group and
+       the dedupe exchange + window run over ~SAFETY·k rows per group
+       REGARDLESS of corpus size. The selection is materialized
+       (eager localCheckpoint, traced for the plan audit);
+    3. exactness is restored deterministically: any thresholded group
+       whose selection came back with fewer than k hashes (possible
+       only when n_d < n/SAFETY — extreme duplication) is recomputed
+       UNFILTERED. The check runs driver-side over the O(groups)
+       selection counts, so in the common no-flag case the returned
+       plan is simply the materialized selection — no fallback
+       branches in the plan at all.
+
+    The output is bit-identical to the naive form (same k smallest
+    distinct hashes), so oracles and merge laws are unchanged.
+    Micro-batch callers (streaming) pass ``prefilter=False`` — a small
+    batch gains nothing from two passes."""
     h = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("h")
     )
-    return _k_smallest_hashes(df.select(*keys, h), keys, k)
+    hashed = df.select(*keys, h)
+    if not prefilter:
+        return _k_smallest_hashes(hashed, keys, k)
+    # group counts are O(groups) driver rows (map-side combine, no md5
+    # evaluated — Catalyst prunes h): collect them and resolve the
+    # per-group thresholds AND the exactness fallback DRIVER-SIDE, so
+    # the returned plan is just the materialized selection — no
+    # broadcast-join / anti-join / union branches cluttering the plan
+    # with exchanges that AQE would prune anyway
+    cnts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).collect()
+    if len(cnts) > KMV_PREFILTER_MAX_GROUPS:
+        # unbounded key cardinality: per-group n is small there, the
+        # prefilter keeps everything — take the naive path instead of
+        # building a huge literal threshold expression
+        return _k_smallest_hashes(hashed, keys, k)
+
+    def _thr(n: int) -> int:
+        if n <= KMV_PREFILTER_SAFETY * k:
+            return _HASH_CEIL
+        return int(float(_HASH_CEIL) * KMV_PREFILTER_SAFETY * k / n)
+
+    thr_map = {tuple(r[kk] for kk in keys): _thr(r["_n"]) for r in cnts}
+    if not thr_map:
+        return _k_smallest_hashes(hashed, keys, k)  # empty input
+    key_str = F.concat_ws("\x1f", *[F.col(kk).cast("string") for kk in keys])
+    thr_lit = F.create_map(
+        *[
+            x
+            for kt, t in thr_map.items()
+            for x in (
+                F.lit("\x1f".join("" if v is None else str(v) for v in kt)),
+                F.lit(t),
+            )
+        ]
+    )
+    kept = hashed.filter(F.col("h") <= F.element_at(thr_lit, key_str))
+
+    from polar_spark.plans.audit_trace import note_materialization
+
+    sel = note_materialization(
+        _k_smallest_hashes(kept, keys, k), "kmv_partial.selection"
+    ).localCheckpoint(eager=True)
+    # deterministic exactness check: a group whose threshold was active
+    # must have yielded k hashes, else some of its k smallest may have
+    # been filtered away — recompute those groups exactly. (A group
+    # with _thr = 2^60 kept every hash — h < 2^60 always — and can
+    # never be flagged.) O(k·groups) rows aggregate to O(groups).
+    got = {
+        tuple(r[kk] for kk in keys): r["_got"]
+        for r in sel.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got")).collect()
+    }
+    flagged = [
+        kt
+        for kt, t in thr_map.items()
+        if t < _HASH_CEIL and got.get(kt, 0) < k
+    ]
+    if not flagged:
+        return sel
+    flag_set = {
+        "\x1f".join("" if v is None else str(v) for v in kt) for kt in flagged
+    }
+    in_flagged = key_str.isin(*flag_set)
+    exact_fb = _k_smallest_hashes(
+        hashed.filter(in_flagged), keys, k
+    )
+    return sel.filter(~in_flagged).unionByName(exact_fb)
 
 
 def _kmv_estimate(mins: DataFrame, keys: list[str], k: int) -> DataFrame:

@@ -70,7 +70,11 @@ def distributed_row_number(
     # same stored blocks, and the blocks are released by the context
     # cleaner once the result DataFrame is unreferenced — no persist
     # leak in a long-lived session.
-    parted = parted.localCheckpoint(eager=True)
+    from polar_spark.plans.audit_trace import note_materialization
+
+    parted = note_materialization(
+        parted, "global_rank.range_partition"
+    ).localCheckpoint(eager=True)
 
     # O(num_partitions) driver rows — bounded metadata, not data
     sizes = {

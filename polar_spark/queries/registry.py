@@ -23,41 +23,69 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-6 rotation: every registry query is driver-proven cumulatively
-    # (r1-r5), so the head now serves a different job — put the queries
-    # whose IMPLEMENTATION CHANGED this round (plus the round-6 additions)
-    # where the driver's ~50-slot sample will re-prove them post-change.
-    # New round-6 law queries (oracle-checked):
-    "knn_pq_recall_law",
-    "knn_ivfpq_recall_law",
-    # changed: module-scope Column fix (VERDICT r5 #1)
-    "sketch_cm_stream_vs_batch",
-    "sketch_kmv_stream_vs_batch",
-    # changed: global_rank localCheckpoint determinism fix + persist scope
-    "customer_rfm_segments",
-    "customer_rfm_segments_approx",
-    # changed: shared ntile_bounds law
-    "equidepth_hist_doc_lengths",
-    "equidepth_hist_doc_lengths_approx",
-    # changed: under-split-scan widening
-    "bpe_pair_merge_counts",
-    "tfidf_top_terms_per_source",
-    "dedup_simhash",
-    "dup_span_detect",
-    # changed: ASCII contract now self-enforcing
-    "multimodal_audio_energy",
-    # changed: produce/poll fast paths feed these end-to-end queries
-    "ingest_partition_offset",
-    "consume_poll_window",
-    "consume_reset_latest",
-    "consume_seek_timestamp",
-    "dedup_redelivered_events",
-    "stateful_offset_assign",
-    "binary_frame_roundtrip",
-    "ndjson_roundtrip",
-    # changed: corpus-proportional ADC shortlist (rows-only entries last)
-    "knn_pq_adc",
+    # Round-7 rotation (VERDICT r6 next #5): lead with DRIVER-EVIDENCE
+    # AGE — the ~50-slot sample should refresh the queries whose last
+    # driver-green is oldest. Two exceptions head the list: the
+    # produce/poll request-path rewrite (r7) must re-prove its two law
+    # queries (VERDICT r6 next #1 'Done' condition), and the handful of
+    # queries whose implementation changed this round close the head.
+    # Ages computed from CORRECTNESS_r0{1..6}.json (last hash/rows-green
+    # round per query).
+    "ingest_partition_offset",   # r7-changed: produce_rows/stamped files
+    "consume_poll_window",       # r7-changed: arrow poll serving
+    # --- last driver evidence r0-r1 (rows-only entries aged r0) ---
+    "knn_ivf_trained",
     "knn_ivfpq_stored",
+    "knn_pq_adc",
+    "semdedup_incremental",      # r7-changed too: checkpoint trace
+    "argmax_top_event",
+    "distinct_aggregates",
+    "grouping_sets_mix",
+    "pagination_offset_limit",   # r7-changed too: global_rank trace
+    "scalar_function_breadth",
+    "sql_exists_subquery",
+    # --- last driver evidence r2 ---
+    "dedup_embedding_cosine",
+    "embedding_lsh_buckets",
+    "embedding_norm_stats",
+    "multimodal_blob_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # --- last driver evidence r3 ---
+    "chunk_documents_sliding",
+    "dedup_exact_canonical",
+    "dedup_keep_list",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint_rolling",
+    "funnel_click_to_purchase",
+    "gapfill_hourly_locf",
+    "json_payload_extract",
+    "knn_bruteforce_dot",
+    "knn_ivf_probe",
+    "knn_label_vote",
+    "lang_id_heuristic",
+    "pipeline_training_data_prep",
+    "rollup_time_multires",
+    "session_windows_30m",
+    "sketch_cm_heavy_hitters",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_merged_months",
+    "text_quality_stats",
+    "text_regexp_extract_stats",
+    "text_repetition_stats",
+    "text_word_diversity",
+    "token_count_bpe_ish",
+    "window_sliding_1h_30m",
+    "window_tumbling_hourly",
+    # --- r7 implementation changes (re-prove post-change) ---
+    "dedup_simhash",             # groups persist (was localCheckpoint)
+    "customer_rfm_segments",     # global_rank trace instrumentation
+    "customer_rfm_segments_approx",
+    "equidepth_hist_doc_lengths",  # ntile_bounds decimal division
+    "consume_reset_latest",
+    "dedup_redelivered_events",
 )
 
 

@@ -827,8 +827,12 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint blocks are freed by the context cleaner when the
         # result is unreferenced — .persist() here leaked cached partitions
         # across registry invocations in the long-lived session (ADVICE r5)
-        .localCheckpoint(eager=False)
     )
+    from polar_spark.plans.audit_trace import note_materialization
+
+    base = note_materialization(
+        base, "rfm_approx.customer_aggregate"
+    ).localCheckpoint(eager=False)
     metrics = ["frequency", "monetary", "recency"]
     bounds = base.agg(
         F.count(F.lit(1)).alias("n"),

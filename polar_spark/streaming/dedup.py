@@ -308,12 +308,14 @@ class StreamingSemDedup:
             # before the appends below); drops and kept both derive from
             # the checkpointed frame, so the stored-list scan + pandas
             # greedy run once per trigger
-            verdict = (
+            from polar_spark.plans.audit_trace import note_materialization
+
+            verdict = note_materialization(
                 batch.groupBy("cell")
                 .cogroup(stored.select("vec_id", "v", "cell").groupBy("cell"))
-                .applyInPandas(greedy, schema="vec_id long, keep int")
-                .localCheckpoint()
-            )
+                .applyInPandas(greedy, schema="vec_id long, keep int"),
+                "semdedup_incremental.verdict",
+            ).localCheckpoint()
             verdict.filter(F.col("keep") == 0).select("vec_id").write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.drops_path, f"ep={tag}"))

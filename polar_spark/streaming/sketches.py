@@ -228,7 +228,11 @@ class StreamingKMV(_EpochPartialSink):
         self.k = k
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
-        return kmv_partial(batch_df, self.keys, self.value_col, self.k)
+        # micro-batches are small: the threshold prefilter's extra count
+        # pass + broadcast would cost more than the dedupe it avoids
+        return kmv_partial(
+            batch_df, self.keys, self.value_col, self.k, prefilter=False
+        )
 
     def estimate(self) -> DataFrame:
         stored = self._stored()

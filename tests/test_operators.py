@@ -267,6 +267,7 @@ def test_frame_sample_and_resize_plumbing(spark, sf_dir):
     assert all(r["width"] == 224 and len(r["resized"]) == 16 for r in resized)
 
 
+@pytest.mark.codec
 def test_multimodal_real_image_path(spark):
     """With Pillow importable, genuine image bytes take the real codec
     (true dimensions, real resize); without it, the same call falls back
@@ -1110,3 +1111,36 @@ def test_brute_force_exclude_on_null_semantics(spark):
     assert by_q.get(10) == {3}
     # NULL anchor: nothing qualifies
     assert 11 not in by_q
+
+
+def test_kmv_prefilter_bit_identical_to_naive(spark, sf_dir):
+    """The threshold-prefilter path must return the exact same k
+    smallest distinct hashes as the naive path — including under
+    extreme duplication (forces the exact fallback) and null group
+    keys (encoding edge of the literal threshold map)."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.sketches import kmv_partial
+    from polar_spark.sources.tables import load_table
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    ev = load_table(spark, sf_dir, "events")
+    assert rows(kmv_partial(ev, ["event_type"], "user_id", 64)) == rows(
+        kmv_partial(ev, ["event_type"], "user_id", 64, prefilter=False)
+    )
+    # 50k rows, 10 distinct values: n_d < n/SAFETY → every group flagged
+    # → the deterministic exact fallback must serve
+    dup = spark.range(0, 50_000).select(
+        F.lit("g").alias("g"), F.pmod("id", F.lit(10)).cast("string").alias("v")
+    )
+    assert rows(kmv_partial(dup, ["g"], "v", 64)) == rows(
+        kmv_partial(dup, ["g"], "v", 64, prefilter=False)
+    )
+    nk = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("x", "a")], "g string, v string"
+    )
+    assert rows(kmv_partial(nk, ["g"], "v", 64)) == rows(
+        kmv_partial(nk, ["g"], "v", 64, prefilter=False)
+    )
