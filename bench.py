@@ -338,10 +338,16 @@ def _bench_scale100(spark, timings: dict, extra: dict) -> None:
         for name in SCALE100_QUERIES:
             fn = QUERIES[name].fn
             # (re-)measure the sf0.1 anchor in the same phase so both
-            # points see identical cache/pool conditions
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            base[name] = round(time.perf_counter() - t0, 3)
+            # points see identical cache/pool conditions; best-of-N on
+            # the CHEAP anchor only (a single anchor run right after the
+            # corpus build can be 5-7× off while the disks drain, which
+            # flatters the ratio — the 100× side stays single-run)
+            b = float("inf")
+            for _ in range(max(1, RUNS_PER_QUERY)):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                b = min(b, time.perf_counter() - t0)
+            base[name] = round(b, 3)
             t0 = time.perf_counter()
             fn(spark, dst).count()
             t100[name] = round(time.perf_counter() - t0, 3)
