@@ -366,3 +366,63 @@ def outlier_iqr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "weighted_sample_per_source",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    (ln(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+       i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(doc_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+       (acc, d) -> acc * 16 + d) + 1)
+     - ln(1152921504606846976)) / (n_chars + 1) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006): per source, keep the 10 docs with the
+    largest u^(1/w) — equivalently the largest ln(u)/w — where u is an
+    md5-derived uniform (reproducible across runs AND engines, no RNG
+    seed coordination) and w = n_chars + 1 favors longer documents. The
+    quality-WEIGHTED counterpart of quota_downsample_per_source's plain
+    prefix quota — the standard way to downsample a 100 TB source pool
+    toward a target mixture while biasing toward higher-quality docs.
+
+    Scale: one codegen pass computes the key (md5 + one ln, no Python),
+    one window per source partition selects the top-10 — same
+    single-shuffle shape as any per-group top-k; AQE skew-split covers
+    hot sources. With K sources the output is K x 10 rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    es_key = (F.log(h + 1) - F.log(F.lit(1152921504606846976))) / (
+        F.col("n_chars") + 1
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("es_key", es_key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

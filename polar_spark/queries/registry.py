@@ -33,6 +33,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # round per query).
     "ingest_partition_offset",   # r7-changed: produce_rows/stamped files
     "consume_poll_window",       # r7-changed: arrow poll serving
+    "lm_bigram_nll_score",       # new r7: never driver-sampled
+    "weighted_sample_per_source",  # new r7: never driver-sampled
     # --- last driver evidence r0-r1 (rows-only entries aged r0) ---
     "knn_ivf_trained",
     "knn_ivfpq_stored",

@@ -1144,3 +1144,95 @@ def test_kmv_prefilter_bit_identical_to_naive(spark, sf_dir):
     assert rows(kmv_partial(nk, ["g"], "v", 64)) == rows(
         kmv_partial(nk, ["g"], "v", 64, prefilter=False)
     )
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """score_bigram_nll == a transparent pure-Python bigram stupid-backoff
+    LM on a tiny corpus (train docs 0-3, score docs 4-5), including the
+    backoff branch for unseen bigrams/tokens."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from polar_spark.functions.lm import score_bigram_nll, train_bigram_counts
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "a b c d"),
+        (2, "b c d a"),
+        (3, "c a b"),
+        (4, "a b c zebra d"),  # 'c zebra' + 'zebra d' unseen; 'zebra' OOV
+        (5, "d a b"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    train = df.filter("doc_id < 4")
+    hold = df.filter("doc_id >= 4")
+    got = {
+        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        for r in score_bigram_nll(hold, train_bigram_counts(train)).collect()
+    }
+
+    c2 = Counter()
+    for _, text in docs[:4]:
+        w = text.split(" ")
+        for i in range(len(w) - 1):
+            c2[(w[i], w[i + 1])] += 1
+    c1 = Counter()
+    cw = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        cw[w2] += c
+    n_big = sum(c2.values())
+    v_big = len({w2 for _, w2 in c2})
+    for doc_id, text in docs[4:]:
+        w = text.split(" ")
+        total = Decimal(0)
+        n = 0
+        for i in range(len(w) - 1):
+            pair = (w[i], w[i + 1])
+            if pair in c2:
+                nll = math.log(c1[pair[0]]) - math.log(c2[pair])
+            else:
+                nll = math.log(2 * (n_big + v_big)) - math.log(
+                    cw.get(pair[1], 0) + 1
+                )
+            total += Decimal(str(round(nll, 9)))
+            n += 1
+        n_scored, sum_nll, bucket = got[doc_id]
+        assert n_scored == n
+        assert Decimal(sum_nll) == total
+        assert bucket == math.floor(float(total) / n)
+    # backoff actually exercised: doc 4 must score strictly worse per
+    # token than the all-seen doc 5
+    assert float(got[4][1]) / got[4][0] > float(got[5][1]) / got[5][0]
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """The Efraimidis-Spirakis selection equals a NumPy/hashlib replica:
+    same md5-uniform, same ln(u)/w key, same per-source top-10."""
+    import hashlib
+    import math
+
+    from polar_spark.queries.pipeline_ops import weighted_sample_per_source
+
+    got = {
+        (r["source"], r["doc_id"], r["weight"], r["rn"])
+        for r in weighted_sample_per_source(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        key = (math.log(h + 1) - math.log(1 << 60)) / (r["n_chars"] + 1)
+        by_src.setdefault(r["source"], []).append(
+            (-key, r["doc_id"], r["n_chars"])
+        )
+    want = set()
+    for src, items in by_src.items():
+        for rn, (_, doc_id, n_chars) in enumerate(sorted(items)[:10], 1):
+            want.add((src, doc_id, n_chars, rn))
+    assert got == want
