@@ -85,6 +85,8 @@ HEADLINE = [
     "event_rate_anomaly",
     "retention_cohort_daily",
     "tfidf_top_terms_per_source",
+    "lm_bigram_nll_score",
+    "weighted_sample_per_source",
 ]
 
 
@@ -160,6 +162,11 @@ SCALE_HEADLINE = [
     "scd2_user_type_intervals",
     "event_rate_anomaly",
     "tfidf_top_terms_per_source",
+    # r7 curation ops (documents-bound): LM scoring is 3 linear corpus
+    # shuffles against a vocab²-bounded LM; weighted sampling is one
+    # window pass — both should scale with the scan
+    "lm_bigram_nll_score",
+    "weighted_sample_per_source",
 ]
 
 
