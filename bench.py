@@ -322,8 +322,12 @@ def _bench_scale(spark, extra: dict) -> None:
 # previously extrapolated from 10×; this records a second decade.
 SCALE100_FACTOR = 100
 SCALE100_QUERIES = ["dedup_minhash_verified", "knn_ivf_stored_cells",
-                    "q17_small_qty_revenue"]
-SCALE100_TABLES = ("documents", "embeddings", "lineitem")
+                    "q17_small_qty_revenue",
+                    # r7: the round's open scale question — KMV is
+                    # scan-linear md5 work (tools/measure_kmv_scale.py);
+                    # the 100x point records the second decade
+                    "sketch_kmv_distinct_users"]
+SCALE100_TABLES = ("documents", "embeddings", "lineitem", "events")
 
 
 def _bench_scale100(spark, timings: dict, extra: dict) -> None:
