@@ -35,6 +35,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "consume_poll_window",       # r7-changed: arrow poll serving
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
+    "lm_stream_vs_batch",          # new r7: never driver-sampled
     # --- last driver evidence r0-r1 (rows-only entries aged r0) ---
     "knn_ivf_trained",
     "knn_ivfpq_stored",

@@ -154,3 +154,70 @@ def sketch_kmv_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _built_once(root, build)
     return sink.estimate()
+
+
+@query(
+    "lm_stream_vs_batch",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), big AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM tok, UNNEST(range(1, len(w))) AS t(i)
+), tr AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE doc_id % 10 < 8
+  GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c2) AS c1 FROM tr GROUP BY w1
+), cw AS (
+  SELECT w2, SUM(c2) AS cw FROM tr GROUP BY w2
+), tot AS (
+  SELECT SUM(c2) AS n_big, COUNT(DISTINCT w2) AS v_big FROM tr
+), sc AS (
+  SELECT big.doc_id,
+    CASE WHEN tr.c2 IS NOT NULL
+      THEN CAST(round(ln(c1.c1) - ln(tr.c2), 9) AS DECIMAL(28,9))
+      ELSE CAST(round(ln(2 * (tot.n_big + tot.v_big))
+                      - ln(coalesce(cw.cw, 0) + 1), 9) AS DECIMAL(28,9))
+    END AS nll
+  FROM big
+  LEFT JOIN tr ON big.w1 = tr.w1 AND big.w2 = tr.w2
+  LEFT JOIN c1 ON big.w1 = c1.w1
+  LEFT JOIN cw ON big.w2 = cw.w2
+  CROSS JOIN tot
+  WHERE big.doc_id % 10 >= 8
+)
+SELECT doc_id, COUNT(*) AS n_scored, SUM(nll) AS sum_nll,
+  CAST(FLOOR(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS INT) AS nll_bucket
+FROM sc GROUP BY doc_id
+""",
+)
+def lm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style bigram LM trained ACROSS three ingest epochs
+    (StreamingBigramLM epoch store: per-batch vocabulary²-bounded count
+    partials, summed at read) scores the held-out split BIT-identically
+    to the one-shot-trained `lm_bigram_nll_score` — count additivity
+    makes the equality exact, so the streamed path inherits the batch
+    query's full value-hash DuckDB oracle.
+
+    Scale: each epoch's partial is O(vocab²) after map-side combine,
+    independent of batch size; scoring merges O(epochs · vocab²) stored
+    rows — never the raw stream."""
+    from polar_spark.functions.lm import score_bigram_nll
+    from polar_spark.streaming.lm import StreamingBigramLM
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter("doc_id % 10 < 8")
+    root = _store_root(spark, sf_dir, "lm")
+    sink = StreamingBigramLM(spark, os.path.join(root, "store"))
+
+    def build() -> None:
+        for epoch, cond in enumerate(("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2")):
+            sink.apply_batch(train.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    from polar_spark.sources.tables import parallelize_small_scan
+
+    holdout = parallelize_small_scan(d.filter("doc_id % 10 >= 8"))
+    lm = sink.counts().persist()
+    return score_bigram_nll(holdout, lm)

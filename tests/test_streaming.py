@@ -862,3 +862,53 @@ def test_streaming_sketch_new_lineage_purges_store(spark, sf_dir, tmp_path):
     # ...and the retyped schema is now the stable one for empty reads
     kmv._purge()
     assert dict(kmv.estimate().dtypes)["user_id"] == "string"
+
+
+def test_streaming_lm_matches_one_shot_training(spark, sf_dir, tmp_path):
+    """StreamingBigramLM trained over file-per-trigger micro-batches
+    equals one-shot training (count additivity: merged partials are the
+    exact corpus counts), the scored output equals the batch scorer, and
+    replay of a recorded epoch is a no-op."""
+    from polar_spark.functions.lm import score_bigram_nll, train_bigram_counts
+    from polar_spark.streaming.lm import StreamingBigramLM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter("doc_id % 10 < 8")
+    hold = docs.filter("doc_id % 10 >= 8")
+    src = str(tmp_path / "lm_src")
+    train.repartition(3).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    sink = StreamingBigramLM(spark, str(tmp_path / "lm_store"))
+    q = sink.start(
+        spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "lm_cp"),
+    )
+    q.awaitTermination(180)
+
+    got_counts = {
+        (r["w1"], r["w2"]): r["c2"] for r in sink.counts().collect()
+    }
+    want_counts = {
+        (r["w1"], r["w2"]): r["c2"]
+        for r in train_bigram_counts(snap).collect()
+    }
+    assert got_counts == want_counts and len(got_counts) > 0
+
+    got = {
+        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        for r in sink.score(hold).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        for r in score_bigram_nll(hold, train_bigram_counts(snap)).collect()
+    }
+    assert got == want  # bit-identical: exact-decimal sums, same counts
+
+    # replay idempotency (mid-stream epoch): store unchanged
+    assert sink.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "lm_cp")) is False
+    assert got_counts == {
+        (r["w1"], r["w2"]): r["c2"] for r in sink.counts().collect()
+    }
