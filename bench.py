@@ -469,12 +469,13 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         # bounded windows). Both are durable before the ack returns.
         lat_vals = [r["props"] for r in ev.limit(1000).collect()]
         lats: list[float] = []
-        for i in range(20):
+        for i in range(60):
             t0 = time.perf_counter()
             prod.produce_rows("bench_lat", lat_vals, key=f"user_{i % 7}")
             lats.append((time.perf_counter() - t0) * 1000)
         lats.sort()
         extra["produce_latency_ms_p50"] = round(lats[len(lats) // 2], 1)
+        extra["produce_latency_ms_p95"] = round(lats[(len(lats) * 95) // 100], 1)
         extra["produce_latency_ms_max"] = round(lats[-1], 1)
         # unkeyed requests fan out over every partition (more files per
         # request) — report separately, like the reference's two modes
@@ -505,7 +506,7 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         gl.register("bench_lat", EARLIEST)
         plats: list[float] = []
         served = 0
-        for _ in range(15):
+        for _ in range(30):
             t0 = time.perf_counter()
             res = gl.poll("bench_lat", max_records=2000)
             served = sum(len(it["records"]) for it in res.items())
@@ -515,6 +516,7 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         assert served > 0  # the loop never ran dry mid-measurement
         plats.sort()
         extra["poll_latency_ms_p50"] = round(plats[len(plats) // 2], 1)
+        extra["poll_latency_ms_p95"] = round(plats[(len(plats) * 95) // 100], 1)
         extra["poll_latency_ms_max"] = round(plats[-1], 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -622,6 +624,8 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             ),
             "produce_df_latency_ms_p50": extra.get("produce_df_latency_ms_p50"),
             "poll_latency_ms_p50": extra.get("poll_latency_ms_p50"),
+            "produce_latency_ms_p95": extra.get("produce_latency_ms_p95"),
+            "poll_latency_ms_p95": extra.get("poll_latency_ms_p95"),
             "scale10_worst_ratio": worst[0],
             "scale10_worst_query": worst[1],
             "scale100_ratio": extra.get("scale100_ratio"),

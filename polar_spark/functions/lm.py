@@ -77,6 +77,10 @@ def score_bigram_nll(
     Output: (id_col, n_scored, sum_nll decimal(38,9), nll_bucket int)
     where nll_bucket = floor(sum_nll / n_scored) — an integer perplexity
     band usable directly as a keep/drop threshold.
+
+    An EMPTY ``lm`` (e.g. a cold streaming store) yields NULL sum_nll /
+    nll_bucket — "no model, no score", deliberately distinguishable
+    from any real score rather than a fabricated maximum.
     """
     # attach the prefix total c1 to the (vocabulary²-bounded) LM table
     # BEFORE the corpus-side join: the scored corpus then shuffles only
