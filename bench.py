@@ -368,6 +368,41 @@ def _bench_scale100(spark, timings: dict, extra: dict) -> None:
             q: round(t100[q] / base[q], 2) if base.get(q) else None
             for q in t100
         }
+        # bare-scan CONTROL per driving fact table: the yardstick the
+        # query ratios are judged against. A 100× corpus does NOT yield
+        # a 100× wall-time ratio even for a pure scan — the sf0.1 anchor
+        # is overhead-dominated (a 5-60 MB table underutilizes 32 cores;
+        # per-job fixed cost is a large fraction of sub-second runs) —
+        # so "scan-linear" is certified by query_ratio ≈ scan_ratio on
+        # the SAME table, not by comparing the ratio to the factor.
+        from polar_spark.sources.tables import load_table as _lt
+
+        scans = {
+            "documents": lambda d: d.selectExpr(
+                "sum(octet_length(text)) as s"
+            ),
+            "embeddings": lambda d: d.selectExpr(
+                "sum(size(embedding)) as s"
+            ),
+            "lineitem": lambda d: d.selectExpr(
+                "sum(l_extendedprice) as s"
+            ),
+            "events": lambda d: d.selectExpr("sum(value) as s"),
+        }
+        scan_ratio: dict[str, float] = {}
+        for tname, probe in scans.items():
+            if tname not in SCALE100_TABLES:
+                continue
+            b = float("inf")
+            for _ in range(max(1, RUNS_PER_QUERY)):
+                t0 = time.perf_counter()
+                probe(_lt(spark, SF_DIR, tname)).count()
+                b = min(b, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            probe(_lt(spark, dst, tname)).count()
+            one = time.perf_counter() - t0
+            scan_ratio[tname] = round(one / b, 2) if b > 0 else None
+        extra["scale100_scan_ratio"] = scan_ratio
     finally:
         shutil.rmtree(dst, ignore_errors=True)
 
@@ -629,6 +664,7 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "scale10_worst_ratio": worst[0],
             "scale10_worst_query": worst[1],
             "scale100_ratio": extra.get("scale100_ratio"),
+            "scale100_scan_ratio": extra.get("scale100_scan_ratio"),
             "detail": "full per-query JSON on the BENCH_DETAIL line above",
         },
     }
