@@ -1120,3 +1120,46 @@ def test_capped_poll_materializes_inside_engine_gate(spark, tmp_path):
     res2 = eng.poll("c-mat", max_records=50)["mg"]
     assert res2._materialized and res2._arrow is not None
     assert sum(len(it["records"]) for it in res2.items()) == 50
+
+
+def test_poll_batch_survives_file_swap_after_gate_release(spark, tmp_path):
+    """End-to-end proof of the ADVICE-r6 at-least-once fix: a capped
+    poll served by the distributed scan must stay collectible — with
+    the FULL batch — even after every topic data file is deleted (the
+    worst case of a retention vacuum/compaction swapping files once the
+    engine's compaction gate releases). Before the fix the lazy plan
+    re-listed the (now empty) directory at collect time while the
+    served positions had already merged into pending — auto-commit
+    would then mark never-delivered records consumed."""
+    import os
+    import shutil
+
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=3)
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", f"v{i}") for i in range(300)], "key string, value string"
+    )
+    eng.produce("sw", df, key_col="key", value_col="value")
+    eng.register("c-swap", "gswap", ["sw"])
+    import polar_spark.consume as C
+
+    old = C.SMALL_POLL_MAX_FILES
+    try:
+        C.SMALL_POLL_MAX_FILES = 0  # force the distributed scan path
+        res = eng.poll("c-swap", max_records=120)["sw"]
+    finally:
+        C.SMALL_POLL_MAX_FILES = old
+    # simulate the most hostile post-gate retention action: all data
+    # files gone before the caller materializes the batch
+    ddir = eng.catalog.data_dir("sw")
+    for d in os.listdir(ddir):
+        if d.startswith("partition="):
+            shutil.rmtree(os.path.join(ddir, d))
+    rows = res.df.collect()
+    assert len(rows) == 120  # full batch, not truncated/failed
+    served = {(r["partition"], r["offset"]) for r in rows}
+    assert len(served) == 120
+    # commit of the served positions is now safe: every committed
+    # offset was actually delivered above
+    eng.commit("c-swap")
