@@ -31,9 +31,19 @@ HASH_SPACE = float(1 << 60)
 def _k_smallest_hashes(hashed: DataFrame, keys: list[str], k: int) -> DataFrame:
     """Per-group k smallest DISTINCT values of column ``h`` — the
     selection shared by sketch build and sketch merge (they must stay
-    identical or merged ≠ direct)."""
+    identical or merged ≠ direct). NULL hashes (md5 of a NULL value)
+    are dropped: COUNT(DISTINCT) semantics ignore NULLs, and a NULL
+    row in the sketch state would both displace a real hash from the
+    k-selection (ORDER BY ranks NULL first) and inflate ``n_kept`` in
+    the estimator. The threshold-prefilter path drops them implicitly
+    (``h <= thr`` is NULL), so this filter is also what keeps the two
+    paths bit-identical on nullable value columns."""
     dedup = (
-        hashed.select(*keys, "h").groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
+        hashed.select(*keys, "h")
+        .filter(F.col("h").isNotNull())
+        .groupBy(*keys, "h")
+        .agg(F.lit(1))
+        .select(*keys, "h")
     )
     w = Window.partitionBy(*keys).orderBy("h")
     return (
@@ -43,10 +53,11 @@ def _k_smallest_hashes(hashed: DataFrame, keys: list[str], k: int) -> DataFrame:
     )
 
 
-# threshold prefilter: keep rows whose hash is below ~SAFETY·k/n of the
-# hash space — the k smallest distinct hashes of a group with n rows
-# are below that bound unless the group is >98% duplicates, and the
-# exact fallback below catches even that case
+# threshold prefilter: keep rows whose hash is below ~SAFETY·k/n_d of
+# the hash space (n_d = the group's HLL-estimated DISTINCT count) — the
+# k smallest distinct hashes of a group with n_d distinct values
+# concentrate below k/n_d, and the deterministic exact fallback below
+# catches any group where the estimate proved too tight
 KMV_PREFILTER_SAFETY = 64
 # above this many groups the literal threshold map would bloat the plan;
 # per-group n is small in that regime anyway, so the naive path serves
@@ -72,25 +83,31 @@ def kmv_partial(
     in num_groups tasks, which was the whole measured 10×-ratio (md5
     itself is ~6% of 1× wall). The threshold form ships O(k·groups):
 
-    1. one cheap count pass (map-side combine, no md5 — Catalyst prunes
-       it) collects each group's row count n to the driver (O(groups)
-       rows, capped at KMV_PREFILTER_MAX_GROUPS — beyond that the
-       naive path serves, which is exactly the small-n regime where
-       the prefilter keeps everything anyway);
-    2. rows are prefiltered to ``h ≤ 2^60 · SAFETY·k/n`` via a literal
-       per-group threshold map — the k-th smallest of a group's
-       n_d ≤ n distinct hashes concentrates at k/n_d·2^60, so the
-       filter keeps ~SAFETY·k·n_d/n distinct candidates per group and
-       the dedupe exchange + window run over ~SAFETY·k rows per group
-       REGARDLESS of corpus size. The selection is materialized
-       (eager localCheckpoint, traced for the plan audit);
+    1. one cheap stats pass (map-side combine) collects each group's
+       row count and HLL distinct estimate n_d to the driver
+       (O(groups) rows, capped at KMV_PREFILTER_MAX_GROUPS — beyond
+       that the naive path serves, which is exactly the small-group
+       regime where the prefilter keeps everything anyway);
+    2. rows are prefiltered to ``h ≤ 2^60 · SAFETY·k/n_d`` via a
+       literal per-group threshold map — the k-th smallest of a
+       group's n_d distinct hashes concentrates at k/n_d·2^60, so the
+       filter keeps ~SAFETY·k distinct candidates per group and the
+       dedupe exchange + window run over ~SAFETY·k rows per group
+       REGARDLESS of corpus size or duplication ratio (an r7 fix: the
+       first cut keyed the threshold off the ROW count n, which on
+       dup-heavy corpora filtered to ~0 candidates and pushed every
+       group through the exact fallback — a pure extra pass). The
+       selection is materialized (eager localCheckpoint, traced for
+       the plan audit);
     3. exactness is restored deterministically: any thresholded group
-       whose selection came back with fewer than k hashes (possible
-       only when n_d < n/SAFETY — extreme duplication) is recomputed
-       UNFILTERED. The check runs driver-side over the O(groups)
-       selection counts, so in the common no-flag case the returned
-       plan is simply the materialized selection — no fallback
-       branches in the plan at all.
+       whose selection came back with fewer than k hashes (the HLL
+       estimate ran high, or true n_d < k with an active threshold)
+       is recomputed UNFILTERED. The check runs driver-side over the
+       O(groups) selection counts, so in the common no-flag case the
+       returned plan is simply the materialized selection — no
+       fallback branches in the plan at all. The HLL estimate is
+       engine-specific, but it only picks the filter bound; the
+       output stays bit-identical to the naive path.
 
     The output is bit-identical to the naive form (same k smallest
     distinct hashes), so oracles and merge laws are unchanged.
@@ -104,25 +121,40 @@ def kmv_partial(
     hashed = df.select(*keys, h)
     if not prefilter:
         return _k_smallest_hashes(hashed, keys, k)
-    # group counts are O(groups) driver rows (map-side combine, no md5
-    # evaluated — Catalyst prunes h): collect them and resolve the
-    # per-group thresholds AND the exactness fallback DRIVER-SIDE, so
-    # the returned plan is just the materialized selection — no
+    # group stats are O(groups) driver rows: collect them and resolve
+    # the per-group thresholds AND the exactness fallback DRIVER-SIDE,
+    # so the returned plan is just the materialized selection — no
     # broadcast-join / anti-join / union branches cluttering the plan
-    # with exchanges that AQE would prune anyway
-    cnts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).collect()
+    # with exchanges that AQE would prune anyway. The threshold keys off
+    # the DISTINCT estimate (HLL), not the row count: the k-th smallest
+    # hash of a group concentrates at k/n_d of the hash space, where
+    # n_d is the group's DISTINCT value count. A row-count threshold
+    # collapses on dup-heavy data (n ≫ n_d — the shape of a replicated
+    # or log-like corpus): it filters to ~k·n_d/n ≈ 0 candidates, the
+    # exactness check flags every group, and the "prefilter" degrades
+    # to a full extra pass on top of the naive recompute. The HLL
+    # estimate is engine-specific, but it only picks the FILTER BOUND —
+    # the selection itself is the exact k smallest of what survives,
+    # the SAFETY factor absorbs the ~5% rsd, and the deterministic
+    # fallback below recomputes any group whose bound proved too tight
+    # — so the output stays bit-identical to the naive path on every
+    # engine, dup-heavy or distinct-heavy.
+    cnts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.approx_count_distinct(value_col).alias("_nd"),
+    ).collect()
     if len(cnts) > KMV_PREFILTER_MAX_GROUPS:
         # unbounded key cardinality: per-group n is small there, the
         # prefilter keeps everything — take the naive path instead of
         # building a huge literal threshold expression
         return _k_smallest_hashes(hashed, keys, k)
 
-    def _thr(n: int) -> int:
-        if n <= KMV_PREFILTER_SAFETY * k:
+    def _thr(nd: int) -> int:
+        if nd <= KMV_PREFILTER_SAFETY * k:
             return _HASH_CEIL
-        return int(float(_HASH_CEIL) * KMV_PREFILTER_SAFETY * k / n)
+        return int(float(_HASH_CEIL) * KMV_PREFILTER_SAFETY * k / nd)
 
-    thr_map = {tuple(r[kk] for kk in keys): _thr(r["_n"]) for r in cnts}
+    thr_map = {tuple(r[kk] for kk in keys): _thr(r["_nd"]) for r in cnts}
     if not thr_map:
         return _k_smallest_hashes(hashed, keys, k)  # empty input
     key_str = F.concat_ws("\x1f", *[F.col(kk).cast("string") for kk in keys])

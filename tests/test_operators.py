@@ -1130,20 +1130,48 @@ def test_kmv_prefilter_bit_identical_to_naive(spark, sf_dir):
     assert rows(kmv_partial(ev, ["event_type"], "user_id", 64)) == rows(
         kmv_partial(ev, ["event_type"], "user_id", 64, prefilter=False)
     )
-    # 50k rows, 10 distinct values: n_d < n/SAFETY → every group flagged
-    # → the deterministic exact fallback must serve
+    # 50k rows, 10 distinct values — the dup-heavy regime. With the
+    # n_d-keyed threshold (r7) the bound is INACTIVE here (n_d ≤
+    # SAFETY·k keeps everything), which is the point: the row-count
+    # threshold used to filter this shape to ~0 candidates and push
+    # every group through the exact fallback
     dup = spark.range(0, 50_000).select(
         F.lit("g").alias("g"), F.pmod("id", F.lit(10)).cast("string").alias("v")
     )
     assert rows(kmv_partial(dup, ["g"], "v", 64)) == rows(
         kmv_partial(dup, ["g"], "v", 64, prefilter=False)
     )
+    # force the deterministic exact fallback: SAFETY=0 makes every
+    # active threshold 0 (keeps nothing), so every group with an
+    # estimate above 0 is flagged short and must be recomputed exactly
+    import polar_spark.functions.sketches as S
+
+    old_safety = S.KMV_PREFILTER_SAFETY
+    try:
+        S.KMV_PREFILTER_SAFETY = 0
+        assert rows(kmv_partial(ev, ["event_type"], "user_id", 64)) == rows(
+            kmv_partial(ev, ["event_type"], "user_id", 64, prefilter=False)
+        )
+    finally:
+        S.KMV_PREFILTER_SAFETY = old_safety
     nk = spark.createDataFrame(
         [(None, "a"), (None, "b"), ("x", "a")], "g string, v string"
     )
     assert rows(kmv_partial(nk, ["g"], "v", 64)) == rows(
         kmv_partial(nk, ["g"], "v", 64, prefilter=False)
     )
+    # NULL VALUES: both paths must ignore them (COUNT DISTINCT
+    # semantics) — the naive path used to keep a NULL hash row that the
+    # threshold filter dropped, and a NULL in the sketch state inflates
+    # n_kept and displaces a real hash from the k-selection
+    nv = spark.createDataFrame(
+        [("g", None), ("g", "a"), ("g", "b"), ("h", None), ("h", None)],
+        "g string, v string",
+    )
+    got = rows(kmv_partial(nv, ["g"], "v", 64))
+    assert got == rows(kmv_partial(nv, ["g"], "v", 64, prefilter=False))
+    assert all(h is not None for _g, h in got)  # no NULL sketch rows
+    assert {g for g, _h in got} == {"g"}  # all-NULL group vanishes
 
 
 def test_bigram_lm_matches_python_reference(spark):
