@@ -62,6 +62,10 @@ KMV_PREFILTER_SAFETY = 64
 # above this many groups the literal threshold map would bloat the plan;
 # per-group n is small in that regime anyway, so the naive path serves
 KMV_PREFILTER_MAX_GROUPS = 1000
+# stats-pass sample rate: hashing ~2% of rows prices the n_d estimate
+# at roughly a scan; the estimate can only run LOW (looser threshold),
+# never break exactness
+KMV_PREFILTER_SAMPLE = 0.02
 _HASH_CEIL = 1 << 60
 
 
@@ -83,31 +87,35 @@ def kmv_partial(
     in num_groups tasks, which was the whole measured 10×-ratio (md5
     itself is ~6% of 1× wall). The threshold form ships O(k·groups):
 
-    1. one cheap stats pass (map-side combine) collects each group's
-       row count and HLL distinct estimate n_d to the driver
-       (O(groups) rows, capped at KMV_PREFILTER_MAX_GROUPS — beyond
-       that the naive path serves, which is exactly the small-group
-       regime where the prefilter keeps everything anyway);
-    2. rows are prefiltered to ``h ≤ 2^60 · SAFETY·k/n_d`` via a
-       literal per-group threshold map — the k-th smallest of a
-       group's n_d distinct hashes concentrates at k/n_d·2^60, so the
-       filter keeps ~SAFETY·k distinct candidates per group and the
-       dedupe exchange + window run over ~SAFETY·k rows per group
-       REGARDLESS of corpus size or duplication ratio (an r7 fix: the
-       first cut keyed the threshold off the ROW count n, which on
-       dup-heavy corpora filtered to ~0 candidates and pushed every
-       group through the exact fallback — a pure extra pass). The
-       selection is materialized (eager localCheckpoint, traced for
-       the plan audit);
-    3. exactness is restored deterministically: any thresholded group
-       whose selection came back with fewer than k hashes (the HLL
-       estimate ran high, or true n_d < k with an active threshold)
-       is recomputed UNFILTERED. The check runs driver-side over the
-       O(groups) selection counts, so in the common no-flag case the
-       returned plan is simply the materialized selection — no
-       fallback branches in the plan at all. The HLL estimate is
-       engine-specific, but it only picks the filter bound; the
-       output stays bit-identical to the naive path.
+    1. a SAMPLED stats pass (~2% of rows through an HLL) estimates
+       each group's distinct count n_d driver-side (O(groups) rows,
+       capped at KMV_PREFILTER_MAX_GROUPS — beyond that the naive
+       path serves, which is exactly the small-group regime where the
+       prefilter keeps everything anyway);
+    2. groups whose estimate says the bound matters (n_d > SAFETY·k)
+       are prefiltered to ``h ≤ 2^60 · SAFETY·k/n_d`` via a literal
+       threshold map — the k-th smallest of a group's n_d distinct
+       hashes concentrates at k/n_d·2^60, so the dedupe exchange +
+       window run over a BOUNDED candidate set per group regardless
+       of corpus size. Everything else — inactive-threshold groups,
+       groups the sample missed, NULL keys — passes through
+       untouched, and when no threshold is active the filter is
+       skipped entirely, leaving the naive single-pass plan (an r7
+       fix twice over: a ROW-count-keyed threshold filtered dup-heavy
+       corpora to ~0 candidates and degraded into a pure extra pass
+       on the exact fallback; and an always-on per-row map lookup
+       cost ~60% of a naive pass even when it filtered nothing). The
+       filtered selection is materialized (eager localCheckpoint,
+       traced for the plan audit);
+    3. exactness is restored deterministically: any group whose
+       threshold was APPLIED and whose selection came back with fewer
+       than k hashes is recomputed UNFILTERED. The check runs
+       driver-side over the O(groups) selection counts, so in the
+       common no-flag case the returned plan is simply the
+       materialized selection — no fallback branches in the plan at
+       all. The sampled HLL is engine-specific, but it only picks the
+       filter bound; the output stays bit-identical to the naive
+       path.
 
     The output is bit-identical to the naive form (same k smallest
     distinct hashes), so oracles and merge laws are unchanged.
@@ -121,45 +129,78 @@ def kmv_partial(
     hashed = df.select(*keys, h)
     if not prefilter:
         return _k_smallest_hashes(hashed, keys, k)
-    # group stats are O(groups) driver rows: collect them and resolve
-    # the per-group thresholds AND the exactness fallback DRIVER-SIDE,
-    # so the returned plan is just the materialized selection — no
-    # broadcast-join / anti-join / union branches cluttering the plan
-    # with exchanges that AQE would prune anyway. The threshold keys off
-    # the DISTINCT estimate (HLL), not the row count: the k-th smallest
-    # hash of a group concentrates at k/n_d of the hash space, where
-    # n_d is the group's DISTINCT value count. A row-count threshold
-    # collapses on dup-heavy data (n ≫ n_d — the shape of a replicated
-    # or log-like corpus): it filters to ~k·n_d/n ≈ 0 candidates, the
-    # exactness check flags every group, and the "prefilter" degrades
-    # to a full extra pass on top of the naive recompute. The HLL
-    # estimate is engine-specific, but it only picks the FILTER BOUND —
-    # the selection itself is the exact k smallest of what survives,
-    # the SAFETY factor absorbs the ~5% rsd, and the deterministic
-    # fallback below recomputes any group whose bound proved too tight
-    # — so the output stays bit-identical to the naive path on every
-    # engine, dup-heavy or distinct-heavy.
-    cnts = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.approx_count_distinct(value_col).alias("_nd"),
-    ).collect()
-    if len(cnts) > KMV_PREFILTER_MAX_GROUPS:
-        # unbounded key cardinality: per-group n is small there, the
-        # prefilter keeps everything — take the naive path instead of
-        # building a huge literal threshold expression
+    # Per-group filter thresholds resolve DRIVER-SIDE from a cheap
+    # sampled stats pass, so the returned plan is just the materialized
+    # selection — no broadcast-join / anti-join / union branches
+    # cluttering the plan with exchanges AQE would prune anyway.
+    #
+    # The threshold keys off the group's DISTINCT estimate, not its row
+    # count: the k-th smallest hash of a group concentrates at k/n_d of
+    # the hash space, where n_d is the DISTINCT value count. A
+    # row-count threshold collapses on dup-heavy data (n ≫ n_d — the
+    # replicated / log-like corpus shape): it filters to ~k·n_d/n ≈ 0
+    # candidates, the exactness check flags every group, and the
+    # "prefilter" degrades into a pure extra pass on top of the naive
+    # recompute. Measured design points (100× events, 10M rows,
+    # local[32]): dup-heavy naive 15.2 s vs row-count-threshold 25+ s;
+    # distinct-heavy prefiltered 9.4 s vs naive 26.4 s — so the filter
+    # must engage for distinct-heavy groups and GET OUT OF THE WAY for
+    # dup-heavy ones.
+    #
+    # Cost discipline: the estimate comes from a ~2% SAMPLE (hashing
+    # 2% of rows ≈ scan cost; a full imperative-HLL pass measured ~4×
+    # that), and the per-row `h ≤ map[key]` filter — itself ~60% of a
+    # naive pass when every lookup answers "keep" — is built ONLY over
+    # groups whose threshold is ACTIVE; rows of inactive, unsampled, or
+    # null-keyed groups pass through a `coalesce(…, true)` untouched,
+    # and when NO threshold is active the filter (and its extra
+    # materialization) is skipped entirely, leaving exactly the naive
+    # single-pass plan.
+    #
+    # Exactness is never delegated to the estimate: a sampled HLL can
+    # only run LOW on n_d (sample ⊆ data; SAFETY absorbs the ±5% rsd on
+    # top), which loosens the bound — kept-distinct stays ~SAFETY·k/
+    # sample_rate per group, constant in corpus size — and any group
+    # whose selection still comes back short of k is deterministically
+    # recomputed unfiltered below. Output is bit-identical to the naive
+    # path on every engine, dup-heavy or distinct-heavy.
+    stats = (
+        df.sample(KMV_PREFILTER_SAMPLE, seed=7)
+        .groupBy(*keys)
+        .agg(F.approx_count_distinct(value_col).alias("_nd"))
+        .collect()
+    )
+    if not stats or len(stats) > KMV_PREFILTER_MAX_GROUPS:
+        # empty sample, or unbounded key cardinality (per-group n is
+        # small there and a literal threshold map would bloat the
+        # plan): the naive single pass serves
         return _k_smallest_hashes(hashed, keys, k)
 
-    def _thr(nd: int) -> int:
+    def _thr(nd: int) -> int | None:
         if nd <= KMV_PREFILTER_SAFETY * k:
-            return _HASH_CEIL
+            return None  # inactive: group passes through unfiltered
         return int(float(_HASH_CEIL) * KMV_PREFILTER_SAFETY * k / nd)
 
-    thr_map = {tuple(r[kk] for kk in keys): _thr(r["_nd"]) for r in cnts}
+    thr_map = {
+        tuple(r[kk] for kk in keys): t
+        for r in stats
+        if (t := _thr(r["_nd"])) is not None
+    }
     if not thr_map:
-        return _k_smallest_hashes(hashed, keys, k)  # empty input
-    key_str = F.concat_ws("\x1f", *[F.col(kk).cast("string") for kk in keys])
-    thr_lit = F.create_map(
-        *[
+        return _k_smallest_hashes(hashed, keys, k)  # all inactive
+    if len(keys) == 1:
+        # native-typed map key: the per-row cast+concat of the general
+        # encoding is pure overhead with one grouping column
+        key_expr = F.col(keys[0])
+        map_items = [
+            x for kt, t in thr_map.items() if kt[0] is not None
+            for x in (F.lit(kt[0]), F.lit(t))
+        ]
+    else:
+        key_expr = F.concat_ws(
+            "\x1f", *[F.col(kk).cast("string") for kk in keys]
+        )
+        map_items = [
             x
             for kt, t in thr_map.items()
             for x in (
@@ -167,37 +208,51 @@ def kmv_partial(
                 F.lit(t),
             )
         ]
+    if not map_items:
+        return _k_smallest_hashes(hashed, keys, k)
+    thr_lit = F.create_map(*map_items)
+    # unmapped groups (inactive threshold, missed by the sample, or a
+    # NULL single-key) must KEEP their rows: element_at yields NULL for
+    # them and coalesce turns that into "keep"
+    kept = hashed.filter(
+        F.coalesce(F.col("h") <= F.element_at(thr_lit, key_expr), F.lit(True))
     )
-    kept = hashed.filter(F.col("h") <= F.element_at(thr_lit, key_str))
 
     from polar_spark.plans.audit_trace import note_materialization
 
     sel = note_materialization(
         _k_smallest_hashes(kept, keys, k), "kmv_partial.selection"
     ).localCheckpoint(eager=True)
-    # deterministic exactness check: a group whose threshold was active
-    # must have yielded k hashes, else some of its k smallest may have
-    # been filtered away — recompute those groups exactly. (A group
-    # with _thr = 2^60 kept every hash — h < 2^60 always — and can
-    # never be flagged.) O(k·groups) rows aggregate to O(groups).
+    # deterministic exactness check: a group whose threshold was
+    # APPLIED (present in the literal map — a NULL single-key group
+    # never is) must have yielded k hashes, else some of its k smallest
+    # may have been filtered away — recompute those groups exactly.
+    # O(k·groups) rows aggregate to O(groups).
     got = {
         tuple(r[kk] for kk in keys): r["_got"]
         for r in sel.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got")).collect()
     }
-    flagged = [
-        kt
-        for kt, t in thr_map.items()
-        if t < _HASH_CEIL and got.get(kt, 0) < k
-    ]
+    applied = (
+        [kt for kt in thr_map if kt[0] is not None]
+        if len(keys) == 1
+        else list(thr_map)
+    )
+    flagged = [kt for kt in applied if got.get(kt, 0) < k]
     if not flagged:
         return sel
-    flag_set = {
-        "\x1f".join("" if v is None else str(v) for v in kt) for kt in flagged
-    }
-    in_flagged = key_str.isin(*flag_set)
-    exact_fb = _k_smallest_hashes(
-        hashed.filter(in_flagged), keys, k
-    )
+    if len(keys) == 1:
+        in_flagged = F.col(keys[0]).isin(*[kt[0] for kt in flagged])
+    else:
+        in_flagged = key_expr.isin(
+            *{
+                "\x1f".join("" if v is None else str(v) for v in kt)
+                for kt in flagged
+            }
+        )
+    # null-safe retention: a NULL single-key makes `isin` yield NULL,
+    # and `~NULL` would silently drop that group's selection rows
+    in_flagged = F.coalesce(in_flagged, F.lit(False))
+    exact_fb = _k_smallest_hashes(hashed.filter(in_flagged), keys, k)
     return sel.filter(~in_flagged).unionByName(exact_fb)
 
 
