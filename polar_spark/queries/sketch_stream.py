@@ -219,5 +219,7 @@ def lm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polar_spark.sources.tables import parallelize_small_scan
 
     holdout = parallelize_small_scan(d.filter("doc_id % 10 >= 8"))
-    lm = sink.counts().persist()
+    from polar_spark.plans.cache import persist_slot
+
+    lm = persist_slot(sink.counts(), "lm_stream_vs_batch.lm")
     return score_bigram_nll(holdout, lm)

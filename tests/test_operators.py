@@ -1172,6 +1172,27 @@ def test_kmv_prefilter_bit_identical_to_naive(spark, sf_dir):
     assert got == rows(kmv_partial(nv, ["g"], "v", 64, prefilter=False))
     assert all(h is not None for _g, h in got)  # no NULL sketch rows
     assert {g for g, _h in got} == {"g"}  # all-NULL group vanishes
+    # MULTI-KEY encoding edges: concat_ws SKIPS null components and the
+    # map encoding must stay injective — NULL-component groups, groups
+    # whose component embeds the separator, and the NULL-vs-"" pair
+    # (which used to collide to the same map key) must all stay exact
+    # even when thresholds are forced active (SAFETY=0)
+    mk = spark.range(0, 3000).selectExpr(
+        "'a' as g1",
+        "CASE pmod(id, 4) WHEN 0 THEN NULL WHEN 1 THEN '' "
+        "WHEN 2 THEN 'b' ELSE 'xy' END as g2",
+        "cast(id as string) as v",
+    )
+    try:
+        S.KMV_PREFILTER_SAFETY = 0
+        assert rows(kmv_partial(mk, ["g1", "g2"], "v", 16)) == rows(
+            kmv_partial(mk, ["g1", "g2"], "v", 16, prefilter=False)
+        )
+    finally:
+        S.KMV_PREFILTER_SAFETY = old_safety
+    assert rows(kmv_partial(mk, ["g1", "g2"], "v", 16)) == rows(
+        kmv_partial(mk, ["g1", "g2"], "v", 16, prefilter=False)
+    )
 
 
 def test_bigram_lm_matches_python_reference(spark):

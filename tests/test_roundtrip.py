@@ -1163,3 +1163,37 @@ def test_poll_batch_survives_file_swap_after_gate_release(spark, tmp_path):
     # commit of the served positions is now safe: every committed
     # offset was actually delivered above
     eng.commit("c-swap")
+
+
+def test_poll_items_fallback_micros_survive_host_tz(spark, tmp_path):
+    """items()'s distributed fallback must return true UTC epoch micros
+    even when the HOST timezone differs from the UTC-pinned session tz:
+    collect() renders TimestampType as a naive datetime in the OS-LOCAL
+    zone (not the session zone), so re-attaching the session tz shifts
+    every timestamp by the host offset (judge review late-r7)."""
+    import os as _os
+    import time as _time_mod
+    from datetime import datetime, timezone
+
+    from polar_spark.consume import PollResult
+
+    ts = datetime(2026, 1, 15, 12, 0, 0, tzinfo=timezone.utc)
+    true_us = int(ts.timestamp() * 1e6)
+    df = spark.createDataFrame(
+        [("t", 0, 1, ts, None, "v")],
+        "topic string, partition int, offset long, timestamp timestamp,"
+        " key string, value string",
+    )
+    old_tz = _os.environ.get("TZ")
+    try:
+        _os.environ["TZ"] = "America/New_York"
+        _time_mod.tzset()
+        # _arrow=None → the collect()-based fallback path serves
+        items = PollResult(df, {0: 1}).items()
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time_mod.tzset()
+    assert items[0]["records"][0][0] == true_us
