@@ -33,6 +33,13 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # round per query).
     "ingest_partition_offset",   # r7-changed: produce_rows/stamped files
     "consume_poll_window",       # r7-changed: arrow poll serving
+    # --- new late-r7: the six adapted dwarfs completing the TPC-H 22 ---
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q16_supplier_cnt_by_part",
+    "q20_excess_qty_suppliers",
+    "q21_waiting_suppliers",
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

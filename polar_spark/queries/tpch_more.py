@@ -1,10 +1,27 @@
 """TPC-H completion: the remaining dwarf shapes the testdata schema supports.
 
-relational.py carries q1/q3/q5/q7/q18; this module adds the other eleven
-query shapes expressible over the trimmed TPC-H-ish tables (TESTDATA.md:
-no partsupp, no l_commitdate/l_receiptdate/l_shipmode, no o_comment /
-c_phone — q2/q11/q12/q16/q20/q21 are out of reach; q4/q9/q13/q17/q19/q22
-are adapted to available columns, noted per query).
+relational.py carries q1/q3/q5/q7/q18; this module adds the remaining
+SEVENTEEN query shapes, completing all 22 TPC-H dwarfs over the trimmed
+TPC-H-ish tables (TESTDATA.md: no partsupp, no l_commitdate /
+l_receiptdate / l_shipmode, no o_comment / c_phone). Queries touching a
+missing column are ADAPTED — the predicate is re-targeted at an available
+column while the query's structural dwarf (the join/subquery/aggregation
+shape Catalyst must handle) is preserved exactly; each docstring states
+its substitution:
+
+- q4/q9/q13/q17/q19/q22: light adaptations (noted per query).
+- q2: partsupp supply-cost -> per-(part,supplier) lineitem quantity; the
+  correlated-MIN-subquery + dimension-chain dwarf is intact.
+- q11: partsupp stock value -> per-part revenue from one region's
+  suppliers; the HAVING-fraction-of-global-scalar dwarf is intact.
+- q12: l_shipmode/l_receiptdate -> l_linestatus/late-ship; the
+  join + two-way conditional-count dwarf is intact.
+- q16: partsupp -> lineitem supplier facts; the COUNT(DISTINCT) +
+  NOT-IN-subquery-exclusion dwarf is intact.
+- q20: partsupp availqty -> per-(supplier,part) shipped quantity vs the
+  part's total; the nested-IN-with-correlated-aggregate dwarf is intact.
+- q21: l_commitdate/l_receiptdate lateness -> shipped >60 days after the
+  order date; the EXISTS + NOT-EXISTS-on-the-same-fact dwarf is intact.
 
 The reference (polarstreams/polar) has no relational algebra at all
 (SURVEY.md §2.2) — this is capability-superset surface, all Catalyst
@@ -550,4 +567,366 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH cost AS (
+  SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+         SUM(CAST(l_quantity AS {_DEC})) AS supply_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(supply_qty AS DOUBLE) AS supply_qty
+FROM part, cost, supplier, nation, region
+WHERE p_partkey = c_partkey AND s_suppkey = c_suppkey
+  AND p_size = 15 AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND supply_qty = (
+    SELECT MIN(c2.supply_qty)
+    FROM cost c2, supplier s2, nation n2, region r2
+    WHERE c2.c_partkey = p_partkey AND s2.s_suppkey = c2.c_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: no partsupp, so
+    "supply cost" becomes the total quantity each supplier has ever
+    shipped of the part (an exact-decimal per-(part,supplier) aggregate
+    over lineitem) — the correlated-MIN-scalar-subquery + dimension-chain
+    (supplier -> nation -> region) dwarf is intact. All EUROPE suppliers
+    tied at the per-part minimum are returned (no LIMIT: the output is
+    bounded by |parts with p_size=15| and fully deterministic).
+
+    Scale: ONE fact shuffle builds the (part,supplier) aggregate with
+    map-side partials; the size-15 part filter broadcasts onto it before
+    anything else, so the correlated min runs as a window over a
+    dimension-sized slice (partitionBy part — groups are |suppliers per
+    part|); supplier/nation/region all broadcast. No fact-fact join.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = l.groupBy(
+        F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
+    ).agg(F.sum(_dec("l_quantity")).alias("supply_qty"))
+    eu = (
+        cost.join(F.broadcast(p), F.col("c_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("c_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    w = Window.partitionBy("c_partkey")
+    return (
+        eu.withColumn("_mn", F.min("supply_qty").over(w))
+        .filter(F.col("supply_qty") == F.col("_mn"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supply_qty").cast("double").alias("supply_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey AS p_key, SUM({_REV_SQL}) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 3
+  GROUP BY 1
+)
+SELECT p_key, CAST(val AS DOUBLE) AS part_value
+FROM pv, (SELECT SUM(val) AS tot FROM pv) t
+WHERE val * 1000 > tot
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp, so a part's "value" is its discounted revenue from region-3
+    suppliers instead of supplycost*availqty — the
+    HAVING-fraction-of-a-global-scalar-subquery dwarf is intact. The
+    0.1% fraction is multiplied through (``val * 1000 > tot``) into exact
+    decimal arithmetic so membership can't flip on a float bit.
+
+    Scale: supplier+nation broadcast onto the fact scan (no pre-join
+    shuffle), one partkey-hashed aggregation with map-side partials; the
+    global total re-aggregates the part-sized result and broadcasts back
+    as a 1-row cross join (same pattern as q22).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("tot"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("val") * F.lit(1000) > F.col("tot"))
+        .select("p_key", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q12_late_lines_by_status",
+    oracle="""
+SELECT l_linestatus AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority), adapted: no l_shipmode /
+    l_commitdate / l_receiptdate, so the grouping attribute is
+    l_linestatus and "late" is shipped >30 days after the order date —
+    the fact-fact-join + two-way conditional-count dwarf (the CASE sums
+    must ride one pass, not two queries) is intact.
+
+    Scale: the year filter pushes to the lineitem scan; the join shuffles
+    both sides on orderkey with the lateness predicate as a join
+    residual; the final aggregation is |linestatus| groups with map-side
+    partials. At 100 TB the only cost is the one orderkey shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_cnt_by_part",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: no
+    partsupp, so the supplier-of-part facts come from lineitem, and the
+    "customer complaints" exclusion subquery becomes suppliers with a
+    negative account balance — the COUNT(DISTINCT) over a join with a
+    NOT-IN-subquery exclusion dwarf is intact (s_suppkey is non-null, so
+    NOT IN == anti join in both engines).
+
+    Scale: the brand/type/size filters broadcast part onto the fact
+    scan; the exclusion list is a handful of suppliers, broadcast as an
+    anti join; COUNT(DISTINCT) expands to the standard two-shuffle
+    partial-distinct plan on (brand,type,size,suppkey) — both
+    aggregations keyed on low-cardinality composites with map-side
+    partials.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q20_excess_qty_suppliers",
+    oracle=f"""
+WITH sup_part AS (
+  SELECT l_suppkey AS sp_suppkey, l_partkey AS sp_partkey,
+         SUM(CAST(l_quantity AS {_DEC})) AS sup_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), part_tot AS (
+  SELECT l_partkey AS pt_partkey, SUM(CAST(l_quantity AS {_DEC})) AS tot_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT sp_suppkey FROM sup_part
+    JOIN part_tot ON sp_partkey = pt_partkey
+    JOIN part ON p_partkey = sp_partkey
+    WHERE p_name LIKE '%bolt%' AND sup_qty * 5 > tot_qty)
+""",
+)
+def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: no partsupp
+    availqty, so a supplier qualifies if, for some '%bolt%' part, their
+    own 1996 shipped quantity exceeds 20% of the part's total 1996
+    quantity (``sup_qty * 5 > tot_qty``, exact decimal) — the
+    nested-IN-with-correlated-aggregate dwarf is intact.
+
+    Scale: ONE fact pass builds the (supplier,part) aggregate; the
+    per-part total re-aggregates that already-reduced result (no second
+    fact scan — decimal sums re-associate exactly) and broadcasts back;
+    the part name filter broadcasts; the IN becomes a broadcast semi
+    join (the eligible set is bounded by qualifying (supplier,part)
+    pairs — dimension-sized), so the supplier table never shuffles.
+    Region filter on the broadcast nation dimension.
+    """
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    sup_part = l.groupBy(
+        F.col("l_suppkey").alias("sp_suppkey"), F.col("l_partkey").alias("sp_partkey")
+    ).agg(F.sum(_dec("l_quantity")).alias("sup_qty"))
+    part_tot = sup_part.groupBy(F.col("sp_partkey").alias("pt_partkey")).agg(
+        F.sum("sup_qty").alias("tot_qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    eligible = (
+        sup_part.join(F.broadcast(part_tot), F.col("sp_partkey") == F.col("pt_partkey"))
+        .join(F.broadcast(p), F.col("sp_partkey") == p.p_partkey)
+        .filter(F.col("sup_qty") * F.lit(5) > F.col("tot_qty"))
+        .select("sp_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(eligible), s.s_suppkey == F.col("sp_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted: no
+    l_commitdate/l_receiptdate, so a line is "late" when shipped >60 days
+    after the order date (the q4 lateness proxy). The EXISTS /
+    NOT-EXISTS-on-the-same-fact dwarf is intact in the ORACLE; the Spark
+    plan rewrites both correlated subqueries into ONE per-order
+    aggregation — a NATION_2 supplier's late line counts iff the order
+    is multi-supplier (EXISTS) and that supplier is the ONLY late one
+    (NOT EXISTS) — which is the scale-correct form: correlated
+    per-row subqueries over a 100 TB fact would rescan it per match.
+
+    Scale: one orderkey shuffle joins lineitem to 'F' orders (status
+    filter pushed); one (orderkey,suppkey) aggregation counts each
+    supplier's late lines per order; per-order supplier/late-supplier
+    counts are windows over that already-(order,supplier)-grained result;
+    supplier+nation broadcast; final agg is supplier-sized with a
+    deterministic top-100.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "_late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per_os.withColumn("_nsup", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_nlate",
+            F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0) & (F.col("_nsup") > 1) & (F.col("_nlate") == 1)
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
     )
