@@ -426,3 +426,119 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# shared DuckDB CTE prefix for the two DSIR queries: hashed unigram+bigram
+# buckets, per-bucket raw/target counts, the λ log-ratio table and the κ
+# normalizer — the SQL twin of functions/dsir.dsir_log_weights (m = 4096)
+_DSIR_CTES = """
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w, CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END)) AS gram
+  FROM (SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents)
+), hashed AS (
+  SELECT doc_id, lang,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) % 4096 AS bucket
+  FROM grams
+), buckets AS (
+  SELECT bucket, COUNT(*) AS cq, COUNT(*) FILTER (WHERE lang = 'en') AS cp
+  FROM hashed GROUP BY bucket
+), lam AS (
+  SELECT bucket,
+    CAST(round(ln(cp + 1), 9) AS DECIMAL(28,9))
+      - CAST(round(ln(cq + 1), 9) AS DECIMAL(28,9)) AS lam
+  FROM buckets
+), tot AS (
+  SELECT CAST(round(ln(SUM(cq) + 4096), 9) AS DECIMAL(28,9))
+       - CAST(round(ln(SUM(cp) + 4096), 9) AS DECIMAL(28,9)) AS kappa
+  FROM buckets
+), scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         SUM(CAST(lam + kappa AS DECIMAL(28,9))) AS logw
+  FROM hashed JOIN lam USING (bucket) CROSS JOIN tot
+  GROUP BY doc_id, lang
+)"""
+
+
+@query(
+    "dsir_importance_scores",
+    oracle=f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, lang, n_grams, CAST(logw AS DOUBLE) AS logw
+FROM scored
+""",
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023, arXiv:2302.03169):
+    every document scored by log p_target(x) - log p_raw(x) under
+    bag-of-hashed-ngram multinomials, target = the in-pool lang='en'
+    subset. The distributional-match counterpart of the CCNet LM's
+    fluency score (`lm_bigram_nll_score`): together they are the two
+    standard model-based data-selection signals.
+
+    Scale (see functions/dsir.py): one m-bounded (4096-row) bucket
+    shuffle, λ/κ broadcast back, per-doc sum completes map-side — the
+    corpus never shuffles at token grain; exact-decimal aggregation
+    makes the result order-independent and engine-exact.
+    """
+    from polar_spark.functions.dsir import dsir_log_weights
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_log_weights(d, F.col("lang") == "en", m=4096).select(
+        "doc_id", "lang", "n_grams", F.col("logw").cast("double").alias("logw")
+    )
+
+
+@query(
+    "dsir_resample_select",
+    oracle=f"""
+WITH {_DSIR_CTES}, keyed AS (
+  SELECT doc_id, lang, logw,
+    CAST(logw AS DECIMAL(28,9)) +
+    CAST(round(-ln(-(CAST(round(ln(h + 1) - ln(1152921504606846976), 9)
+                     AS DECIMAL(28,9))::DOUBLE)), 6) AS DECIMAL(28,9)) AS sel_key
+  FROM (
+    SELECT doc_id, lang, logw,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        (acc, d) -> acc * 16 + d) AS h
+    FROM scored)
+)
+SELECT doc_id, lang, CAST(sel_key AS DOUBLE) AS sel_key, CAST(logw AS DOUBLE) AS logw
+FROM keyed
+ORDER BY sel_key DESC, doc_id
+LIMIT 50
+""",
+)
+def dsir_resample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k resampling — keep the 50 docs
+    with the largest ``logw + Gumbel(md5(doc_id))``, which samples
+    without replacement proportionally to the importance weights
+    (Gumbel-max trick; deterministic md5-derived noise, reproducible
+    across runs AND engines — see functions/dsir.py for the
+    double-rounding that makes the nested ln engine-exact).
+
+    Scale: the scoring plan above plus one distributed TakeOrdered
+    top-50 — no global sort, no single-partition window.
+    """
+    from polar_spark.functions.dsir import dsir_log_weights, gumbel_key
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sc = dsir_log_weights(d, F.col("lang") == "en", m=4096)
+    return (
+        sc.withColumn("sel_key", gumbel_key(F.col("doc_id"), F.col("logw")))
+        .orderBy(F.col("sel_key").desc(), F.col("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("sel_key").cast("double").alias("sel_key"),
+            F.col("logw").cast("double").alias("logw"),
+        )
+    )

@@ -40,6 +40,9 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "q16_supplier_cnt_by_part",
     "q20_excess_qty_suppliers",
     "q21_waiting_suppliers",
+    # --- new late-r7: DSIR data selection (scores + Gumbel resample) ---
+    "dsir_importance_scores",
+    "dsir_resample_select",
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

@@ -1285,3 +1285,94 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         for rn, (_, doc_id, n_chars) in enumerate(sorted(items)[:10], 1):
             want.add((src, doc_id, n_chars, rn))
     assert got == want
+
+
+def test_dsir_matches_python_reference(spark, sf_dir):
+    """DSIR log importance weights equal a hashlib/Decimal replica:
+    same hashed unigram+bigram buckets, same add-one-smoothed log
+    ratio with 9-dp-rounded integer-argument lns, same exact-decimal
+    per-doc sum — and the selection key adds the same double-rounded
+    md5-Gumbel. Also pins the method's sanity law: target-language
+    docs must outscore the rest on average."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from polar_spark.queries.pipeline_ops import (
+        dsir_importance_scores,
+        dsir_resample_select,
+    )
+
+    M = 4096
+
+    def r9(x: float) -> Decimal:
+        return Decimal(str(round(x, 9)))
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    docs = {}
+    for r in rows:
+        w = (r["text"] or "").split(" ")
+        grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        docs[r["doc_id"]] = (
+            r["lang"],
+            [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % M for g in grams],
+        )
+    cq: dict[int, int] = {}
+    cp: dict[int, int] = {}
+    for lang, buckets in docs.values():
+        for b in buckets:
+            cq[b] = cq.get(b, 0) + 1
+            if lang == "en":
+                cp[b] = cp.get(b, 0) + 1
+    lam = {b: r9(math.log(cp.get(b, 0) + 1)) - r9(math.log(c + 1)) for b, c in cq.items()}
+    kappa = r9(math.log(sum(cq.values()) + M)) - r9(math.log(sum(cp.values()) + M))
+    want = {}
+    for doc_id, (lang, buckets) in docs.items():
+        logw = sum((lam[b] + kappa for b in buckets), Decimal(0))
+        want[doc_id] = (lang, len(buckets), float(logw))
+    got = {
+        r["doc_id"]: (r["lang"], r["n_grams"], r["logw"])
+        for r in dsir_importance_scores(spark, sf_dir).collect()
+    }
+    assert got == want
+    # sanity law: the target subset must outscore the rest on average
+    en = [v[2] for v in got.values() if v[0] == "en"]
+    rest = [v[2] for v in got.values() if v[0] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    # selection: replica Gumbel-top-50 must pick the identical doc set
+    keyed = []
+    for doc_id, (lang, n, logw) in want.items():
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        ln_u = r9(math.log(h + 1) - math.log(1 << 60))
+        g = Decimal(str(round(-math.log(-float(ln_u)), 6)))
+        keyed.append((-(Decimal(str(round(Decimal(str(logw)), 9))) + g), doc_id))
+    want_sel = {doc_id for _, doc_id in sorted(keyed)[:50]}
+    got_sel = {r["doc_id"] for r in dsir_resample_select(spark, sf_dir).collect()}
+    assert got_sel == want_sel
+
+
+def test_dsir_hashed_grams_edges(spark):
+    """Tokenisation edges: empty/NULL text yields exactly one
+    empty-string unigram (split convention), a single-word doc has no
+    bigrams, a two-word doc has exactly one."""
+    from polar_spark.functions.dsir import hashed_grams
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha"), (4, "alpha beta")],
+        "doc_id int, text string",
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in hashed_grams(df, 64)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 3}
+    assert all(
+        0 <= r["bucket"] < 64 for r in hashed_grams(df, 64).collect()
+    )
