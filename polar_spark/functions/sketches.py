@@ -383,3 +383,97 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: a uniform row sample selected by hash order.
+#
+# The third classic mergeable sketch beside KMV (distinct) and count-min
+# (frequency): quantiles. The sample is the k rows whose md5-derived
+# 60-bit hash of a UNIQUE row id is smallest — hash order is independent
+# of the value, so the selection is a uniform random sample of rows
+# (duplicated values stay represented in proportion, unlike KMV's
+# distinct-hash state), and it is MERGEABLE by the same
+# k-smallest-of-union law: each partial keeps its own bottom-k, and the
+# bottom-k of the union of partials equals the bottom-k of the full
+# stream (anything an epoch dropped ranks > k within the epoch, hence
+# > k globally). Deterministic (no RNG), so a DuckDB oracle reproduces
+# the exact sample and the exact estimates.
+#
+# Estimates are nearest-rank quantiles of the sample with INTEGER-exact
+# rank arithmetic — rank_p = ceil(p% · n) computed as (p·n + 99) DIV 100
+# so no float multiply can flip a rank at an engine boundary.
+
+QS_K = 256
+QS_PCTS = (50, 90, 99)
+
+
+def qs_partial(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = QS_K,
+) -> DataFrame:
+    """Per-group bottom-k sample state: (keys…, h, v) — the ≤ k rows
+    with the smallest id hashes, their values along. NULL values are
+    dropped (quantile semantics ignore NULLs, matching percentile
+    functions in both engines).
+
+    Scale: one codegen hash pass; the selection window runs per group
+    over the hash order — the exchange carries rows, but map-side
+    partial top-k is not available for row samples (unlike KMV's
+    distinct state the sample must keep duplicate values); the state
+    that persists is O(groups · k), independent of corpus size, and at
+    100 TB the partial is built per segment/epoch (streaming sink
+    below) so no single selection ever sees the full corpus."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, h, F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("h").isNotNull())
+    )
+    return qs_select(hashed, keys, k)
+
+
+def qs_select(parts: DataFrame, keys: list[str], k: int = QS_K) -> DataFrame:
+    """Bottom-k re-selection over (keys…, h, v) rows — shared by the
+    one-shot build and the merge-of-partials read so the two stay
+    bit-identical (the KMV `_k_smallest_hashes` discipline). Ties on h
+    (only possible for identical duplicated ids) break on v so the
+    kept multiset is engine-independent."""
+    w = Window.partitionBy(*keys).orderBy("h", "v")
+    return (
+        parts.select(*keys, "h", "v")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h", "v")
+    )
+
+
+def qs_quantiles(
+    sample: DataFrame,
+    keys: list[str],
+    pcts: tuple[int, ...] = QS_PCTS,
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a bottom-k sample: one row
+    per group with n_sample and a p<pct> column per requested integer
+    percentile — the value at rank ceil(pct%·n) in value order.
+
+    Rank arithmetic is integer-exact ((pct·n + 99) DIV 100): a float
+    ``ceil(0.9·n)`` can land on either side of an integer boundary
+    depending on the engine's rounding; the DIV form cannot."""
+    wv = Window.partitionBy(*keys).orderBy("v", "h")
+    wn = Window.partitionBy(*keys)
+    ranked = sample.withColumn("_vr", F.row_number().over(wv)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [F.max("_n").cast("bigint").alias("n_sample")]
+    for p in pcts:
+        rank_p = F.expr(f"({p} * _n + 99) DIV 100")
+        aggs.append(F.max(F.when(F.col("_vr") == rank_p, F.col("v"))).alias(f"p{p}"))
+    return ranked.groupBy(*keys).agg(*aggs)

@@ -43,6 +43,9 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # --- new late-r7: DSIR data selection (scores + Gumbel resample) ---
     "dsir_importance_scores",
     "dsir_resample_select",
+    # --- new late-r7: bottom-k quantile sketch (batch + merge law) ---
+    "sketch_quantiles_by_type",
+    "sketch_qs_stream_vs_batch",
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

@@ -223,3 +223,83 @@ def lm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lm = persist_slot(sink.counts(), "lm_stream_vs_batch.lm")
     return score_bigram_nll(holdout, lm)
+
+
+# shared DuckDB form of the bottom-k quantile sketch over events by
+# event_type (k = 256, nearest-rank p50/p90/p99 with integer-exact rank
+# arithmetic) — the batch query and the stream-vs-batch law both compare
+# against it (the merge law makes the streamed sample bit-identical)
+_QS_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(event_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), sel AS (
+  SELECT event_type, hv, v,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, v) AS rn
+  FROM h
+), samp AS (
+  SELECT event_type, hv, v,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, hv) AS vr,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM sel WHERE rn <= 256
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+  MAX(CASE WHEN vr = (50 * n + 99) // 100 THEN v END) AS p50,
+  MAX(CASE WHEN vr = (90 * n + 99) // 100 THEN v END) AS p90,
+  MAX(CASE WHEN vr = (99 * n + 99) // 100 THEN v END) AS p99
+FROM samp GROUP BY event_type
+"""
+
+
+@query("sketch_quantiles_by_type", oracle=_QS_ORACLE)
+def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch (functions/sketches.py): per event_type,
+    a deterministic 256-row uniform sample (the rows with the smallest
+    md5(event_id) hashes) and nearest-rank p50/p90/p99 of `value` read
+    from it. The third mergeable sketch beside KMV (distinct) and
+    count-min (frequency) — the monitoring read a consumer would run
+    continuously over a topic ("what does the value distribution look
+    like right now") without ever sorting the raw stream.
+
+    Scale: the persisted state is O(groups · k) regardless of corpus
+    size; at 100 TB the sample builds per segment/epoch and merges by
+    the k-smallest-of-union law (`sketch_qs_stream_vs_batch` proves the
+    equality); estimates are windows over ≤ k-row groups."""
+    from polar_spark.functions.sketches import qs_partial, qs_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return qs_quantiles(
+        qs_partial(ev, ["event_type"], "event_id", "value", k=256),
+        ["event_type"],
+    )
+
+
+@query("sketch_qs_stream_vs_batch", oracle=_QS_ORACLE)
+def sketch_qs_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type bottom-k quantile sample maintained across three
+    ingest epochs (StreamingQuantile epoch store): each epoch keeps its
+    ≤ k smallest-id-hash rows, the live read re-selects the bottom-k
+    over the union — the k-smallest-of-union law makes the streamed
+    sample (hence every nearest-rank quantile) bit-identical to the
+    one-shot sketch, which is the DuckDB oracle here.
+
+    Scale: per-epoch partial is O(groups · k); reads merge
+    O(epochs · groups · k) stored rows — never the raw stream."""
+    from polar_spark.streaming.sketches import StreamingQuantile
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "qs")
+    sink = StreamingQuantile(
+        spark, os.path.join(root, "store"), ["event_type"], "event_id", "value", k=256
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    return sink.estimate()

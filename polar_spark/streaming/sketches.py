@@ -40,11 +40,16 @@ from polar_spark.functions.sketches import (
     CM_ROWS,
     CM_WIDTH,
     DEFAULT_K,
+    QS_K,
+    QS_PCTS,
     _k_smallest_hashes,
     _kmv_estimate,
     cm_counters,
     cm_estimate,
     kmv_partial,
+    qs_partial,
+    qs_quantiles,
+    qs_select,
 )
 from polar_spark.streaming.dedup import EpochLedger, epoch_tag
 from polar_spark.streaming.ingest import _sink_instance_key, start_epoch_sink
@@ -249,3 +254,49 @@ class StreamingKMV(_EpochPartialSink):
         return _kmv_estimate(
             _k_smallest_hashes(stored, self.keys, self.k), self.keys, self.k
         )
+
+
+class StreamingQuantile(_EpochPartialSink):
+    """Per-group bottom-k quantile sample maintained per micro-batch:
+    each epoch stores its groups' ≤ k smallest-id-hash rows (with
+    values); the live estimate re-selects the bottom-k over the union —
+    the k-smallest-of-union law makes the streamed sample, and hence
+    every nearest-rank quantile read from it, bit-identical to the
+    one-shot batch sketch. Completes the mergeable trio: KMV
+    (distinct), count-min (frequency), bottom-k sample (quantiles)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        keys: list[str],
+        id_col: str,
+        value_col: str,
+        k: int = QS_K,
+    ):
+        super().__init__(spark, store_path)
+        self.keys = keys
+        self.id_col = id_col
+        self.value_col = value_col
+        self.k = k
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        return qs_partial(batch_df, self.keys, self.id_col, self.value_col, self.k)
+
+    def sample(self) -> DataFrame | None:
+        stored = self._stored()
+        if stored is None:
+            stored = self._empty_partial()
+            if stored is None:
+                return None
+        return qs_select(stored, self.keys, self.k)
+
+    def estimate(self, pcts: tuple[int, ...] = QS_PCTS) -> DataFrame:
+        sample = self.sample()
+        if sample is None:
+            schema = ", ".join(f"{c} string" for c in self.keys)
+            pcols = ", ".join(f"p{p} double" for p in pcts)
+            return self.spark.createDataFrame(
+                [], f"{schema}, n_sample bigint, {pcols}"
+            )
+        return qs_quantiles(sample, self.keys, pcts)

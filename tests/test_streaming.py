@@ -912,3 +912,86 @@ def test_streaming_lm_matches_one_shot_training(spark, sf_dir, tmp_path):
     assert got_counts == {
         (r["w1"], r["w2"]): r["c2"] for r in sink.counts().collect()
     }
+
+
+def test_streaming_quantile_matches_batch(spark, sf_dir, tmp_path):
+    """The bottom-k quantile sample maintained through a real
+    file-stream (one file per micro-batch) must read back bit-identical
+    to the one-shot batch sketch — sample AND nearest-rank estimates —
+    plus replay idempotency and NULL-value semantics."""
+    from polar_spark.functions.sketches import qs_partial, qs_quantiles
+    from polar_spark.streaming.sketches import StreamingQuantile
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "qs_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    qs = StreamingQuantile(
+        spark,
+        str(tmp_path / "qs_store"),
+        keys=["event_type"],
+        id_col="event_id",
+        value_col="value",
+        k=64,
+    )
+    q = qs.start(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "qs_cp"),
+    )
+    q.awaitTermination(180)
+
+    got_sample = {
+        (r["event_type"], r["h"], r["v"]) for r in qs.sample().collect()
+    }
+    want_sample = {
+        (r["event_type"], r["h"], r["v"])
+        for r in qs_partial(snap, ["event_type"], "event_id", "value", k=64).collect()
+    }
+    assert got_sample == want_sample  # k-smallest-of-union, bit-identical
+
+    got = {tuple(r) for r in qs.estimate().collect()}
+    want = {
+        tuple(r)
+        for r in qs_quantiles(
+            qs_partial(snap, ["event_type"], "event_id", "value", k=64),
+            ["event_type"],
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # replay idempotency: re-applying a recorded mid-stream epoch is a no-op
+    assert qs.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "qs_cp")) is False
+    assert got == {tuple(r) for r in qs.estimate().collect()}
+
+
+def test_qs_quantiles_python_reference(spark):
+    """Nearest-rank estimates equal a pure-Python replica on a corpus
+    with duplicated values and NULLs: NULL values are excluded, the
+    sample is the k smallest md5(id) hashes, and each p-quantile is the
+    value at integer rank ceil(p%·n) in value order."""
+    import hashlib
+    import math
+
+    from polar_spark.functions.sketches import qs_partial, qs_quantiles
+
+    rows = [(i, "g", float(i % 7) if i % 11 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, g string, value double")
+    k = 32
+    hashed = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), v)
+        for i, _, v in rows
+        if v is not None
+    )
+    sample = sorted(v for _, v in hashed[:k])
+    n = len(sample)
+    want = {
+        p: sample[math.ceil(p * n / 100) - 1] for p in (50, 90, 99)
+    }
+    got = qs_quantiles(
+        qs_partial(df, ["g"], "id", "value", k=k), ["g"]
+    ).collect()[0]
+    assert got["n_sample"] == n == k
+    assert (got["p50"], got["p90"], got["p99"]) == (want[50], want[90], want[99])
