@@ -87,6 +87,12 @@ HEADLINE = [
     "tfidf_top_terms_per_source",
     "lm_bigram_nll_score",
     "weighted_sample_per_source",
+    # late-r7: the two new TPC-H dwarfs with fact-fact work, DSIR
+    # selection, and the quantile sketch
+    "q12_late_lines_by_status",
+    "q21_waiting_suppliers",
+    "dsir_importance_scores",
+    "sketch_quantiles_by_type",
 ]
 
 
@@ -167,6 +173,12 @@ SCALE_HEADLINE = [
     # window pass — both should scale with the scan
     "lm_bigram_nll_score",
     "weighted_sample_per_source",
+    # late-r7: DSIR (bucket-bounded shuffle + map-side doc sum) and the
+    # bottom-k quantile sample (O(groups·k) state) must scale with the
+    # scan; q21's per-order aggregation rides the orderkey shuffle
+    "dsir_importance_scores",
+    "sketch_quantiles_by_type",
+    "q21_waiting_suppliers",
 ]
 
 
