@@ -92,33 +92,36 @@ def hashed_grams(docs: DataFrame, m: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def dsir_log_weights(
-    docs: DataFrame,
-    target: Column,
-    m: int = 4096,
-    id_col: str = "doc_id",
+def bucket_counts(
+    docs: DataFrame, target: Column, m: int = 4096, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document DSIR log importance weight against an in-pool target.
-
-    ``target`` is a boolean Column marking the target subset (the common
-    in-pool case, e.g. ``lang == 'en'`` or a curated-source flag; a
-    physically separate target corpus unions in with such a flag). Both
-    multinomials come out of ONE bucket aggregation via a conditional
-    count — the target pass is free.
-
-    Returns (id_col, lang?, n_grams bigint, logw decimal(38,9)) — one
-    row per input document, including target ones (their weights are
-    meaningful: DSIR's sanity check is that target docs score high).
-    """
-    keep = [c for c in docs.columns if c not in ("text",)]
+    """The DSIR model STATE: per-bucket raw (``cq``) and target (``cp``)
+    occurrence counts, from ONE aggregation (the target pass is a free
+    conditional count since the target is in-pool). Counts are ADDITIVE
+    — partials built per micro-batch/segment merge by summation into
+    exactly the one-shot counts, which is what lets a streaming sink
+    (streaming/dsir.py) maintain the model continuously."""
     grams = hashed_grams(docs, m, id_col=id_col).withColumn(
         "_tgt", target.cast("boolean")
     )
-    # ONE m-bounded shuffle: raw + target occurrence counts per bucket
-    buckets = grams.groupBy("bucket").agg(
+    return grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cq"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("cp"),
     )
+
+
+def score_against_counts(
+    docs: DataFrame, buckets: DataFrame, m: int = 4096, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents against a prebuilt bucket-count model (the
+    λ/κ construction of the module docstring). Unseen buckets (possible
+    when the model was trained on a different corpus than the one being
+    scored) contribute ``ln 1 - ln 1 = 0``, matching add-one smoothing.
+
+    Returns (docs' non-text columns…, n_grams bigint, logw
+    decimal(38,9)) — one row per input document."""
+    keep = [c for c in docs.columns if c not in ("text",)]
+    grams = hashed_grams(docs, m, id_col=id_col)
     lam = buckets.select(
         "bucket",
         (_round9(F.log(F.col("cp") + 1)) - _round9(F.log(F.col("cq") + 1))).alias(
@@ -134,15 +137,37 @@ def dsir_log_weights(
         ).alias("_kappa")
     )
     scored = (
-        grams.join(F.broadcast(lam), "bucket")
+        grams.join(F.broadcast(lam), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(*keep)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_lam") + F.col("_kappa")).cast(_DEC9)).alias("logw"),
+            F.sum(
+                (F.coalesce(F.col("_lam"), F.lit(0).cast(_DEC9)) + F.col("_kappa"))
+                .cast(_DEC9)
+            ).alias("logw"),
         )
     )
     return scored
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column,
+    m: int = 4096,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight against an in-pool target.
+
+    ``target`` is a boolean Column marking the target subset (the common
+    in-pool case, e.g. ``lang == 'en'`` or a curated-source flag; a
+    physically separate target corpus unions in with such a flag).
+    One-shot form: model counts and scores over the same corpus — every
+    doc's grams are in the model, so the left-join never misses.
+    """
+    return score_against_counts(
+        docs, bucket_counts(docs, target, m, id_col), m, id_col
+    )
 
 
 def gumbel_key(id_col: Column, logw: Column) -> Column:

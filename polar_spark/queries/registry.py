@@ -46,6 +46,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # --- new late-r7: bottom-k quantile sketch (batch + merge law) ---
     "sketch_quantiles_by_type",
     "sketch_qs_stream_vs_batch",
+    "dsir_stream_vs_batch",
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

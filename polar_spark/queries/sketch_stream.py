@@ -27,6 +27,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table
@@ -303,3 +304,46 @@ def sketch_qs_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _built_once(root, build)
     return sink.estimate()
+
+
+def _dsir_batch_oracle() -> str:
+    from polar_spark.queries.pipeline_ops import _DSIR_CTES
+
+    return f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, lang, n_grams, CAST(logw AS DOUBLE) AS logw
+FROM scored
+"""
+
+
+@query("dsir_stream_vs_batch", oracle=_dsir_batch_oracle())
+def dsir_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR hashed-ngram importance model built ACROSS three ingest
+    epochs (StreamingDSIR epoch store: per-batch m-bounded bucket-count
+    partials, summed at read) scores the full corpus BIT-identically to
+    the one-shot `dsir_importance_scores` — count additivity makes the
+    equality exact, so the streamed path inherits the batch query's
+    full value-hash DuckDB oracle.
+
+    Scale: each epoch's partial is O(m)=4096 rows after map-side
+    combine, independent of batch size; scoring merges O(epochs · m)
+    stored rows and then runs the batch scoring plan — never re-scans
+    ingest history."""
+    from polar_spark.streaming.dsir import StreamingDSIR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = _store_root(spark, sf_dir, "dsir")
+    sink = StreamingDSIR(
+        spark, os.path.join(root, "store"), target="lang = 'en'", m=4096
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(
+            ("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2")
+        ):
+            sink.apply_batch(docs.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    return sink.score(docs).select(
+        "doc_id", "lang", "n_grams", F.col("logw").cast("double").alias("logw")
+    )

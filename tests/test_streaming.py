@@ -995,3 +995,91 @@ def test_qs_quantiles_python_reference(spark):
     ).collect()[0]
     assert got["n_sample"] == n == k
     assert (got["p50"], got["p90"], got["p99"]) == (want[50], want[90], want[99])
+
+
+def test_streaming_dsir_matches_batch(spark, sf_dir, tmp_path):
+    """The DSIR bucket-count model maintained through a real file-stream
+    must score bit-identically to the one-shot model (count additivity),
+    stay replay-idempotent, and handle scoring docs whose grams the
+    model never saw (unseen buckets contribute 0, the add-one-smoothing
+    limit)."""
+    from pyspark.sql import functions as SF
+
+    from polar_spark.functions.dsir import dsir_log_weights
+    from polar_spark.streaming.dsir import StreamingDSIR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src = str(tmp_path / "dsir_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    sink = StreamingDSIR(
+        spark, str(tmp_path / "dsir_store"), target="lang = 'en'", m=512
+    )
+    q = sink.start(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "dsir_cp"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_grams"], str(r["logw"]))
+        for r in sink.score(snap).collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["n_grams"], str(r["logw"]))
+        for r in dsir_log_weights(snap, SF.col("lang") == "en", m=512).collect()
+    }
+    assert got == want and len(got) == snap.count()
+
+    # replay idempotency: re-applying a recorded mid-stream epoch is a no-op
+    assert sink.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "dsir_cp")) is False
+
+    # cross-corpus scoring: a model trained on a TINY corpus leaves most
+    # buckets empty, so scoring a foreign doc exercises the left-join
+    # path — unseen buckets contribute exactly 0 (+kappa). Pinned by a
+    # full hashlib/Decimal replica.
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from polar_spark.functions.dsir import bucket_counts, score_against_counts
+
+    def r9(x):
+        return Decimal(str(round(x, 9)))
+
+    def buckets_of(text, m=4096):
+        w = text.split(" ")
+        grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % m for g in grams]
+
+    tiny = [(1, "en", "the cat sat"), (2, "de", "der hund lief schnell")]
+    model = bucket_counts(
+        spark.createDataFrame(tiny, "doc_id long, lang string, text string"),
+        SF.col("lang") == "en",
+    )
+    cq: dict[int, int] = {}
+    cp: dict[int, int] = {}
+    for _, lang, text in tiny:
+        for b in buckets_of(text):
+            cq[b] = cq.get(b, 0) + 1
+            if lang == "en":
+                cp[b] = cp.get(b, 0) + 1
+    kappa = r9(math.log(sum(cq.values()) + 4096)) - r9(math.log(sum(cp.values()) + 4096))
+    alien = spark.createDataFrame(
+        [(99, "xx", "zzqqy wwvvk the")], "doc_id long, lang string, text string"
+    )
+    want_logw = sum(
+        (
+            (r9(math.log(cp.get(b, 0) + 1)) - r9(math.log(cq[b] + 1)))
+            if b in cq
+            else Decimal(0)
+        )
+        + kappa
+        for b in buckets_of("zzqqy wwvvk the")
+    )
+    row = score_against_counts(alien, model).collect()[0]
+    assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
+    assert Decimal(str(row["logw"])) == want_logw
