@@ -176,18 +176,55 @@ def kmv_partial(
         # plan): the naive single pass serves
         return _k_smallest_hashes(hashed, keys, k)
 
+    sel = _prefiltered_selection(
+        hashed,
+        keys,
+        k,
+        {tuple(r[kk] for kk in keys): r["_nd"] for r in stats},
+        _k_smallest_hashes,
+        "kmv_partial.selection",
+    )
+    return sel if sel is not None else _k_smallest_hashes(hashed, keys, k)
+
+
+def _prefiltered_selection(
+    hashed: DataFrame,
+    keys: list[str],
+    k: int,
+    denom_by_group: dict[tuple, int],
+    select_fn,
+    trace_label: str,
+) -> DataFrame | None:
+    """The shared threshold-prefilter discipline behind the KMV sketch
+    and the bottom-k quantile sample: given per-group hash-space
+    denominators (KMV: estimated DISTINCT count; quantile sample:
+    estimated ROW count — in both cases the k-th smallest hash of a
+    group with denominator n_d concentrates at k/n_d of the hash
+    space), filter each active group to ``h ≤ 2^60·SAFETY·k/n_d``
+    before the selection window, so the window's exchange carries a
+    BOUNDED candidate set per group instead of the corpus.
+
+    Returns None when no threshold is active (caller runs the naive
+    single-pass plan — no filter, no extra materialization). Exactness
+    is never delegated to the estimates: the filtered selection is
+    materialized (traced for the plan audit) and any group whose
+    threshold was APPLIED yet yielded < k rows is deterministically
+    recomputed unfiltered, so output is bit-identical to the naive
+    path. Groups that are unmapped — inactive threshold, missed by the
+    sampling, NULL key components, or separator-bearing key encodings
+    (the injectivity rules below) — pass through the coalesce-keep
+    unfiltered, which is always exact."""
+
     def _thr(nd: int) -> int | None:
         if nd <= KMV_PREFILTER_SAFETY * k:
             return None  # inactive: group passes through unfiltered
         return int(float(_HASH_CEIL) * KMV_PREFILTER_SAFETY * k / nd)
 
     thr_map = {
-        tuple(r[kk] for kk in keys): t
-        for r in stats
-        if (t := _thr(r["_nd"])) is not None
+        kt: t for kt, nd in denom_by_group.items() if (t := _thr(nd)) is not None
     }
     if not thr_map:
-        return _k_smallest_hashes(hashed, keys, k)  # all inactive
+        return None  # all inactive
     if len(keys) == 1:
         # native-typed map key: the per-row cast+concat of the general
         # encoding is pure overhead with one grouping column
@@ -216,7 +253,7 @@ def kmv_partial(
             for x in (F.lit("\x1f".join(str(v) for v in kt)), F.lit(t))
         ]
     if not map_items:
-        return _k_smallest_hashes(hashed, keys, k)
+        return None
     thr_lit = F.create_map(*map_items)
     # unmapped groups (inactive threshold, missed by the sample, or a
     # NULL single-key) must KEEP their rows: element_at yields NULL for
@@ -228,7 +265,7 @@ def kmv_partial(
     from polar_spark.plans.audit_trace import note_materialization
 
     sel = note_materialization(
-        _k_smallest_hashes(kept, keys, k), "kmv_partial.selection"
+        select_fn(kept, keys, k), trace_label
     ).localCheckpoint(eager=True)
     # deterministic exactness check: a group whose threshold was
     # APPLIED (present in the literal map — a NULL single-key group
@@ -263,7 +300,7 @@ def kmv_partial(
     # null-safe retention: a NULL single-key makes `isin` yield NULL,
     # and `~NULL` would silently drop that group's selection rows
     in_flagged = F.coalesce(in_flagged, F.lit(False))
-    exact_fb = _k_smallest_hashes(hashed.filter(in_flagged), keys, k)
+    exact_fb = select_fn(hashed.filter(in_flagged), keys, k)
     return sel.filter(~in_flagged).unionByName(exact_fb)
 
 
@@ -414,19 +451,29 @@ def qs_partial(
     id_col: str,
     value_col: str,
     k: int = QS_K,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Per-group bottom-k sample state: (keys…, h, v) — the ≤ k rows
     with the smallest id hashes, their values along. NULL values are
     dropped (quantile semantics ignore NULLs, matching percentile
     functions in both engines).
 
-    Scale: one codegen hash pass; the selection window runs per group
-    over the hash order — the exchange carries rows, but map-side
-    partial top-k is not available for row samples (unlike KMV's
-    distinct state the sample must keep duplicate values); the state
-    that persists is O(groups · k), independent of corpus size, and at
-    100 TB the partial is built per segment/epoch (streaming sink
-    below) so no single selection ever sees the full corpus."""
+    Scale: the naive selection window shuffles EVERY row into |groups|
+    tasks — with few groups (the common monitoring shape: 5 event
+    types) that is a handful of tasks sorting the whole corpus, a
+    scale-killer. So the same threshold-prefilter discipline as
+    kmv_partial applies, with the ROW count as the denominator (ids are
+    unique, so the k-th smallest id-hash of an n-row group concentrates
+    at k/n of the hash space — for a row sample the row count is the
+    RIGHT key, exactly where it was wrong for KMV's distinct state): a
+    ~2% sampled count pass resolves per-group thresholds driver-side,
+    active groups prefilter to ``h ≤ 2^60·SAFETY·k/n`` so the window's
+    exchange carries O(SAFETY·k) candidates per group regardless of
+    corpus size, and any applied-threshold group returning < k rows is
+    deterministically recomputed unfiltered — output bit-identical to
+    the naive path (shared `_prefiltered_selection` machinery). The
+    persisted state is O(groups · k); micro-batch callers (streaming
+    sink) pass ``prefilter=False``."""
     h = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("bigint")
@@ -437,7 +484,30 @@ def qs_partial(
         .select(*keys, h, F.col(value_col).cast("double").alias("v"))
         .filter(F.col("h").isNotNull())
     )
-    return qs_select(hashed, keys, k)
+    if not prefilter:
+        return qs_select(hashed, keys, k)
+    # sampled ROW-count estimate per group (cheap: no hashing in the
+    # stats pass). Unlike the HLL it can err high as well as low — a
+    # high estimate tightens the threshold, which the deterministic
+    # < k recompute catches; SAFETY=64 makes that astronomically rare
+    # at the corpus sizes where the filter engages at all.
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .sample(KMV_PREFILTER_SAMPLE, seed=7)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not stats or len(stats) > KMV_PREFILTER_MAX_GROUPS:
+        return qs_select(hashed, keys, k)
+    est = {
+        tuple(r[kk] for kk in keys): int(r["_n"] / KMV_PREFILTER_SAMPLE)
+        for r in stats
+    }
+    sel = _prefiltered_selection(
+        hashed, keys, k, est, qs_select, "qs_partial.selection"
+    )
+    return sel if sel is not None else qs_select(hashed, keys, k)
 
 
 def qs_select(parts: DataFrame, keys: list[str], k: int = QS_K) -> DataFrame:
