@@ -602,23 +602,32 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied at the per-part minimum are returned (no LIMIT: the output is
     bounded by |parts with p_size=15| and fully deterministic).
 
-    Scale: ONE fact shuffle builds the (part,supplier) aggregate with
-    map-side partials; the size-15 part filter broadcasts onto it before
-    anything else, so the correlated min runs as a window over a
-    dimension-sized slice (partitionBy part — groups are |suppliers per
-    part|); supplier/nation/region all broadcast. No fact-fact join.
+    Scale: the size-15 part filter broadcasts onto the fact scan BEFORE
+    the aggregation (only filtered-part rows are ever aggregated — the
+    subquery's cost table restricted to the parts the outer query can
+    reference, value-identical); ONE shuffle then builds the
+    (part,supplier) aggregate with map-side partials, and the
+    correlated min runs as a window over a dimension-sized slice
+    (partitionBy part — groups are |suppliers per part|);
+    supplier/nation/region all broadcast. No fact-fact join.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cost = l.groupBy(
-        F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
-    ).agg(F.sum(_dec("l_quantity")).alias("supply_qty"))
+    cost = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("c_partkey"),
+            F.col("l_suppkey").alias("c_suppkey"),
+            "p_partkey",
+            "p_name",
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("supply_qty"))
+    )
     eu = (
-        cost.join(F.broadcast(p), F.col("c_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("c_suppkey") == s.s_suppkey)
+        cost.join(F.broadcast(s), F.col("c_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
@@ -814,14 +823,18 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity (``sup_qty * 5 > tot_qty``, exact decimal) — the
     nested-IN-with-correlated-aggregate dwarf is intact.
 
-    Scale: ONE fact pass builds the (supplier,part) aggregate; the
+    Scale: the '%bolt%' part filter broadcasts onto the fact scan
+    BEFORE any aggregation (only qualifying-part rows are aggregated —
+    the subquery never references other parts, value-identical); ONE
+    reduced fact pass builds the (supplier,part) aggregate; the
     per-part total re-aggregates that already-reduced result (no second
     fact scan — decimal sums re-associate exactly) and broadcasts back;
-    the part name filter broadcasts; the IN becomes a broadcast semi
-    join (the eligible set is bounded by qualifying (supplier,part)
-    pairs — dimension-sized), so the supplier table never shuffles.
-    Region filter on the broadcast nation dimension.
+    the IN becomes a broadcast semi join (the eligible set is bounded
+    by qualifying (supplier,part) pairs — dimension-sized), so the
+    supplier table never shuffles. Region filter on the broadcast
+    nation dimension.
     """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     l = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -829,6 +842,7 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
     sup_part = l.groupBy(
         F.col("l_suppkey").alias("sp_suppkey"), F.col("l_partkey").alias("sp_partkey")
@@ -836,10 +850,8 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_tot = sup_part.groupBy(F.col("sp_partkey").alias("pt_partkey")).agg(
         F.sum("sup_qty").alias("tot_qty")
     )
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     eligible = (
         sup_part.join(F.broadcast(part_tot), F.col("sp_partkey") == F.col("pt_partkey"))
-        .join(F.broadcast(p), F.col("sp_partkey") == p.p_partkey)
         .filter(F.col("sup_qty") * F.lit(5) > F.col("tot_qty"))
         .select("sp_suppkey")
     )

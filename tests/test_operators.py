@@ -1376,3 +1376,56 @@ def test_dsir_hashed_grams_edges(spark):
     assert all(
         0 <= r["bucket"] < 64 for r in hashed_grams(df, 64).collect()
     )
+
+
+def test_qs_prefilter_parity_and_fallback(spark):
+    """The quantile sample's threshold prefilter must be bit-identical
+    to the naive path when ACTIVE (a corpus big enough to engage it),
+    and the deterministic < k recompute must restore exactness when a
+    threshold proves too tight (forced via an inflated denominator)."""
+    from polar_spark.functions.sketches import (
+        _prefiltered_selection,
+        qs_partial,
+        qs_select,
+    )
+
+    n = 400_000
+    k = 16  # activates at > SAFETY*k = 1024 rows per group
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "id",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+            "CAST(id % 997 AS DOUBLE) AS value",
+        )
+    )
+    naive = {
+        tuple(r) for r in qs_partial(df, ["g"], "id", "value", k, prefilter=False).collect()
+    }
+    pre = {
+        tuple(r) for r in qs_partial(df, ["g"], "id", "value", k, prefilter=True).collect()
+    }
+    assert pre == naive and len(naive) == 2 * k
+
+    # forced fallback: a denominator 100x the true row count makes the
+    # threshold ~100x too tight, so kept-per-group lands far short of k
+    # and the recompute path must serve the exact selection anyway
+    from pyspark.sql import functions as SF
+
+    hashed = df.select(
+        "g",
+        SF.conv(SF.substring(SF.md5(SF.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        SF.col("value").alias("v"),
+    )
+    forced = _prefiltered_selection(
+        hashed,
+        ["g"],
+        k,
+        {("a",): n * 100, ("b",): n * 100},
+        qs_select,
+        "test.qs.forced",
+    )
+    assert forced is not None
+    assert {tuple(r) for r in forced.collect()} == naive
