@@ -93,6 +93,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "dsir_importance_scores",
     "sketch_quantiles_by_type",
+    "kmeans_lloyd_quantized",
 ]
 
 

@@ -47,6 +47,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "sketch_quantiles_by_type",
     "sketch_qs_stream_vs_batch",
     "dsir_stream_vs_batch",
+    "kmeans_lloyd_quantized",
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

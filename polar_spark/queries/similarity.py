@@ -669,3 +669,137 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         queries, cands, k=5, exclude_on=("qlabel", "label")
     ).select("qid", "vec_id", "label", "dot", "rn")
+
+
+_KM_HV = """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d)"""
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(range(1, 65),"
+    " j -> (q.v[j] - i.c[j]) * (q.v[j] - i.c[j]))) AS BIGINT)"
+)
+
+
+def _km_assign_sql(cent_cte: str) -> str:
+    return f"""
+  SELECT vec_id, v, cl, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM (
+      SELECT q.vec_id, q.v, i.cl, {_KM_DIST} AS d
+      FROM qv q CROSS JOIN {cent_cte} i))
+  WHERE rn = 1"""
+
+
+@query(
+    "kmeans_lloyd_quantized",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, {_QV} AS v, {_KM_HV} AS hv FROM embeddings
+), init AS (
+  SELECT v AS c, ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS cl
+  FROM qv QUALIFY ROW_NUMBER() OVER (ORDER BY hv, vec_id) <= 8
+), a1 AS ({_km_assign_sql("init")}
+), sums AS (
+  SELECT cl, j, SUM(v[j]) AS s, COUNT(*) AS n
+  FROM a1 CROSS JOIN range(1, 65) t(j) GROUP BY cl, j
+), cent2 AS (
+  SELECT cl, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY j) AS c
+  FROM sums GROUP BY cl
+), a2 AS ({_km_assign_sql("cent2")}
+)
+SELECT CAST(cl AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d) AS BIGINT) AS ssd
+FROM a2 GROUP BY cl
+""",
+)
+def kmeans_lloyd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic Lloyd k-means (Lloyd 1982), two fixed
+    iterations, k=8, over the quantized int64 embeddings: deterministic
+    init (the 8 vectors with the smallest md5(vec_id) hashes), integer
+    squared-L2 assignment, floor-of-mean centroid updates — every step
+    a pure function of the data, so the FULL iterative algorithm is
+    value-hash-checked by a DuckDB oracle (upgrading the evidence class
+    of the k-means family: `knn_ivf_trained`'s open-iteration float
+    codebook remains rows-only by design; this query pins the same
+    Lloyd mechanics exactly).
+
+    Scale (the 100 TB shape for one Lloyd pass): the ASSIGNMENT is a
+    zero-shuffle codegen map — the k×d centroid model folds into the
+    expression as literals (the KMV-threshold-map discipline), so the
+    corpus streams through `F.aggregate` over 8 centroid structs with
+    no join, no window, no expansion; the UPDATE shuffles only O(k·d)
+    per-dimension partial sums after map-side combine (posexplode rows
+    never cross the wire raw); the two driver-side actions are bounded
+    (top-8 TakeOrdered init, the 8×64 sum table). Iterations are fixed
+    so the plan stays static and oracle-expressible.
+    """
+    K, D = 8, 64
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        quantize("embedding").alias("v"),
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    init_rows = qv.orderBy("hv", "vec_id").limit(K).select("v").collect()
+    cents = [(cl, [int(x) for x in r["v"]]) for cl, r in enumerate(init_rows)]
+
+    def assign(cent_list):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cl).alias("cl"),
+                    F.array(*[F.lit(x).cast("bigint") for x in c]).alias("c"),
+                )
+                for cl, c in cent_list
+            ]
+        )
+        acc0 = F.struct(
+            F.lit(1 << 62).cast("bigint").alias("d"), F.lit(-1).alias("cl")
+        )
+
+        def step(acc, cent):
+            d = F.aggregate(
+                F.zip_with(F.col("v"), cent["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            )
+            # strict < with ascending-cl iteration == ORDER BY d, cl
+            return F.when(
+                d < acc["d"], F.struct(d.alias("d"), cent["cl"].alias("cl"))
+            ).otherwise(acc)
+
+        best = F.aggregate(arr, acc0, step)
+        return qv.withColumn("_b", best).select(
+            "vec_id",
+            "v",
+            F.col("_b.cl").alias("cl"),
+            F.col("_b.d").alias("d"),
+        )
+
+    a1 = assign(cents)
+    sums = (
+        a1.select("cl", F.posexplode("v").alias("j", "x"))
+        .groupBy("cl", "j")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math
+
+    by_cl: dict[int, dict[int, int]] = {}
+    n_cl: dict[int, int] = {}
+    for r in sums:
+        by_cl.setdefault(r["cl"], {})[r["j"]] = r["s"]
+        n_cl[r["cl"]] = r["n"]
+    # floor of IEEE double division — identical in Spark/DuckDB/Python
+    # (house precedent: embedding_outlier_centroid's oracle)
+    cents2 = [
+        (cl, [int(math.floor(by_cl[cl][j] / n_cl[cl])) for j in range(D)])
+        for cl in sorted(by_cl)
+    ]
+    a2 = assign(cents2)
+    return a2.groupBy(F.col("cl").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("d").cast("bigint").alias("ssd"),
+    )
