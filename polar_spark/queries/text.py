@@ -497,3 +497,131 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "term", "tf", "df", "score", "rnk")
     )
+
+
+# The three-term ranked-retrieval probe for bm25_topk_docs. Literals by
+# design: a search REQUEST is a constant from the engine's viewpoint, so
+# the per-term tf/df machinery is conditional aggregation over a
+# pushed-down `term IN (...)` filter — the plan a real query-serving
+# path wants at 100 TB (posting traversal, not corpus re-scan).
+BM25_TERMS = ("dup", "vector", "join")
+_BM25_ORACLE_TERM = """
+    (n_docs - df{i} + CAST(0.5 AS DOUBLE)) / (df{i} + CAST(0.5 AS DOUBLE))
+      * tf{i} * CAST(2.2 AS DOUBLE)
+      / (tf{i} + CAST(1.2 AS DOUBLE)
+         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ndl)) AS s{i}"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), corp AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tok FROM dl
+), qtf AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (term = 'dup')    AS tf1,
+    COUNT(*) FILTER (term = 'vector') AS tf2,
+    COUNT(*) FILTER (term = 'join')   AS tf3
+  FROM tok WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id
+), dfs AS (
+  SELECT
+    COUNT(*) FILTER (tf1 > 0) AS df1,
+    COUNT(*) FILTER (tf2 > 0) AS df2,
+    COUNT(*) FILTER (tf3 > 0) AS df3
+  FROM qtf
+), base AS (
+  SELECT q.doc_id, tf1, tf2, tf3, df1, df2, df3, n_docs,
+    CAST(dl.dl AS DOUBLE)
+      / (CAST(corp.total_tok AS DOUBLE) / corp.n_docs) AS ndl
+  FROM qtf q JOIN dl ON q.doc_id = dl.doc_id CROSS JOIN corp CROSS JOIN dfs
+), scored AS (
+  SELECT doc_id, tf1, tf2, tf3,{t1},{t2},{t3}
+  FROM base
+)
+SELECT doc_id, CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
+       CAST(tf3 AS BIGINT) AS tf3, s1 + s2 + s3 AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""".format(
+        t1=_BM25_ORACLE_TERM.format(i=1),
+        t2=_BM25_ORACLE_TERM.format(i=2),
+        t3=_BM25_ORACLE_TERM.format(i=3),
+    ),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents for a fixed three-term
+    query (Robertson/Sparck Jones probabilistic ranking — the scoring
+    the RETRO/REALM-style retrieval stages of a training pipeline run).
+    Log-free idf variant: idf = (N - df + 0.5)/(df + 0.5), the raw
+    Robertson odds ratio WITHOUT the log wrap — every arithmetic op is
+    then IEEE +,-,*,/ on exact integer inputs, bit-identical across
+    engines (libm's log is not correctly rounded; same choice as
+    tfidf_top_terms_per_source above). k1 = 1.2, b = 0.75, and the
+    per-term partials sum in FIXED textual order s1 + s2 + s3 — never a
+    float SUM() whose accumulation order the engine owns.
+
+    Scale: the `term IN (query)` filter cuts the posting stream to the
+    query's terms BEFORE any shuffle (tf per (doc, term-slot) is one
+    conditional-agg groupBy over that trickle); dl is the only full-
+    corpus aggregate (one count per doc, map-side combined); N/avgdl
+    and the three dfs are 1-row broadcasts. Top-10 is TakeOrdered —
+    no global sort. At 100 TB the dl aggregate is the cost; a serving
+    deployment materializes it once (it is query-independent) exactly
+    like the IVF cell store, leaving per-query cost proportional to the
+    posting lists of the query terms alone.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = parallelize_small_scan(d).select(
+        "doc_id",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tfs = [F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i + 1}")
+           for i, t in enumerate(BM25_TERMS)]
+    qtf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(*tfs)
+    )
+    dfs = qtf.agg(
+        *[F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
+          for i in range(len(BM25_TERMS))]
+    )
+    base = (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn(
+            "ndl",
+            F.col("dl").cast("double")
+            / (F.col("total_tok").cast("double") / F.col("n_docs")),
+        )
+    )
+
+    def _term_score(i: int):
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        return idf * tf * F.lit(2.2) / (
+            tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("ndl"))
+        )
+
+    return (
+        base.select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            "tf3",
+            (_term_score(1) + _term_score(2) + _term_score(3)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
