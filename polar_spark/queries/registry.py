@@ -48,6 +48,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "sketch_qs_stream_vs_batch",
     "dsir_stream_vs_batch",
     "kmeans_lloyd_quantized",
+    "bm25_topk_docs",            # new r7: never driver-sampled
+    "er_fuzzy_name_pairs",       # new r7: never driver-sampled
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled
