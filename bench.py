@@ -94,6 +94,8 @@ HEADLINE = [
     "dsir_importance_scores",
     "sketch_quantiles_by_type",
     "kmeans_lloyd_quantized",
+    "bm25_topk_docs",
+    "er_fuzzy_name_pairs",
 ]
 
 
@@ -180,6 +182,10 @@ SCALE_HEADLINE = [
     "dsir_importance_scores",
     "sketch_quantiles_by_type",
     "q21_waiting_suppliers",
+    # BM25: posting-list trickle + one dl aggregate — must scale with
+    # the documents scan (er_fuzzy_name_pairs excluded: part is a DIM
+    # the scaled corpus deliberately keeps fixed)
+    "bm25_topk_docs",
 ]
 
 

@@ -20,3 +20,4 @@ import polar_spark.queries.stream_join  # noqa: F401,E402
 import polar_spark.queries.pipeline_ops  # noqa: F401,E402
 import polar_spark.queries.quality  # noqa: F401,E402
 import polar_spark.queries.sketch_stream  # noqa: F401,E402
+import polar_spark.queries.graph  # noqa: F401,E402

@@ -50,6 +50,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "kmeans_lloyd_quantized",
     "bm25_topk_docs",            # new r7: never driver-sampled
     "er_fuzzy_name_pairs",       # new r7: never driver-sampled
+    "bm25_stream_vs_batch",      # new r7: never driver-sampled
+    "pagerank_event_graph",      # new r7: never driver-sampled
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

@@ -347,3 +347,44 @@ def dsir_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.score(docs).select(
         "doc_id", "lang", "n_grams", F.col("logw").cast("double").alias("logw")
     )
+
+
+from polar_spark.queries.text import BM25_ORACLE as _BM25_ORACLE
+
+
+@query("bm25_stream_vs_batch", oracle=_BM25_ORACLE)
+def bm25_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from CONTINUOUSLY-maintained corpus statistics
+    (StreamingCorpusStats epoch store: per-batch vocabulary-bounded
+    df/N/token partials, summed at read) must rank identically to the
+    one-shot `bm25_topk_docs` — df/doc/token counts are additive over
+    disjoint document batches, so the merged stats table is
+    BIT-identical to the batch build and the scores (shared fixed-order
+    expression, functions/retrieval.bm25_term_score) follow. The
+    oracle is the batch query's own SQL (queries/text.py BM25_ORACLE).
+
+    Scale: each epoch's partial is O(vocab) after map-side combine,
+    independent of batch size; serving merges O(epochs · vocab) stored
+    rows plus the query's term-filtered posting trickle — never the
+    raw stream."""
+    from polar_spark.functions.retrieval import bm25_topk_from_stats
+    from polar_spark.plans.cache import persist_slot
+    from polar_spark.queries.text import BM25_TERMS
+    from polar_spark.sources.tables import parallelize_small_scan
+    from polar_spark.streaming.retrieval import StreamingCorpusStats
+
+    d = load_table(spark, sf_dir, "documents")
+    root = _store_root(spark, sf_dir, "bm25")
+    sink = StreamingCorpusStats(spark, os.path.join(root, "store"))
+
+    def build() -> None:
+        for epoch, cond in enumerate(
+            ("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2")
+        ):
+            sink.apply_batch(d.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    stats = persist_slot(sink.stats(), "bm25_stream_vs_batch.stats")
+    return bm25_topk_from_stats(
+        parallelize_small_scan(d), stats, BM25_TERMS, k=10
+    )

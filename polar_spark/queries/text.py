@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from polar_spark.functions.retrieval import bm25_term_score
 from polar_spark.functions.text import (
     EN_STOPWORDS,
     TOKEN_PATTERN,
@@ -512,9 +513,7 @@ _BM25_ORACLE_TERM = """
          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ndl)) AS s{i}"""
 
 
-@query(
-    "bm25_topk_docs",
-    oracle="""
+BM25_ORACLE = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
   FROM documents
@@ -547,11 +546,13 @@ SELECT doc_id, CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
        CAST(tf3 AS BIGINT) AS tf3, s1 + s2 + s3 AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """.format(
-        t1=_BM25_ORACLE_TERM.format(i=1),
-        t2=_BM25_ORACLE_TERM.format(i=2),
-        t3=_BM25_ORACLE_TERM.format(i=3),
-    ),
+    t1=_BM25_ORACLE_TERM.format(i=1),
+    t2=_BM25_ORACLE_TERM.format(i=2),
+    t3=_BM25_ORACLE_TERM.format(i=3),
 )
+
+
+@query("bm25_topk_docs", oracle=BM25_ORACLE)
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval: top-10 documents for a fixed three-term
     query (Robertson/Sparck Jones probabilistic ranking — the scoring
@@ -606,12 +607,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _term_score(i: int):
-        tf = F.col(f"tf{i}")
-        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
-            F.col(f"df{i}") + F.lit(0.5)
-        )
-        return idf * tf * F.lit(2.2) / (
-            tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("ndl"))
+        # shared fixed-order expression (functions/retrieval.py) — the
+        # stats-table scorer and the streamed law query use the same one
+        return bm25_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n_docs"), F.col("ndl")
         )
 
     return (

@@ -1083,3 +1083,62 @@ def test_streaming_dsir_matches_batch(spark, sf_dir, tmp_path):
     row = score_against_counts(alien, model).collect()[0]
     assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
     assert Decimal(str(row["logw"])) == want_logw
+
+
+def test_streaming_corpus_stats_matches_one_shot(spark, sf_dir, tmp_path):
+    """StreamingCorpusStats built over file-per-trigger micro-batches
+    equals a one-shot corpus_term_stats build (df/doc/token additivity
+    over disjoint doc batches), BM25 served from the streamed table
+    equals the batch scorer, and replay of a recorded epoch is a no-op."""
+    from polar_spark.functions.retrieval import (
+        bm25_topk_from_stats,
+        corpus_term_stats,
+    )
+    from polar_spark.streaming.retrieval import StreamingCorpusStats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "bm_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    sink = StreamingCorpusStats(spark, str(tmp_path / "bm_store"))
+    q = sink.start(
+        spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "bm_cp"),
+    )
+    q.awaitTermination(180)
+
+    def as_map(stats_df):
+        return {
+            r["term"]: (r["df"], r["n_docs"], r["total_tok"])
+            for r in stats_df.collect()
+        }
+
+    got = as_map(sink.stats())
+    want = as_map(
+        corpus_term_stats(snap).groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tok").alias("total_tok"),
+        )
+    )
+    assert got == want and len(got) > 1 and None in got
+
+    terms = ("dup", "vector", "nosuchterm")  # includes a zero-df term
+    got_rank = [
+        (r["doc_id"], r["tf1"], r["tf2"], r["tf3"], r["score"])
+        for r in bm25_topk_from_stats(snap, sink.stats(), terms).collect()
+    ]
+    want_rank = [
+        (r["doc_id"], r["tf1"], r["tf2"], r["tf3"], r["score"])
+        for r in bm25_topk_from_stats(
+            snap, corpus_term_stats(snap), terms
+        ).collect()
+    ]
+    assert got_rank == want_rank and len(got_rank) == 10
+
+    # replay idempotency (mid-stream epoch): store unchanged
+    assert sink.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "bm_cp")) is False
+    assert got == as_map(sink.stats())
