@@ -96,6 +96,7 @@ HEADLINE = [
     "kmeans_lloyd_quantized",
     "bm25_topk_docs",
     "er_fuzzy_name_pairs",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -110,6 +110,74 @@ def bm25_term_score(tf, df, n_docs, ndl):
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """One-shot BM25 top-k: tokenize ``docs`` once and compute tf, dl,
+    N/avgdl and the per-term dfs from that single token stream (the
+    batch build — `bm25_topk_from_stats` is the serving split that
+    reads df/N/avgdl from a maintained table instead). Returns
+    (doc_id, tf1..tfn, score), top-k by (score desc, doc_id).
+
+    Scale: the `term IN (query)` filter cuts the posting stream to the
+    query's terms BEFORE any shuffle; dl is the only full-corpus
+    aggregate (map-side combined); N/avgdl and the dfs are 1-row
+    broadcasts; top-k is TakeOrdered — no global sort."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.coalesce(text_col, F.lit("")), " ")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    qtf = (
+        tok.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i + 1}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    dfs = qtf.agg(
+        *[
+            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ]
+    )
+    base = (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn(
+            "ndl",
+            F.col("dl").cast("double")
+            / (F.col("total_tok").cast("double") / F.col("n_docs")),
+        )
+    )
+    score = None
+    for i in range(1, len(terms) + 1):
+        s = bm25_term_score(
+            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n_docs"), F.col("ndl")
+        )
+        score = s if score is None else score + s
+    return (
+        base.select(
+            "doc_id",
+            *[f"tf{i + 1}" for i in range(len(terms))],
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 def bm25_topk_from_stats(
     docs: DataFrame,
     stats: DataFrame,

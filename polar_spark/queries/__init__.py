@@ -21,3 +21,4 @@ import polar_spark.queries.pipeline_ops  # noqa: F401,E402
 import polar_spark.queries.quality  # noqa: F401,E402
 import polar_spark.queries.sketch_stream  # noqa: F401,E402
 import polar_spark.queries.graph  # noqa: F401,E402
+import polar_spark.queries.hybrid  # noqa: F401,E402

@@ -52,6 +52,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "er_fuzzy_name_pairs",       # new r7: never driver-sampled
     "bm25_stream_vs_batch",      # new r7: never driver-sampled
     "pagerank_event_graph",      # new r7: never driver-sampled
+    "hybrid_rrf_retrieval",      # new r7: never driver-sampled
     "lm_bigram_nll_score",       # new r7: never driver-sampled
     "weighted_sample_per_source",  # new r7: never driver-sampled
     "lm_stream_vs_batch",          # new r7: never driver-sampled

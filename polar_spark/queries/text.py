@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from polar_spark.functions.retrieval import bm25_term_score
+from polar_spark.functions.retrieval import bm25_topk
 from polar_spark.functions.text import (
     EN_STOPWORDS,
     TOKEN_PATTERN,
@@ -576,51 +576,4 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists of the query terms alone.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = parallelize_small_scan(d).select(
-        "doc_id",
-        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corp = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
-    )
-    tfs = [F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i + 1}")
-           for i, t in enumerate(BM25_TERMS)]
-    qtf = (
-        tok.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id")
-        .agg(*tfs)
-    )
-    dfs = qtf.agg(
-        *[F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
-          for i in range(len(BM25_TERMS))]
-    )
-    base = (
-        qtf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(corp))
-        .crossJoin(F.broadcast(dfs))
-        .withColumn(
-            "ndl",
-            F.col("dl").cast("double")
-            / (F.col("total_tok").cast("double") / F.col("n_docs")),
-        )
-    )
-
-    def _term_score(i: int):
-        # shared fixed-order expression (functions/retrieval.py) — the
-        # stats-table scorer and the streamed law query use the same one
-        return bm25_term_score(
-            F.col(f"tf{i}"), F.col(f"df{i}"), F.col("n_docs"), F.col("ndl")
-        )
-
-    return (
-        base.select(
-            "doc_id",
-            "tf1",
-            "tf2",
-            "tf3",
-            (_term_score(1) + _term_score(2) + _term_score(3)).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
+    return bm25_topk(parallelize_small_scan(d), BM25_TERMS, k=10)
