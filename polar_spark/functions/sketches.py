@@ -547,3 +547,109 @@ def qs_quantiles(
         rank_p = F.expr(f"({p} * _n + 99) DIV 100")
         aggs.append(F.max(F.when(F.col("_vr") == rank_p, F.col("v"))).alias(f"p{p}"))
     return ranked.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog registers (md5-derived, max-merge). The module
+# docstring's objection to HLL is to ENGINE HLLs (Spark's
+# approx_count_distinct and DuckDB's approx hash/encode differently, so
+# they can never cross-check); registers built from the SAME md5-derived
+# 60-bit hash both engines already share for KMV are a pure function of
+# the data — the one HLL that IS oracle-checkable. Completes the merge-law
+# family: KMV = k-smallest-of-union, count-min = counter sum, quantile =
+# k-smallest, HLL = register-wise MAX — the only one whose merge is also
+# IDEMPOTENT (replaying a batch cannot change any register), the property
+# that makes HLL the sketch of choice for at-least-once pipelines.
+
+HLL_M = 64  # registers: the 60-bit hash's low 6 bits pick one
+# w = h DIV 64 leaves 54 hash bits; rank = leading-zero count + 1,
+# capped so 2^(CAP - rank) stays a small exact bigint everywhere
+HLL_RANK_CAP = 25
+# alpha_64 = 0.7213 / (1 + 1.079/64) as an exact rational
+_HLL_ALPHA_NUM = 70_937
+_HLL_ALPHA_DEN = 100_000
+# alpha_num * m^2 * 2^CAP — the estimator numerator, precomputed exact
+_HLL_EST_NUM = _HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RANK_CAP)
+
+
+def _hll_rank(w):
+    """Position of the highest set bit of the 54-bit column ``w``,
+    counted from the top (leading zeros + 1), capped at HLL_RANK_CAP.
+    A 24-branch comparison ladder: exact integer arithmetic in any
+    engine — float log2 misrounds near power-of-two boundaries."""
+    expr = None
+    for r in range(1, HLL_RANK_CAP):
+        cond = w >= F.lit(1 << (54 - r)).cast("bigint")
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    return expr.otherwise(HLL_RANK_CAP)
+
+
+def hll_register_partial(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register partial: (keys, reg_idx, reg_max) with
+    reg_max the highest rank observed among values hashing into the
+    register. NULL values are dropped (COUNT DISTINCT semantics, same
+    as KMV). Map-side combine collapses each task's rows to ≤ m rows
+    per group before the one register shuffle — partial size is
+    O(groups · m) regardless of input rows."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashed = df.select(*keys, h).filter(F.col("h").isNotNull())
+    regs = hashed.select(
+        *keys,
+        (F.col("h") % HLL_M).alias("reg_idx"),
+        _hll_rank(F.expr(f"h DIV {HLL_M}")).alias("rank"),
+    )
+    return regs.groupBy(*keys, "reg_idx").agg(F.max("rank").alias("reg_max"))
+
+
+def hll_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Register-wise max over partials. Max is associative, commutative
+    AND idempotent, so merged(any split, even overlapping) ≡ direct."""
+    return partials.groupBy(*keys, "reg_idx").agg(
+        F.max("reg_max").alias("reg_max")
+    )
+
+
+def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """The raw-HLL estimate from a merged register table, all-integer:
+
+      S = Σ_j 2^(CAP - M_j)   (absent registers contribute 2^CAP)
+      estimate = (alpha_num · m² · 2^CAP) DIV (alpha_den · S)
+
+    Flajolet et al.'s 2^-M_j harmonic sum scaled by 2^CAP so every term
+    is an exact bigint (the float sum's accumulation order would be
+    engine-owned). ``v_zero`` (empty-register count) is reported so a
+    consumer can apply its own small-range correction; the estimate
+    column is the uncorrected raw estimator by contract — its bias
+    below ~2.5m is documented, not hidden."""
+    per_group = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n_set"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_CAP} - reg_max)")
+        ).alias("_s_set"),
+    )
+    s = (
+        F.col("_s_set")
+        + (F.lit(HLL_M) - F.col("_n_set")) * F.lit(1 << HLL_RANK_CAP)
+    ).alias("s_sum")
+    return per_group.select(
+        *keys,
+        (F.lit(HLL_M) - F.col("_n_set")).cast("bigint").alias("v_zero"),
+        s.cast("bigint"),
+        F.expr(
+            f"CAST({_HLL_EST_NUM} AS BIGINT) DIV "
+            f"({_HLL_ALPHA_DEN} * (_s_set + ({HLL_M} - _n_set) * {1 << HLL_RANK_CAP}))"
+        ).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """One-shot per-group HLL estimate (build + estimate)."""
+    return hll_estimate(hll_register_partial(df, keys, value_col), keys)

@@ -46,6 +46,9 @@ from polar_spark.functions.sketches import (
     _kmv_estimate,
     cm_counters,
     cm_estimate,
+    hll_estimate,
+    hll_merge,
+    hll_register_partial,
     kmv_partial,
     qs_partial,
     qs_quantiles,
@@ -300,3 +303,45 @@ class StreamingQuantile(_EpochPartialSink):
                 [], f"{schema}, n_sample bigint, {pcols}"
             )
         return qs_quantiles(sample, self.keys, pcts)
+
+
+class StreamingHLL(_EpochPartialSink):
+    """Per-group HLL register table maintained per micro-batch: each
+    epoch stores O(groups · m) register partials; the live estimate
+    max-merges them (hll_merge). Max is associative, commutative and
+    IDEMPOTENT — alone in this module's family, a replayed or
+    overlapping batch cannot change any register, so the sketch is
+    correct even under at-least-once delivery; the epoch ledger here
+    only buys write hygiene (purge-on-reset, bounded store size)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        keys: list[str],
+        value_col: str,
+    ):
+        super().__init__(spark, store_path)
+        self.keys = keys
+        self.value_col = value_col
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        return hll_register_partial(batch_df, self.keys, self.value_col)
+
+    def registers(self) -> DataFrame | None:
+        stored = self._stored()
+        if stored is None:
+            stored = self._empty_partial()
+            if stored is None:
+                return None
+        return hll_merge(stored, self.keys)
+
+    def estimate(self) -> DataFrame:
+        regs = self.registers()
+        if regs is None:
+            schema = ", ".join(f"{c} string" for c in self.keys)
+            return self.spark.createDataFrame(
+                [],
+                f"{schema}, v_zero bigint, s_sum bigint, est_distinct bigint",
+            )
+        return hll_estimate(regs, self.keys)
