@@ -430,52 +430,26 @@ def mixture_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_bigram_nll_score",
-    oracle="""
-WITH tok AS (
-  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
-), big AS (
-  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
-  FROM tok, UNNEST(range(1, len(w))) AS t(i)
-), tr AS (
-  SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE doc_id % 10 < 8
-  GROUP BY w1, w2
-), c1 AS (
-  SELECT w1, SUM(c2) AS c1 FROM tr GROUP BY w1
-), cw AS (
-  SELECT w2, SUM(c2) AS cw FROM tr GROUP BY w2
-), tot AS (
-  SELECT SUM(c2) AS n_big, COUNT(DISTINCT w2) AS v_big FROM tr
-), sc AS (
-  SELECT big.doc_id,
-    CASE WHEN tr.c2 IS NOT NULL
-      THEN CAST(round(ln(c1.c1) - ln(tr.c2), 9) AS DECIMAL(28,9))
-      ELSE CAST(round(ln(2 * (tot.n_big + tot.v_big))
-                      - ln(coalesce(cw.cw, 0) + 1), 9) AS DECIMAL(28,9))
-    END AS nll
-  FROM big
-  LEFT JOIN tr ON big.w1 = tr.w1 AND big.w2 = tr.w2
-  LEFT JOIN c1 ON big.w1 = c1.w1
-  LEFT JOIN cw ON big.w2 = cw.w2
-  CROSS JOIN tot
-  WHERE big.doc_id % 10 >= 8
-)
-SELECT doc_id, COUNT(*) AS n_scored, SUM(nll) AS sum_nll,
-  CAST(FLOOR(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS INT) AS nll_bucket
-FROM sc GROUP BY doc_id
-""",
-)
+def _lm_oracle() -> str:
+    from polar_spark.functions.lm import lm_score_oracle_sql
+
+    return lm_score_oracle_sql("doc_id % 10 < 8", "big.doc_id % 10 >= 8")
+
+
+@query("lm_bigram_nll_score", oracle=_lm_oracle())
 def lm_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (arXiv:1911.00359): train a bigram
     stupid-backoff LM (Brants et al. 2007) on a deterministic 80% split
     (doc_id % 10 < 8), score the held-out 20% by summed negative
-    log-likelihood — the 'train a small LM once, score 100 TB with it'
-    pipeline shape. Per-token nll is ln of integer-count ratios rounded
-    to 9 dp and summed in exact decimal so aggregation order can never
-    drift the result (see functions/lm.py). The bigram table joins by
-    key — deliberately NOT broadcast: at web scale it is
-    vocabulary²-sized; (N, V) totals enter as a lazy 1-row broadcast."""
+    log-likelihood in exact integer nano-nats — the 'train a small LM
+    once, score 100 TB with it' pipeline shape. Every ln takes an
+    integer count and is computed by the portable fixed-IEEE-op
+    expression of functions/ln_portable.py (no engine transcendental;
+    Spark plan and DuckDB oracle share the generator), quantized once to
+    bigint so aggregation order can never drift the result. The bigram
+    table joins by key — deliberately NOT broadcast: at web scale it is
+    vocabulary²-sized; the backoff constant enters as a lazy 1-row
+    broadcast."""
     from polar_spark.functions.lm import score_bigram_nll, train_bigram_counts
 
     d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))

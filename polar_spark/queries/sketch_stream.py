@@ -157,42 +157,13 @@ def sketch_kmv_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.estimate()
 
 
-@query(
-    "lm_stream_vs_batch",
-    oracle="""
-WITH tok AS (
-  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
-), big AS (
-  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
-  FROM tok, UNNEST(range(1, len(w))) AS t(i)
-), tr AS (
-  SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE doc_id % 10 < 8
-  GROUP BY w1, w2
-), c1 AS (
-  SELECT w1, SUM(c2) AS c1 FROM tr GROUP BY w1
-), cw AS (
-  SELECT w2, SUM(c2) AS cw FROM tr GROUP BY w2
-), tot AS (
-  SELECT SUM(c2) AS n_big, COUNT(DISTINCT w2) AS v_big FROM tr
-), sc AS (
-  SELECT big.doc_id,
-    CASE WHEN tr.c2 IS NOT NULL
-      THEN CAST(round(ln(c1.c1) - ln(tr.c2), 9) AS DECIMAL(28,9))
-      ELSE CAST(round(ln(2 * (tot.n_big + tot.v_big))
-                      - ln(coalesce(cw.cw, 0) + 1), 9) AS DECIMAL(28,9))
-    END AS nll
-  FROM big
-  LEFT JOIN tr ON big.w1 = tr.w1 AND big.w2 = tr.w2
-  LEFT JOIN c1 ON big.w1 = c1.w1
-  LEFT JOIN cw ON big.w2 = cw.w2
-  CROSS JOIN tot
-  WHERE big.doc_id % 10 >= 8
-)
-SELECT doc_id, COUNT(*) AS n_scored, SUM(nll) AS sum_nll,
-  CAST(FLOOR(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS INT) AS nll_bucket
-FROM sc GROUP BY doc_id
-""",
-)
+def _lm_law_oracle() -> str:
+    from polar_spark.functions.lm import lm_score_oracle_sql
+
+    return lm_score_oracle_sql("doc_id % 10 < 8", "big.doc_id % 10 >= 8")
+
+
+@query("lm_stream_vs_batch", oracle=_lm_law_oracle())
 def lm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet-style bigram LM trained ACROSS three ingest epochs
     (StreamingBigramLM epoch store: per-batch vocabulary²-bounded count

@@ -1,0 +1,78 @@
+"""Cross-engine bit-identity of the portable integer-ln (nano-nats).
+
+The r7 LM hash-red was an engine transcendental disagreeing in the last
+ulp (JVM Math.log vs libm ln) at a 9-dp rounding boundary. The portable
+expression replaces the transcendental with a fixed tree of IEEE-754
+double ops, so Spark, DuckDB and CPython MUST agree bit-for-bit on
+every input — these tests assert exactly that, on a dense small range,
+random large values, and the adversarial near-power-of-two band where
+the range reduction's z is extremal.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polar_spark.functions.ln_portable import (
+    ln_nano_expr,
+    ln_nano_py,
+)
+
+
+def _values() -> list[int]:
+    rng = random.Random(20260815)
+    vals = set(range(1, 5001))
+    # near powers of two: extremal mantissa / z values in the reduction
+    for e in range(1, 52):
+        for d in (-2, -1, 0, 1, 2):
+            v = (1 << e) + d
+            if v >= 1:
+                vals.add(v)
+    vals.update(rng.randrange(1, 2**52) for _ in range(2000))
+    return sorted(vals)
+
+
+def test_ln_nano_tri_engine_bit_identity(spark):
+    ns = _values()
+    sdf = spark.createDataFrame([(n,) for n in ns], "n bigint")
+    got_spark = {
+        r["n"]: r["v"]
+        for r in sdf.select(
+            "n", F.expr(ln_nano_expr("n", "spark")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"n": ns}))
+    got_duck = dict(
+        con.sql(f"SELECT n, {ln_nano_expr('n', 'duckdb')} AS v FROM t").fetchall()
+    )
+    for n in ns:
+        p = ln_nano_py(n)
+        assert got_spark[n] == p, f"spark != python at n={n}"
+        assert got_duck[n] == p, f"duckdb != python at n={n}"
+
+
+def test_ln_nano_accuracy_and_monotonicity():
+    # quantized value within one nano-nat of true ln, and monotone —
+    # the properties the LM score's ordering semantics rely on
+    prev = -1
+    for n in list(range(1, 20001)) + [10**9, 10**12, 2**52]:
+        v = ln_nano_py(n)
+        assert abs(v / 1e9 - math.log(n)) < 1e-9
+        if n <= 20000:
+            assert v >= prev
+            prev = v
+
+
+def test_ln_nano_identities():
+    assert ln_nano_py(1) == 0
+    # ln(2^k) lands exactly on k * round(ln2 * 1e9) quantization grid
+    assert ln_nano_py(2) == int(math.floor(math.log(2) * 1e9 + 0.5))
+    with pytest.raises(ValueError):
+        ln_nano_py(0)

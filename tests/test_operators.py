@@ -1198,12 +1198,12 @@ def test_kmv_prefilter_bit_identical_to_naive(spark, sf_dir):
 def test_bigram_lm_matches_python_reference(spark):
     """score_bigram_nll == a transparent pure-Python bigram stupid-backoff
     LM on a tiny corpus (train docs 0-3, score docs 4-5), including the
-    backoff branch for unseen bigrams/tokens."""
-    import math
+    backoff branch for unseen bigrams/tokens — exact integer nano-nats
+    via the shared ln_nano op sequence."""
     from collections import Counter
-    from decimal import Decimal
 
     from polar_spark.functions.lm import score_bigram_nll, train_bigram_counts
+    from polar_spark.functions.ln_portable import ln_nano_py
 
     docs = [
         (0, "a b a b c"),
@@ -1217,7 +1217,7 @@ def test_bigram_lm_matches_python_reference(spark):
     train = df.filter("doc_id < 4")
     hold = df.filter("doc_id >= 4")
     got = {
-        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        r["doc_id"]: (r["n_scored"], r["sum_nll_nano"], r["nll_bucket"])
         for r in score_bigram_nll(hold, train_bigram_counts(train)).collect()
     }
 
@@ -1235,25 +1235,25 @@ def test_bigram_lm_matches_python_reference(spark):
     v_big = len({w2 for _, w2 in c2})
     for doc_id, text in docs[4:]:
         w = text.split(" ")
-        total = Decimal(0)
+        total = 0
         n = 0
         for i in range(len(w) - 1):
             pair = (w[i], w[i + 1])
             if pair in c2:
-                nll = math.log(c1[pair[0]]) - math.log(c2[pair])
+                nll = ln_nano_py(c1[pair[0]]) - ln_nano_py(c2[pair])
             else:
-                nll = math.log(2 * (n_big + v_big)) - math.log(
+                nll = ln_nano_py(2 * (n_big + v_big)) - ln_nano_py(
                     cw.get(pair[1], 0) + 1
                 )
-            total += Decimal(str(round(nll, 9)))
+            total += nll
             n += 1
-        n_scored, sum_nll, bucket = got[doc_id]
+        n_scored, sum_nano, bucket = got[doc_id]
         assert n_scored == n
-        assert Decimal(sum_nll) == total
-        assert bucket == math.floor(float(total) / n)
+        assert sum_nano == total
+        assert bucket == total // (n * 10**9)
     # backoff actually exercised: doc 4 must score strictly worse per
     # token than the all-seen doc 5
-    assert float(got[4][1]) / got[4][0] > float(got[5][1]) / got[5][0]
+    assert got[4][1] / got[4][0] > got[5][1] / got[5][0]
 
 
 def test_weighted_sample_matches_python_reference(spark, sf_dir):

@@ -898,11 +898,11 @@ def test_streaming_lm_matches_one_shot_training(spark, sf_dir, tmp_path):
     assert got_counts == want_counts and len(got_counts) > 0
 
     got = {
-        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        r["doc_id"]: (r["n_scored"], r["sum_nll_nano"], r["nll_bucket"])
         for r in sink.score(hold).collect()
     }
     want = {
-        r["doc_id"]: (r["n_scored"], r["sum_nll"], r["nll_bucket"])
+        r["doc_id"]: (r["n_scored"], r["sum_nll_nano"], r["nll_bucket"])
         for r in score_bigram_nll(hold, train_bigram_counts(snap)).collect()
     }
     assert got == want  # bit-identical: exact-decimal sums, same counts
