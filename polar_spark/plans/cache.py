@@ -15,24 +15,90 @@ occupant of that slot. Unpersisting a DataFrame someone is still
 consuming is SAFE — persist is an optimization, lineage recomputes —
 the previous result merely loses its cache, so the trade is bounded
 storage for a recompute in the rare overlapping-invocation case.
+
+Round-8 hardening (ADVICE r7 + the simhash bench regression):
+
+- Slots are keyed by (session id, name) and guarded by a lock, so
+  concurrent queries on different sessions cannot thrash each other's
+  cache and a stopped session's handles are dropped rather than kept
+  alive forever.
+- ``eager=True`` materializes the cache with one ``count()`` before the
+  caller fans the plan out. A lazily-persisted table referenced by K
+  branches of ONE downstream job is recomputed by every branch that
+  starts before the cache fills (Spark fills block-by-block with no
+  cross-branch barrier) — the r7 simhash bench paid the signature build
+  ~5× per run exactly this way (7.1 s official vs ~1.5 s with the
+  cache actually warm). One cheap extra job buys compute-once semantics;
+  at cluster scale the count is a metadata-sized action over the cached
+  partitions.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SLOTS: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
+_SLOTS: dict[tuple[int, str], DataFrame] = {}
 
 
-def persist_slot(df: DataFrame, slot: str) -> DataFrame:
-    """Persist ``df`` under ``slot``, releasing the slot's previous
-    occupant (non-blocking). Returns the persisted ``df``."""
-    prev = _SLOTS.get(slot)
+def persist_slot(df: DataFrame, slot: str, eager: bool = False) -> DataFrame:
+    """Persist ``df`` under ``slot`` (scoped to its session), releasing
+    the slot's previous occupant. ``eager=True`` fills the cache now so
+    multi-branch consumers never race a cold cache. Returns ``df``
+    persisted.
+
+    Same-plan reuse: Spark's CacheManager keys cached data by
+    CANONICALIZED logical plan, so persisting the same query twice maps
+    both handles to ONE cache entry — and unpersisting the "previous"
+    handle would drop the entry the new handle just claimed. The r7
+    simhash bench paid exactly this: every best-of-2 iteration rebuilt
+    an identical plan, the slot swap evicted the shared entry, and the
+    five downstream branches recomputed the signature build from
+    scratch each run. When the new plan sameResult()s the old one we
+    keep the entry (the warm cache IS the correct state for an
+    identical query); eviction only happens when the plan actually
+    changed."""
+    key = (id(df.sparkSession), slot)
     out = df.persist()
-    _SLOTS[slot] = out
-    if prev is not None:
+    with _LOCK:
+        prev = _SLOTS.get(key)
+        _SLOTS[key] = out
+        # drop handles whose session has stopped (dead JVM references)
+        stale = [
+            k
+            for k, v in _SLOTS.items()
+            if k != key and _is_stopped(v)
+        ]
+        for k in stale:
+            del _SLOTS[k]
+    if prev is not None and prev is not out and not _same_plan(prev, out):
         try:
             prev.unpersist()
         except Exception:
             pass  # a dead session's handle; nothing to release
+    if eager:
+        out.count()
     return out
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True when both handles map to the same CacheManager entry
+    (canonicalized-plan equality, the same test Spark itself applies)."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
+def _is_stopped(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True

@@ -461,5 +461,5 @@ def lm_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survives executor loss at cluster scale (unlike a checkpoint)
     from polar_spark.plans.cache import persist_slot
 
-    lm = persist_slot(train_bigram_counts(train), "lm_bigram_nll_score.lm")
+    lm = persist_slot(train_bigram_counts(train), "lm_bigram_nll_score.lm", eager=True)
     return score_bigram_nll(holdout, lm)

@@ -193,7 +193,7 @@ def lm_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = parallelize_small_scan(d.filter("doc_id % 10 >= 8"))
     from polar_spark.plans.cache import persist_slot
 
-    lm = persist_slot(sink.counts(), "lm_stream_vs_batch.lm")
+    lm = persist_slot(sink.counts(), "lm_stream_vs_batch.lm", eager=True)
     return score_bigram_nll(holdout, lm)
 
 
@@ -355,7 +355,7 @@ def bm25_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink.apply_batch(d.filter(cond), epoch, root)
 
     _built_once(root, build)
-    stats = persist_slot(sink.stats(), "bm25_stream_vs_batch.stats")
+    stats = persist_slot(sink.stats(), "bm25_stream_vs_batch.stats", eager=True)
     return bm25_topk_from_stats(
         parallelize_small_scan(d), stats, BM25_TERMS, k=10
     )
