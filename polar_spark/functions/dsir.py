@@ -13,19 +13,20 @@ scores *distributional match* against a target corpus without training
 anything.
 
 Determinism contract (the repo-wide rule that lets a DuckDB oracle check
-results bit-exactly, same as `functions/lm.py`):
+results bit-exactly, upgraded round 8 to the `functions/ln_portable.py`
+discipline after the r7 LM hash-red proved that even rounded
+integer-argument ``F.log`` is environment-sensitive):
 
-- every ``ln`` takes an INTEGER argument (smoothed counts / totals), is
-  rounded to 9 dp and cast to ``decimal(28,9)`` before any arithmetic;
-  all sums run in exact decimal, so aggregation order can never drift
-  the result;
-- the Gumbel perturbation needs a nested ``ln`` of a non-integer
-  (``g = -ln(-ln u)``); a raw nesting diverges between JVM ``Math.log``
-  and libm in the last ulp ~8% of the time (measured), so the inner
-  ``ln u`` is first rounded to 9 dp (both engines then feed the SAME
-  double into the outer ``ln``) and the outer result is rounded to 6 dp
-  (an outer last-ulp difference only survives if it straddles a 5e-7
-  rounding boundary: measured 0 mismatches in 5·10^5 hashes);
+- every ``ln`` of an integer count goes through the portable
+  fixed-IEEE-op ``ln_nano`` (no engine transcendental anywhere) and is
+  quantized ONCE to integer nano-nats; all per-bucket, per-document and
+  selection-key arithmetic is exact bigint, so neither engine, libm,
+  nor aggregation order can drift a result;
+- the Gumbel perturbation ``g = -ln(-ln u)`` nests through the same
+  machinery: ``-ln u`` is an integer nano-nat count ``v`` (clamped to
+  ≥ 1 — the u→1 edge that made ``-ln 0`` NULL is structurally gone),
+  and the outer ln is ``ln_portable(v) - ln(1e9)`` — one more fixed
+  IEEE op tree — quantized to micro-nats;
 - the md5-derived uniform is the house `weighted_sample_per_source`
   construction: ``u = (h+1)/2^60`` with ``h`` the first 15 hex digits of
   ``md5(doc_id)``, so selection is reproducible across runs AND engines
@@ -57,16 +58,21 @@ Scale shape (the point — the same query at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from polar_spark.functions.ln_portable import ln_expr, ln_nano_expr, ln_nano_py
+
 # 2^60: the md5 15-hex-digit prefix is uniform on [0, 2^60)
 _U_DENOM = 1152921504606846976
-_DEC9 = "decimal(28,9)"
-
-
-def _round9(c: Column) -> Column:
-    return F.round(c, 9).cast(_DEC9)
+# ln(2^60) in nano-nats under the portable quantization — a constant of
+# the construction, shared by both engines via the literal
+_LN_U_DENOM_NANO = ln_nano_py(_U_DENOM)
+# ln(1e9): rescales a nano-nat count back to nats inside the outer
+# Gumbel ln; repr() round-trips to the exact double in every engine
+_LN_1E9 = repr(math.log(1e9))
 
 
 def hashed_grams(docs: DataFrame, m: int, id_col: str = "doc_id") -> DataFrame:
@@ -118,22 +124,25 @@ def score_against_counts(
     when the model was trained on a different corpus than the one being
     scored) contribute ``ln 1 - ln 1 = 0``, matching add-one smoothing.
 
-    Returns (docs' non-text columns…, n_grams bigint, logw
-    decimal(38,9)) — one row per input document."""
+    Returns (docs' non-text columns…, n_grams bigint, logw_nano bigint
+    — the summed log weight in exact integer nano-nats) — one row per
+    input document."""
     keep = [c for c in docs.columns if c not in ("text",)]
     grams = hashed_grams(docs, m, id_col=id_col)
     lam = buckets.select(
         "bucket",
-        (_round9(F.log(F.col("cp") + 1)) - _round9(F.log(F.col("cq") + 1))).alias(
-            "_lam"
-        ),
+        (
+            F.expr(ln_nano_expr("cp + 1", "spark"))
+            - F.expr(ln_nano_expr("cq + 1", "spark"))
+        ).alias("_lam"),
     )
     # totals re-aggregate the m-row bucket table; κ's lns are integer-arg
     totals = buckets.agg(
         F.sum("cq").alias("_tq"), F.sum("cp").alias("_tp")
     ).select(
         (
-            _round9(F.log(F.col("_tq") + m)) - _round9(F.log(F.col("_tp") + m))
+            F.expr(ln_nano_expr(f"_tq + {m}", "spark"))
+            - F.expr(ln_nano_expr(f"_tp + {m}", "spark"))
         ).alias("_kappa")
     )
     scored = (
@@ -143,9 +152,8 @@ def score_against_counts(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(
-                (F.coalesce(F.col("_lam"), F.lit(0).cast(_DEC9)) + F.col("_kappa"))
-                .cast(_DEC9)
-            ).alias("logw"),
+                F.coalesce(F.col("_lam"), F.lit(0)) + F.col("_kappa")
+            ).alias("logw_nano"),
         )
     )
     return scored
@@ -170,13 +178,104 @@ def dsir_log_weights(
     )
 
 
-def gumbel_key(id_col: Column, logw: Column) -> Column:
+def gumbel_key(id_col_name: str, logw_nano: Column) -> Column:
     """Deterministic Gumbel-top-k selection key ``logw + g`` in exact
-    decimal, with ``g = -ln(-ln u)`` double-rounded per the module
-    determinism contract and ``u`` md5-derived from the id."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
+    integer nano-nats, with ``g = -ln(-ln u)`` and ``u`` md5-derived
+    from the named id column.
+
+    All-portable nesting: ``-ln u`` is the positive nano-nat count
+    ``v = ln_nano(2^60) - ln_nano(h+1)``, clamped to ≥ 1 so the u→1
+    edge can never produce ``ln 0`` (the r7-advice NULL hole); the
+    outer ln is the portable double expression on the INTEGER v,
+    rescaled by the ln(1e9) literal and quantized to micro-nats. Every
+    op is fixed IEEE arithmetic — bit-identical in Spark, DuckDB and
+    the Python twin (gumbel_g_nano_py)."""
+    return logw_nano + F.expr(
+        gumbel_g_nano_sql(
+            f"CAST(conv(substring(md5(CAST({id_col_name} AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)",
+            "spark",
+        )
     )
-    ln_u = _round9(F.log(h + 1) - F.log(F.lit(_U_DENOM)))
-    g = F.round(-F.log(-(ln_u.cast("double"))), 6).cast(_DEC9)
-    return logw.cast(_DEC9) + g
+
+
+def gumbel_g_nano_sql(h_expr: str, dialect: str) -> str:
+    """SQL (Spark or DuckDB dialect) for the Gumbel perturbation in
+    nano-nats, from a 60-bit hash expression ``h_expr``."""
+    v = (
+        f"GREATEST({_LN_U_DENO_SQL()} - {ln_nano_expr(f'({h_expr}) + 1', dialect)},"
+        " CAST(1 AS BIGINT))"
+    )
+    # g = -ln(v/1e9) = ln(1e9) - ln(v), quantized to micro-nats then
+    # rescaled to the common nano grid
+    return (
+        f"(1000 * CAST(FLOOR((CAST('{_LN_1E9}' AS DOUBLE) - {ln_expr(v, dialect)})"
+        f" * CAST('1000000.0' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT))"
+    )
+
+
+def _LN_U_DENO_SQL() -> str:
+    return f"CAST({_LN_U_DENOM_NANO} AS BIGINT)"
+
+
+def gumbel_g_nano_py(h: int) -> int:
+    """Python twin of :func:`gumbel_g_nano_sql` (identical IEEE ops)."""
+    v = max(_LN_U_DENOM_NANO - ln_nano_py(h + 1), 1)
+    e = v.bit_length() - 1
+    m_ = float(v) / float(1 << e)
+    z = (m_ - 1.0) / (m_ + 1.0)
+    y = z * z
+    from polar_spark.functions.ln_portable import _COEFFS, _LN2
+
+    s = _COEFFS[0]
+    for c in _COEFFS[1:]:
+        s = s * y + c
+    ln_v = float(e) * _LN2 + 2.0 * z * s
+    return 1000 * int(math.floor((math.log(1e9) - ln_v) * 1e6 + 0.5))
+
+
+# DuckDB 60-bit md5-prefix hash of an expression (the house uniform)
+DUCK_H60 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),"
+    " i -> CAST(strpos('0123456789abcdef', substr(md5({arg}), i, 1)) - 1 AS BIGINT))),"
+    " (acc, d) -> acc * 16 + d)"
+)
+
+
+def dsir_oracle_ctes(m: int = 4096) -> str:
+    """DuckDB CTE block mirroring :func:`dsir_log_weights` over the
+    ``documents`` view (target = lang 'en') — built from the SAME
+    ln_nano generator as the Spark plan, so the comparison is exact by
+    construction. Yields a ``scored(doc_id, lang, n_grams, logw_nano)``
+    CTE."""
+    lam_p = ln_nano_expr("cp + 1", "duckdb")
+    lam_q = ln_nano_expr("cq + 1", "duckdb")
+    kap_q = ln_nano_expr(f"SUM(cq) + {m}", "duckdb")
+    kap_p = ln_nano_expr(f"SUM(cp) + {m}", "duckdb")
+    h = DUCK_H60.format(arg="gram")
+    return f"""
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w, CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END)) AS gram
+  FROM (SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents)
+), hashed AS (
+  SELECT doc_id, lang, {h} % {m} AS bucket
+  FROM grams
+), buckets AS (
+  SELECT bucket, COUNT(*) AS cq, COUNT(*) FILTER (WHERE lang = 'en') AS cp
+  FROM hashed GROUP BY bucket
+), lam AS (
+  SELECT bucket, {lam_p} - {lam_q} AS lam
+  FROM buckets
+), tot AS (
+  SELECT {kap_q} - {kap_p} AS kappa
+  FROM buckets
+), scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         CAST(SUM(lam + kappa) AS BIGINT) AS logw_nano
+  FROM hashed JOIN lam USING (bucket) CROSS JOIN tot
+  GROUP BY doc_id, lang
+)"""

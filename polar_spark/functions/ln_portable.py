@@ -63,27 +63,46 @@ def _dlit(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
+_VAR = 0
+
+
 def ln_expr(arg: str, dialect: str) -> str:
     """SQL expression (Spark or DuckDB dialect) for portable ln of the
-    positive-integer-valued expression ``arg``. NULL-propagating."""
-    n = f"CAST(({arg}) AS BIGINT)"
-    e = f"(length(bin({n})) - 1)"
+    positive-integer-valued expression ``arg``. NULL-propagating.
+
+    The argument is bound ONCE through a single-element list lambda
+    (``transform(array(arg), v -> body)``): the body references only the
+    lambda variable, so a compound ``arg`` is never textually duplicated
+    — a naive substitution would copy it ~10² times per nesting level
+    (the Horner chain references z twelve times, z references m twice,
+    …), which made a nested Gumbel expression quadratically explode.
+    Fresh variable names per call keep nested lambdas shadow-free."""
+    global _VAR
+    _VAR += 1
+    nv, ev, mv, zv, yv = (f"_ln{_VAR}{c}" for c in "nemzy")
+    e = f"(length(bin({nv})) - 1)"
     if dialect == "spark":
-        p = f"shiftleft(CAST(1 AS BIGINT), {e})"
+        def lam(v, body, inner):
+            return f"transform(array({v}), {inner} -> {body})[0]"
+
+        p = f"shiftleft(CAST(1 AS BIGINT), {ev})"
     elif dialect == "duckdb":
-        p = f"(CAST(1 AS BIGINT) << {e})"
+        def lam(v, body, inner):
+            return f"(list_transform([{v}], {inner} -> {body}))[1]"
+
+        p = f"(CAST(1 AS BIGINT) << {ev})"
     else:  # pragma: no cover
         raise ValueError(f"unknown dialect {dialect!r}")
-    m = f"(CAST({n} AS DOUBLE) / CAST({p} AS DOUBLE))"
-    z = f"(({m} - {_dlit(1.0)}) / ({m} + {_dlit(1.0)}))"
-    y = f"({z} * {z})"
     horner = _dlit(_COEFFS[0])
     for c in _COEFFS[1:]:
-        horner = f"({horner} * {y} + {_dlit(c)})"
-    return (
-        f"(CAST({e} AS DOUBLE) * {_dlit(_LN2)}"
-        f" + {_dlit(2.0)} * {z} * {horner})"
-    )
+        horner = f"({horner} * {yv} + {_dlit(c)})"
+    # innermost out: y -> (uses z), z -> (uses m), m -> (uses n, e)
+    body = f"(CAST({ev} AS DOUBLE) * {_dlit(_LN2)} + {_dlit(2.0)} * {zv} * {horner})"
+    body = lam(f"({zv} * {zv})", body, yv)
+    body = lam(f"(({mv} - {_dlit(1.0)}) / ({mv} + {_dlit(1.0)}))", body, zv)
+    body = lam(f"(CAST({nv} AS DOUBLE) / CAST({p} AS DOUBLE))", body, mv)
+    body = lam(e, body, ev)
+    return lam(f"CAST(({arg}) AS BIGINT)", body, nv)
 
 
 def ln_nano_expr(arg: str, dialect: str) -> str:

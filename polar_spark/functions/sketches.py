@@ -653,3 +653,44 @@ def hll_distinct(
 ) -> DataFrame:
     """One-shot per-group HLL estimate (build + estimate)."""
     return hll_estimate(hll_register_partial(df, keys, value_col), keys)
+
+
+def hll_oracle_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — the register table, the
+    comparison-ladder rank and the scaled-integer estimator are all
+    exact integer arithmetic, so the oracle equality is bit-exact (the
+    same all-integer discipline that made KMV oracle-checkable; the HLL
+    float estimator folklore only applies to float harmonic sums)."""
+    rank_cases = " ".join(
+        f"WHEN w >= {1 << (54 - r)} THEN {r}" for r in range(1, HLL_RANK_CAP)
+    )
+    cap = 1 << HLL_RANK_CAP
+    return f"""
+WITH h AS (
+  SELECT {key_col},
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5({value_col}::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv
+  FROM {table} WHERE {value_col} IS NOT NULL
+), regs AS (
+  SELECT {key_col}, hv % {HLL_M} AS reg_idx,
+    MAX(CASE {rank_cases} ELSE {HLL_RANK_CAP} END) AS reg_max
+  FROM (SELECT {key_col}, hv, hv // {HLL_M} AS w FROM h) t
+  GROUP BY {key_col}, hv % {HLL_M}
+), per AS (
+  SELECT {key_col}, COUNT(*) AS n_set,
+    SUM(CAST(1 AS BIGINT) << ({HLL_RANK_CAP} - reg_max)) AS s_set
+  FROM regs GROUP BY {key_col}
+)
+SELECT {key_col},
+  CAST({HLL_M} - n_set AS BIGINT) AS v_zero,
+  CAST(s_set + ({HLL_M} - n_set) * {cap} AS BIGINT) AS s_sum,
+  CAST(CAST({_HLL_EST_NUM} AS HUGEINT)
+       // ({_HLL_ALPHA_DEN} * (s_set + ({HLL_M} - n_set) * {cap}))
+       AS BIGINT) AS est_distinct
+FROM per
+"""

@@ -418,9 +418,12 @@ class Producer:
 
                 futs = [io_pool().submit(_write_one, it) for it in items]
                 _cf.wait(futs)
+                # result() re-raises WITH the worker traceback (a bare
+                # `raise f.exception()` would lose it); every future has
+                # completed, so each failure surfaces rather than only
+                # the first-submitted one
                 for f in futs:
-                    if f.exception() is not None:
-                        raise f.exception()
+                    f.result()
             elif items:
                 _write_one(items[0])
             # committer-contract parity: the Spark writer drops _SUCCESS

@@ -368,16 +368,16 @@ def outlier_iqr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "weighted_sample_per_source",
-    oracle="""
+def _weighted_sample_oracle() -> str:
+    from polar_spark.functions.dsir import DUCK_H60, _LN_U_DENOM_NANO
+    from polar_spark.functions.ln_portable import ln_nano_expr
+
+    h = DUCK_H60.format(arg="doc_id::VARCHAR")
+    ln_h1 = ln_nano_expr(f"{h} + 1", "duckdb")
+    return f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-    (ln(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
-       i -> CAST(strpos('0123456789abcdef',
-                        substr(md5(doc_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
-       (acc, d) -> acc * 16 + d) + 1)
-     - ln(1152921504606846976)) / (n_chars + 1) AS es_key
+    CAST({ln_h1} - {_LN_U_DENOM_NANO} AS DOUBLE) / (n_chars + 1) AS es_key
   FROM documents
 ), ranked AS (
   SELECT doc_id, source, n_chars,
@@ -387,8 +387,10 @@ WITH keyed AS (
 )
 SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 10
-""",
-)
+"""
+
+
+@query("weighted_sample_per_source", oracle=_weighted_sample_oracle())
 def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis-Spirakis 2006): per source, keep the 10 docs with the
@@ -406,11 +408,18 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    es_key = (F.log(h + 1) - F.log(F.lit(1152921504606846976))) / (
-        F.col("n_chars") + 1
+    from polar_spark.functions.dsir import _LN_U_DENOM_NANO
+    from polar_spark.functions.ln_portable import ln_nano_expr
+
+    # ln(u) in nano-nats via the portable expression (scale cancels in
+    # the per-source ordering; the IEEE divide is engine-identical)
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    es_key = F.expr(
+        f"CAST({ln_nano_expr(f'{h_sql} + 1', 'spark')} - {_LN_U_DENOM_NANO}"
+        " AS DOUBLE) / (n_chars + 1)"
     )
     w = Window.partitionBy("source").orderBy(
         F.col("es_key").desc(), F.col("doc_id")
@@ -428,51 +437,17 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared DuckDB CTE prefix for the two DSIR queries: hashed unigram+bigram
-# buckets, per-bucket raw/target counts, the λ log-ratio table and the κ
-# normalizer — the SQL twin of functions/dsir.dsir_log_weights (m = 4096)
-_DSIR_CTES = """
-grams AS (
-  SELECT doc_id, lang,
-         unnest(list_concat(w, CASE WHEN len(w) >= 2
-             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-             ELSE [] END)) AS gram
-  FROM (SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w
-        FROM documents)
-), hashed AS (
-  SELECT doc_id, lang,
-    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
-      i -> CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT))),
-      (acc, d) -> acc * 16 + d) % 4096 AS bucket
-  FROM grams
-), buckets AS (
-  SELECT bucket, COUNT(*) AS cq, COUNT(*) FILTER (WHERE lang = 'en') AS cp
-  FROM hashed GROUP BY bucket
-), lam AS (
-  SELECT bucket,
-    CAST(round(ln(cp + 1), 9) AS DECIMAL(28,9))
-      - CAST(round(ln(cq + 1), 9) AS DECIMAL(28,9)) AS lam
-  FROM buckets
-), tot AS (
-  SELECT CAST(round(ln(SUM(cq) + 4096), 9) AS DECIMAL(28,9))
-       - CAST(round(ln(SUM(cp) + 4096), 9) AS DECIMAL(28,9)) AS kappa
-  FROM buckets
-), scored AS (
-  SELECT doc_id, lang, COUNT(*) AS n_grams,
-         SUM(CAST(lam + kappa AS DECIMAL(28,9))) AS logw
-  FROM hashed JOIN lam USING (bucket) CROSS JOIN tot
-  GROUP BY doc_id, lang
-)"""
+def _dsir_scores_oracle() -> str:
+    from polar_spark.functions.dsir import dsir_oracle_ctes
 
-
-@query(
-    "dsir_importance_scores",
-    oracle=f"""
-WITH {_DSIR_CTES}
-SELECT doc_id, lang, n_grams, CAST(logw AS DOUBLE) AS logw
+    return f"""
+WITH {dsir_oracle_ctes()}
+SELECT doc_id, lang, n_grams, logw_nano
 FROM scored
-""",
-)
+"""
+
+
+@query("dsir_importance_scores", oracle=_dsir_scores_oracle())
 def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights (Xie et al. 2023, arXiv:2302.03169):
     every document scored by log p_target(x) - log p_raw(x) under
@@ -490,39 +465,39 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return dsir_log_weights(d, F.col("lang") == "en", m=4096).select(
-        "doc_id", "lang", "n_grams", F.col("logw").cast("double").alias("logw")
+        "doc_id", "lang", "n_grams", "logw_nano"
     )
 
 
-@query(
-    "dsir_resample_select",
-    oracle=f"""
-WITH {_DSIR_CTES}, keyed AS (
-  SELECT doc_id, lang, logw,
-    CAST(logw AS DECIMAL(28,9)) +
-    CAST(round(-ln(-(CAST(round(ln(h + 1) - ln(1152921504606846976), 9)
-                     AS DECIMAL(28,9))::DOUBLE)), 6) AS DECIMAL(28,9)) AS sel_key
-  FROM (
-    SELECT doc_id, lang, logw,
-      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
-        i -> CAST(strpos('0123456789abcdef',
-                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
-        (acc, d) -> acc * 16 + d) AS h
-    FROM scored)
+def _dsir_select_oracle() -> str:
+    from polar_spark.functions.dsir import (
+        DUCK_H60,
+        dsir_oracle_ctes,
+        gumbel_g_nano_sql,
+    )
+
+    h = DUCK_H60.format(arg="CAST(doc_id AS VARCHAR)")
+    g = gumbel_g_nano_sql("h", "duckdb")
+    return f"""
+WITH {dsir_oracle_ctes()}, keyed AS (
+  SELECT doc_id, lang, logw_nano, logw_nano + {g} AS sel_key_nano
+  FROM (SELECT doc_id, lang, logw_nano, {h} AS h FROM scored)
 )
-SELECT doc_id, lang, CAST(sel_key AS DOUBLE) AS sel_key, CAST(logw AS DOUBLE) AS logw
+SELECT doc_id, lang, sel_key_nano, logw_nano
 FROM keyed
-ORDER BY sel_key DESC, doc_id
+ORDER BY sel_key_nano DESC, doc_id
 LIMIT 50
-""",
-)
+"""
+
+
+@query("dsir_resample_select", oracle=_dsir_select_oracle())
 def dsir_resample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection step: Gumbel-top-k resampling — keep the 50 docs
     with the largest ``logw + Gumbel(md5(doc_id))``, which samples
     without replacement proportionally to the importance weights
     (Gumbel-max trick; deterministic md5-derived noise, reproducible
-    across runs AND engines — see functions/dsir.py for the
-    double-rounding that makes the nested ln engine-exact).
+    across runs AND engines — the nested ln runs all-integer through
+    functions/ln_portable.py, see functions/dsir.py).
 
     Scale: the scoring plan above plus one distributed TakeOrdered
     top-50 — no global sort, no single-partition window.
@@ -532,13 +507,8 @@ def dsir_resample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sc = dsir_log_weights(d, F.col("lang") == "en", m=4096)
     return (
-        sc.withColumn("sel_key", gumbel_key(F.col("doc_id"), F.col("logw")))
-        .orderBy(F.col("sel_key").desc(), F.col("doc_id"))
+        sc.withColumn("sel_key_nano", gumbel_key("doc_id", F.col("logw_nano")))
+        .orderBy(F.col("sel_key_nano").desc(), F.col("doc_id"))
         .limit(50)
-        .select(
-            "doc_id",
-            "lang",
-            F.col("sel_key").cast("double").alias("sel_key"),
-            F.col("logw").cast("double").alias("logw"),
-        )
+        .select("doc_id", "lang", "sel_key_nano", "logw_nano")
     )

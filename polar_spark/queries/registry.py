@@ -23,92 +23,72 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 next #5): lead with DRIVER-EVIDENCE
-    # AGE — the ~50-slot sample should refresh the queries whose last
-    # driver-green is oldest. Two exceptions head the list: the
-    # produce/poll request-path rewrite (r7) must re-prove its two law
-    # queries (VERDICT r6 next #1 'Done' condition), and the handful of
-    # queries whose implementation changed this round close the head.
-    # Ages computed from CORRECTNESS_r0{1..6}.json (last hash/rows-green
-    # round per query).
-    "ingest_partition_offset",   # r7-changed: produce_rows/stamped files
-    "consume_poll_window",       # r7-changed: arrow poll serving
-    # --- new late-r7: the six adapted dwarfs completing the TPC-H 22 ---
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_lines_by_status",
-    "q16_supplier_cnt_by_part",
-    "q20_excess_qty_suppliers",
-    "q21_waiting_suppliers",
-    # --- new late-r7: DSIR data selection (scores + Gumbel resample) ---
-    "dsir_importance_scores",
-    "dsir_resample_select",
-    # --- new late-r7: bottom-k quantile sketch (batch + merge law) ---
-    "sketch_quantiles_by_type",
-    "sketch_qs_stream_vs_batch",
-    "dsir_stream_vs_batch",
-    "kmeans_lloyd_quantized",
-    "bm25_topk_docs",            # new r7: never driver-sampled
-    "er_fuzzy_name_pairs",       # new r7: never driver-sampled
-    "bm25_stream_vs_batch",      # new r7: never driver-sampled
-    "pagerank_event_graph",      # new r7: never driver-sampled
-    "hybrid_rrf_retrieval",      # new r7: never driver-sampled
-    "lm_bigram_nll_score",       # new r7: never driver-sampled
-    "weighted_sample_per_source",  # new r7: never driver-sampled
-    "lm_stream_vs_batch",          # new r7: never driver-sampled
-    # --- last driver evidence r0-r1 (rows-only entries aged r0) ---
-    "knn_ivf_trained",
-    "knn_ivfpq_stored",
-    "knn_pq_adc",
-    "semdedup_incremental",      # r7-changed too: checkpoint trace
-    "argmax_top_event",
-    "distinct_aggregates",
-    "grouping_sets_mix",
-    "pagination_offset_limit",   # r7-changed too: global_rank trace
-    "scalar_function_breadth",
-    "sql_exists_subquery",
-    # --- last driver evidence r2 ---
-    "dedup_embedding_cosine",
-    "embedding_lsh_buckets",
-    "embedding_norm_stats",
-    "multimodal_blob_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # --- last driver evidence r3 ---
-    "chunk_documents_sliding",
-    "dedup_exact_canonical",
-    "dedup_keep_list",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint_rolling",
-    "funnel_click_to_purchase",
-    "gapfill_hourly_locf",
-    "json_payload_extract",
-    "knn_bruteforce_dot",
-    "knn_ivf_probe",
-    "knn_label_vote",
-    "lang_id_heuristic",
-    "pipeline_training_data_prep",
-    "rollup_time_multires",
-    "session_windows_30m",
-    "sketch_cm_heavy_hitters",
-    "sketch_kmv_distinct_users",
-    "sketch_kmv_merged_months",
-    "text_quality_stats",
-    "text_regexp_extract_stats",
-    "text_repetition_stats",
-    "text_word_diversity",
-    "token_count_bpe_ish",
-    "window_sliding_1h_30m",
-    "window_tumbling_hourly",
-    # --- r7 implementation changes (re-prove post-change) ---
-    "dedup_simhash",             # groups persist (was localCheckpoint)
-    "customer_rfm_segments",     # global_rank trace instrumentation
-    "customer_rfm_segments_approx",
-    "equidepth_hist_doc_lengths",  # ntile_bounds decimal division
-    "consume_reset_latest",
-    "dedup_redelivered_events",
+    # Round-8 rotation: the ~50-slot driver sample leads with (a) the
+    # queries whose implementation changed this round and MUST re-prove
+    # (portable-ln LM rewrite, simhash signature-expression rework, the
+    # newly-evidenced HLL pair), then (b) everything else ordered by
+    # DRIVER-EVIDENCE AGE ascending (last hash/rows-green round per
+    # query, computed from CORRECTNESS_r0{1..7}.json).
+    "lm_bigram_nll_score",  # last driver evidence r7
+    "lm_stream_vs_batch",  # last driver evidence r7
+    "dedup_simhash",  # last driver evidence r6
+    "sketch_hll_distinct_users",  # last driver evidence r-none-
+    "sketch_hll_stream_vs_batch",  # last driver evidence r-none-
+    "knn_label_vote",  # last driver evidence r3
+    "lang_id_heuristic",  # last driver evidence r3
+    "pipeline_training_data_prep",  # last driver evidence r3
+    "rollup_time_multires",  # last driver evidence r3
+    "session_windows_30m",  # last driver evidence r3
+    "sketch_cm_heavy_hitters",  # last driver evidence r3
+    "sketch_kmv_distinct_users",  # last driver evidence r3
+    "sketch_kmv_merged_months",  # last driver evidence r3
+    "text_quality_stats",  # last driver evidence r3
+    "text_regexp_extract_stats",  # last driver evidence r3
+    "text_repetition_stats",  # last driver evidence r3
+    "text_word_diversity",  # last driver evidence r3
+    "token_count_bpe_ish",  # last driver evidence r3
+    "window_sliding_1h_30m",  # last driver evidence r3
+    "window_tumbling_hourly",  # last driver evidence r3
+    "array_function_breadth",  # last driver evidence r4
+    "bloom_semi_join_orders",  # last driver evidence r4
+    "chunk_dup_ratio",  # last driver evidence r4
+    "contamination_ngram_overlap",  # last driver evidence r4
+    "dedup_clusters_cc",  # last driver evidence r4
+    "dedup_incremental_index",  # last driver evidence r4
+    "dedup_strip_dup_chunks",  # last driver evidence r4
+    "embedding_coverage_by_source",  # last driver evidence r4
+    "embedding_outlier_centroid",  # last driver evidence r4
+    "full_outer_nation_activity",  # last driver evidence r4
+    "gopher_quality_filter",  # last driver evidence r4
+    "histogram_value_buckets",  # last driver evidence r4
+    "knn_ivf_stored_cells",  # last driver evidence r4
+    "mixture_quality_buckets",  # last driver evidence r4
+    "mixture_resample_by_source",  # last driver evidence r4
+    "pack_token_shards_sequential",  # last driver evidence r4
+    "quality_linear_classifier",  # last driver evidence r4
+    "quantiles_order_prices",  # last driver evidence r4
+    "quota_downsample_per_source",  # last driver evidence r4
+    "retention_cohort_daily",  # last driver evidence r4
+    "semdedup_embedding_prune",  # last driver evidence r4
+    "skew_salted_agg",  # last driver evidence r4
+    "skew_salted_join",  # last driver evidence r4
+    "split_train_eval_deterministic",  # last driver evidence r4
+    "sql_correlated_scalar_subquery",  # last driver evidence r4
+    "sql_not_in_null_aware",  # last driver evidence r4
+    "sql_recursive_order_chain",  # last driver evidence r4
+    "stateful_dedup_builtin",  # last driver evidence r4
+    "stateful_dedup_stream",  # last driver evidence r4
+    "stats_moments_by_type",  # last driver evidence r4
+    "stream_join_click_purchase",  # last driver evidence r4
+    "text_redact_numbers",  # last driver evidence r4
+    "unpivot_nation_metrics",  # last driver evidence r4
+    "window_function_breadth",  # last driver evidence r4
+    "debounce_repeated_events",  # last driver evidence r5
+    "event_rate_anomaly",  # last driver evidence r5
+    "impute_group_median",  # last driver evidence r5
+    "knn_hard_negatives",  # last driver evidence r5
+    "outlier_iqr_by_type",  # last driver evidence r5
+    "profile_table_stats",  # last driver evidence r5
 )
 
 

@@ -157,6 +157,42 @@ def sketch_kmv_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.estimate()
 
 
+def _hll_law_oracle() -> str:
+    from polar_spark.functions.sketches import hll_oracle_sql
+
+    return hll_oracle_sql()
+
+
+@query("sketch_hll_stream_vs_batch", oracle=_hll_law_oracle())
+def sketch_hll_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers maintained ACROSS four ingest epochs — three
+    disjoint thirds plus a fourth epoch that REPLAYS the first third —
+    answer identically to the one-shot batch sketch. Register-wise max
+    is associative, commutative and IDEMPOTENT, so the deliberately
+    overlapping epoch cannot move any register: this is the law that
+    makes HLL the distinct-count sketch for at-least-once delivery
+    (KMV and count-min merge correctly only over disjoint partials).
+    The batch sketch's exact-integer DuckDB form is the oracle.
+
+    Scale: each epoch's partial is O(groups · m) after map-side
+    combine; reads merge O(epochs · groups · m) stored rows — never the
+    raw stream."""
+    from polar_spark.streaming.sketches import StreamingHLL
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "hll")
+    sink = StreamingHLL(
+        spark, os.path.join(root, "store"), ["event_type"], "user_id"
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS + (_SPLITS[0],)):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    return sink.estimate()
+
+
 def _lm_law_oracle() -> str:
     from polar_spark.functions.lm import lm_score_oracle_sql
 
@@ -278,11 +314,11 @@ def sketch_qs_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_batch_oracle() -> str:
-    from polar_spark.queries.pipeline_ops import _DSIR_CTES
+    from polar_spark.functions.dsir import dsir_oracle_ctes
 
     return f"""
-WITH {_DSIR_CTES}
-SELECT doc_id, lang, n_grams, CAST(logw AS DOUBLE) AS logw
+WITH {dsir_oracle_ctes()}
+SELECT doc_id, lang, n_grams, logw_nano
 FROM scored
 """
 
@@ -315,9 +351,7 @@ def dsir_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink.apply_batch(docs.filter(cond), epoch, root)
 
     _built_once(root, build)
-    return sink.score(docs).select(
-        "doc_id", "lang", "n_grams", F.col("logw").cast("double").alias("logw")
-    )
+    return sink.score(docs).select("doc_id", "lang", "n_grams", "logw_nano")
 
 
 from polar_spark.queries.text import BM25_ORACLE as _BM25_ORACLE

@@ -128,12 +128,38 @@ FROM agg
 )
 def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event_type (functions/sketches.py):
-    deterministic md5-hash k-minimum-values — oracle-checkable where HLL
-    never is, same O(k) summary size."""
+    deterministic md5-hash k-minimum-values — same O(k) summary size as
+    HLL, directly order-statistics-interpretable."""
     from polar_spark.functions.sketches import kmv_distinct
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+def _hll_oracle() -> str:
+    from polar_spark.functions.sketches import hll_oracle_sql
+
+    return hll_oracle_sql()
+
+
+@query("sketch_hll_distinct_users", oracle=_hll_oracle())
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (Flajolet et
+    al. 2007), all-integer: md5-derived 60-bit hash → m=64 registers
+    (max leading-zero rank, a comparison ladder — no float log2), and
+    the raw estimator as a 2^CAP-scaled exact integer harmonic sum —
+    so the DuckDB oracle equality is bit-exact, not approximate.
+
+    Scale: map-side combine collapses each task to ≤ m rows per group
+    before the ONE register shuffle — O(groups · m) exchanged bytes no
+    matter how many raw events; the per-group estimate is a second
+    O(groups · m) aggregation. The idempotent max-merge (unlike KMV's
+    k-smallest or count-min's addition) is what makes this the sketch
+    for at-least-once pipelines — see sketch_hll_stream_vs_batch."""
+    from polar_spark.functions.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id")
 
 
 @query(

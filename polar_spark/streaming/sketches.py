@@ -284,7 +284,14 @@ class StreamingQuantile(_EpochPartialSink):
         self.k = k
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
-        return qs_partial(batch_df, self.keys, self.id_col, self.value_col, self.k)
+        # prefilter=False per qs_partial's contract for micro-batch
+        # callers: the threshold prefilter's sampled collect() + eager
+        # localCheckpoint is a corpus-scale optimization, pure per-batch
+        # overhead (and leaked checkpoint blocks) inside foreachBatch
+        return qs_partial(
+            batch_df, self.keys, self.id_col, self.value_col, self.k,
+            prefilter=False,
+        )
 
     def sample(self) -> DataFrame | None:
         stored = self._stored()

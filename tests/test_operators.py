@@ -1260,8 +1260,9 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     """The Efraimidis-Spirakis selection equals a NumPy/hashlib replica:
     same md5-uniform, same ln(u)/w key, same per-source top-10."""
     import hashlib
-    import math
 
+    from polar_spark.functions.dsir import _LN_U_DENOM_NANO
+    from polar_spark.functions.ln_portable import ln_nano_py
     from polar_spark.queries.pipeline_ops import weighted_sample_per_source
 
     got = {
@@ -1276,7 +1277,7 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     by_src: dict[str, list] = {}
     for r in rows:
         h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
-        key = (math.log(h + 1) - math.log(1 << 60)) / (r["n_chars"] + 1)
+        key = float(ln_nano_py(h + 1) - _LN_U_DENOM_NANO) / (r["n_chars"] + 1)
         by_src.setdefault(r["source"], []).append(
             (-key, r["doc_id"], r["n_chars"])
         )
@@ -1288,25 +1289,23 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
 
 
 def test_dsir_matches_python_reference(spark, sf_dir):
-    """DSIR log importance weights equal a hashlib/Decimal replica:
+    """DSIR log importance weights equal a hashlib/ln_nano replica:
     same hashed unigram+bigram buckets, same add-one-smoothed log
-    ratio with 9-dp-rounded integer-argument lns, same exact-decimal
-    per-doc sum — and the selection key adds the same double-rounded
-    md5-Gumbel. Also pins the method's sanity law: target-language
-    docs must outscore the rest on average."""
+    ratio in exact integer nano-nats (portable ln — no transcendental
+    anywhere), same exact-bigint per-doc sum — and the selection key
+    adds the same all-integer md5-Gumbel. Also pins the method's
+    sanity law: target-language docs must outscore the rest on
+    average."""
     import hashlib
-    import math
-    from decimal import Decimal
 
+    from polar_spark.functions.dsir import gumbel_g_nano_py
+    from polar_spark.functions.ln_portable import ln_nano_py
     from polar_spark.queries.pipeline_ops import (
         dsir_importance_scores,
         dsir_resample_select,
     )
 
     M = 4096
-
-    def r9(x: float) -> Decimal:
-        return Decimal(str(round(x, 9)))
 
     rows = (
         load_table(spark, sf_dir, "documents")
@@ -1328,14 +1327,17 @@ def test_dsir_matches_python_reference(spark, sf_dir):
             cq[b] = cq.get(b, 0) + 1
             if lang == "en":
                 cp[b] = cp.get(b, 0) + 1
-    lam = {b: r9(math.log(cp.get(b, 0) + 1)) - r9(math.log(c + 1)) for b, c in cq.items()}
-    kappa = r9(math.log(sum(cq.values()) + M)) - r9(math.log(sum(cp.values()) + M))
+    lam = {
+        b: ln_nano_py(cp.get(b, 0) + 1) - ln_nano_py(c + 1)
+        for b, c in cq.items()
+    }
+    kappa = ln_nano_py(sum(cq.values()) + M) - ln_nano_py(sum(cp.values()) + M)
     want = {}
     for doc_id, (lang, buckets) in docs.items():
-        logw = sum((lam[b] + kappa for b in buckets), Decimal(0))
-        want[doc_id] = (lang, len(buckets), float(logw))
+        logw = sum(lam[b] + kappa for b in buckets)
+        want[doc_id] = (lang, len(buckets), logw)
     got = {
-        r["doc_id"]: (r["lang"], r["n_grams"], r["logw"])
+        r["doc_id"]: (r["lang"], r["n_grams"], r["logw_nano"])
         for r in dsir_importance_scores(spark, sf_dir).collect()
     }
     assert got == want
@@ -1347,9 +1349,7 @@ def test_dsir_matches_python_reference(spark, sf_dir):
     keyed = []
     for doc_id, (lang, n, logw) in want.items():
         h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
-        ln_u = r9(math.log(h + 1) - math.log(1 << 60))
-        g = Decimal(str(round(-math.log(-float(ln_u)), 6)))
-        keyed.append((-(Decimal(str(round(Decimal(str(logw)), 9))) + g), doc_id))
+        keyed.append((-(logw + gumbel_g_nano_py(h)), doc_id))
     want_sel = {doc_id for _, doc_id in sorted(keyed)[:50]}
     got_sel = {r["doc_id"] for r in dsir_resample_select(spark, sf_dir).collect()}
     assert got_sel == want_sel

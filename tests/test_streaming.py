@@ -796,6 +796,80 @@ def test_streaming_sketches_match_batch(spark, sf_dir, tmp_path):
     }
 
 
+def test_streaming_hll_matches_batch_and_tolerates_overlap(spark, sf_dir, tmp_path):
+    """StreamingHLL through a real file-stream equals the one-shot batch
+    sketch (register-wise max-merge law), AND — the property that sets
+    HLL apart from every other sketch in the family — re-ingesting
+    OVERLAPPING data as a new epoch leaves every register unchanged
+    (max is idempotent), so at-least-once delivery cannot inflate the
+    estimate. Plus replay idempotency of a recorded epoch."""
+    from polar_spark.functions.sketches import hll_distinct
+    from polar_spark.streaming.sketches import StreamingHLL
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "hll_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    hll = StreamingHLL(
+        spark, str(tmp_path / "hll_store"), keys=["event_type"], value_col="user_id"
+    )
+    q = hll.start(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "hll_cp"),
+    )
+    q.awaitTermination(180)
+
+    def rows(df):
+        return {
+            r["event_type"]: (r["v_zero"], r["s_sum"], r["est_distinct"])
+            for r in df.collect()
+        }
+
+    got = rows(hll.estimate())
+    want = rows(hll_distinct(snap, ["event_type"], "user_id"))
+    assert got == want and len(got) == 5  # bit-identical merge law
+
+    # the at-least-once law: a FRESH epoch carrying data already
+    # ingested (half the corpus, overlapping everything) is accepted
+    # into the store — and changes nothing
+    n_epochs = len(hll._partition_dirs())
+    assert (
+        hll.apply_batch(
+            snap.filter("event_id % 2 = 0"), epoch=n_epochs + 10,
+            sink_id=str(tmp_path / "hll_cp"),
+        )
+        is True
+    )
+    assert rows(hll.estimate()) == got
+
+    # replay of a RECORDED epoch: rejected, store untouched
+    assert (
+        hll.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "hll_cp"))
+        is False
+    )
+    assert rows(hll.estimate()) == got
+
+    # estimate sanity: the exported v_zero is exactly what a consumer
+    # needs for the standard small-range linear-counting correction
+    # (est < 2.5m with empty registers -> m·ln(m/v_zero)); corrected,
+    # the estimate lands within the m=64 error band of the truth
+    import math
+
+    truth = {
+        r["event_type"]: r["t"]
+        for r in snap.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("t"))
+        .collect()
+    }
+    for et, (v_zero, _, est) in got.items():
+        if est < 2.5 * 64 and v_zero > 0:
+            est = 64 * math.log(64 / v_zero)
+        assert abs(est - truth[et]) <= 0.4 * truth[et]
+
+
 def test_streaming_sketch_new_lineage_purges_store(spark, sf_dir, tmp_path):
     """Sketch partials ADD when merged, so a NEW lineage (fresh
     checkpoint over a non-empty store, or a checkpoint reset) must purge
@@ -1025,11 +1099,11 @@ def test_streaming_dsir_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
 
     got = {
-        r["doc_id"]: (r["lang"], r["n_grams"], str(r["logw"]))
+        r["doc_id"]: (r["lang"], r["n_grams"], r["logw_nano"])
         for r in sink.score(snap).collect()
     }
     want = {
-        r["doc_id"]: (r["lang"], r["n_grams"], str(r["logw"]))
+        r["doc_id"]: (r["lang"], r["n_grams"], r["logw_nano"])
         for r in dsir_log_weights(snap, SF.col("lang") == "en", m=512).collect()
     }
     assert got == want and len(got) == snap.count()
@@ -1042,13 +1116,9 @@ def test_streaming_dsir_matches_batch(spark, sf_dir, tmp_path):
     # path — unseen buckets contribute exactly 0 (+kappa). Pinned by a
     # full hashlib/Decimal replica.
     import hashlib
-    import math
-    from decimal import Decimal
 
     from polar_spark.functions.dsir import bucket_counts, score_against_counts
-
-    def r9(x):
-        return Decimal(str(round(x, 9)))
+    from polar_spark.functions.ln_portable import ln_nano_py
 
     def buckets_of(text, m=4096):
         w = text.split(" ")
@@ -1067,22 +1137,24 @@ def test_streaming_dsir_matches_batch(spark, sf_dir, tmp_path):
             cq[b] = cq.get(b, 0) + 1
             if lang == "en":
                 cp[b] = cp.get(b, 0) + 1
-    kappa = r9(math.log(sum(cq.values()) + 4096)) - r9(math.log(sum(cp.values()) + 4096))
+    kappa = ln_nano_py(sum(cq.values()) + 4096) - ln_nano_py(
+        sum(cp.values()) + 4096
+    )
     alien = spark.createDataFrame(
         [(99, "xx", "zzqqy wwvvk the")], "doc_id long, lang string, text string"
     )
     want_logw = sum(
         (
-            (r9(math.log(cp.get(b, 0) + 1)) - r9(math.log(cq[b] + 1)))
+            (ln_nano_py(cp.get(b, 0) + 1) - ln_nano_py(cq[b] + 1))
             if b in cq
-            else Decimal(0)
+            else 0
         )
         + kappa
         for b in buckets_of("zzqqy wwvvk the")
     )
     row = score_against_counts(alien, model).collect()[0]
     assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
-    assert Decimal(str(row["logw"])) == want_logw
+    assert row["logw_nano"] == want_logw
 
 
 def test_streaming_corpus_stats_matches_one_shot(spark, sf_dir, tmp_path):
