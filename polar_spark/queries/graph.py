@@ -18,9 +18,6 @@ from pyspark.sql.window import Window
 from polar_spark.queries.registry import query
 from polar_spark.sources.tables import load_table
 
-# rank fixed-point scale and damping (85/100) — all integer arithmetic
-_PR_SCALE = 1_000_000
-
 
 @query(
     "pagerank_event_graph",
@@ -70,16 +67,16 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard simplification); documenting it is part of the contract.
 
     Scale: the edge build is ONE user-hash window + a map-side-combined
-    count into ≤ |types|² groups. Each iteration is the canonical
-    DataFrame rank-propagation step: edges ⋈ ranks on the source node,
-    integer contributions aggregated by destination with map-side
-    combine, left join back onto the node table. The rank table here is
-    type-vocabulary-sized (broadcast-friendly); on a web-scale graph
-    the same plan co-partitions edges and ranks on the node key once
-    and reuses that partitioning every iteration — no per-iteration
-    re-shuffle of the edge list, which is what makes DataFrame
-    PageRank viable at 100 TB.
+    count into ≤ |types|² groups. Iteration runs through
+    operators/pagerank.py's CO-PARTITIONED form: edges hash-partitioned
+    once on the source node and persisted, ranks re-emitted on the same
+    node-key layout each iteration — the edge table (the 100 TB side on
+    a web graph) moves exactly once no matter how many iterations, and
+    per-iteration exchanges carry only rank-table-sized data
+    (plan-asserted in tests/test_plans.py).
     """
+    from polar_spark.operators.pagerank import pagerank_quantized
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -88,26 +85,5 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev").alias("u"), F.col("event_type").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    outw = edges.groupBy("u").agg(F.sum("w").alias("wu"))
-    e = edges.join(outw, "u").select("u", "v", "w", "wu")
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
-
-    for _ in range(2):
-        contrib = (
-            e.join(F.broadcast(ranks), e["u"] == ranks["node"])
-            .select("v", F.expr("(r * w) DIV wu").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["v"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(150000)
-                    + F.expr("(85 * coalesce(s, 0L)) DIV 100")
-                ).cast("long").alias("r"),
-            )
-        )
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    return pagerank_quantized(edges, nodes, iterations=2)
