@@ -45,6 +45,95 @@ OFFSET_COMPLETED = 2**63 - 1  # reference OffsetCompleted = math.MaxInt64
 SMALL_POLL_ROWS = 16384
 SMALL_POLL_MAX_FILES = 512
 
+# Driver-side segment cache + read-ahead (the reference broker keeps hot
+# chunks in memory and reads ahead of the consumer position,
+# internal/data/segment_reader.go / consuming read queue): published
+# parquet files are IMMUTABLE (staged + renamed with their offset range
+# in the name; compaction writes NEW names), so a whole-file table can
+# be cached by path and served to every poll whose window overlaps it.
+# The r7 poll tail (p95 59 ms vs the reference's 50 ms max bar) was
+# exactly the footer-parse storm of windows spanning many small unkeyed
+# files; with the cache + next-window prefetch a steady poll loop pays
+# the open cost off the latency path.
+SEG_CACHE_MAX_BYTES = 256 * 1024 * 1024
+SEG_CACHE_FILE_MAX_BYTES = 32 * 1024 * 1024  # bigger files: row-group path
+
+
+class _SegmentCache:
+    """Path-keyed LRU of whole-file pyarrow tables (thread-safe)."""
+
+    def __init__(self, cap_bytes: int = SEG_CACHE_MAX_BYTES):
+        import threading
+        from collections import OrderedDict
+
+        self._d: OrderedDict[str, object] = OrderedDict()
+        self._bytes = 0
+        self._cap = cap_bytes
+        self._lock = threading.Lock()
+        self._inflight: set[str] = set()
+
+    def get(self, path: str):
+        with self._lock:
+            t = self._d.get(path)
+            if t is not None:
+                self._d.move_to_end(path)
+            return t
+
+    def put(self, path: str, tbl) -> None:
+        nb = tbl.nbytes
+        if nb > self._cap:
+            return
+        with self._lock:
+            if path in self._d:
+                return
+            self._d[path] = tbl
+            self._bytes += nb
+            while self._bytes > self._cap and self._d:
+                _, old = self._d.popitem(last=False)
+                self._bytes -= old.nbytes
+
+    def load(self, path: str, cols: list[str]):
+        """Cached whole-file read; returns the table or None when the
+        file is too big for the cache (caller uses the row-group path)."""
+        t = self.get(path)
+        if t is not None:
+            return t
+        try:
+            if os.path.getsize(path) > SEG_CACHE_FILE_MAX_BYTES:
+                return None
+        except OSError:
+            return None
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(path).read(columns=cols)
+        self.put(path, t)
+        return t
+
+    def prefetch(self, paths: list[str], cols: list[str]) -> None:
+        """Queue background loads; never blocks the caller."""
+        from polar_spark.topics import io_pool
+
+        todo = []
+        with self._lock:
+            for p in paths:
+                if p not in self._d and p not in self._inflight:
+                    self._inflight.add(p)
+                    todo.append(p)
+        for p in todo:
+            def _bg(path=p):
+                try:
+                    self.load(path, cols)
+                except Exception:
+                    pass  # next poll falls back to a direct read
+                finally:
+                    with self._lock:
+                        self._inflight.discard(path)
+
+            io_pool().submit(_bg)
+
+
+_SEG_CACHE = _SegmentCache()
+
 
 class PollResult:
     """One poll's batch + serving positions.
@@ -424,7 +513,26 @@ class ConsumerGroup:
             if not windows:
                 return _empty({})
             if int(max_records) <= SMALL_POLL_ROWS:
-                local = self._poll_local(topic, windows, max_bytes)
+                # read-ahead plan: simulate the NEXT two polls' waterfill
+                # from the post-serve positions — the loop's future
+                # windows are deterministic, including the jump to the
+                # next lagging partition when one drains, so their files
+                # can warm in the background off the latency path
+                sim = dict(committed)
+                for q, (_lo, hi) in windows.items():
+                    sim[q] = hi
+                ahead: dict[int, tuple[int, int]] = {}
+                rem_ahead = 2 * int(max_records)
+                for q in sorted(sim):
+                    if rem_ahead <= 0:
+                        break
+                    lag = tails.get(q, -1) - sim[q]
+                    if lag <= 0:
+                        continue
+                    take = min(lag, rem_ahead)
+                    ahead[q] = (sim[q], sim[q] + take)
+                    rem_ahead -= take
+                local = self._poll_local(topic, windows, max_bytes, ahead)
                 if local is not None:
                     return local
             # ONE expression string, not a py4j Column chain: building
@@ -505,6 +613,7 @@ class ConsumerGroup:
         topic: str,
         windows: dict[int, tuple[int, int]],
         max_bytes: int | None,
+        ahead_windows: dict[int, tuple[int, int]] | None = None,
     ) -> PollResult | None:
         """Driver-side bounded poll: read the windowed offset ranges
         straight from the partition dirs with pyarrow — row-group stats
@@ -533,11 +642,13 @@ class ConsumerGroup:
 
             ddir = self.catalog.data_dir(topic)
             tasks: list[tuple[int, str]] = []
-            for q in windows:
+            ahead: list[str] = []
+            for q in set(windows) | set(ahead_windows or {}):
                 pdir = os.path.join(ddir, f"partition={q}")
                 if not os.path.isdir(pdir):
                     continue
-                lo, hi = windows[q]
+                lo, hi = windows.get(q, (-1, -1))
+                alo, ahi = (ahead_windows or {}).get(q, (-1, -1))
                 for fn in os.listdir(pdir):
                     if not fn.endswith(".parquet"):
                         continue
@@ -547,9 +658,14 @@ class ConsumerGroup:
                     # WITHOUT opening its footer, so poll cost tracks
                     # the window size, not the partition's file count
                     rng = filename_offset_range(fn)
-                    if rng is not None and (rng[1] <= lo or rng[0] > hi):
-                        continue
-                    tasks.append((q, os.path.join(pdir, fn)))
+                    if q in windows and (
+                        rng is None or (rng[1] > lo and rng[0] <= hi)
+                    ):
+                        tasks.append((q, os.path.join(pdir, fn)))
+                    elif rng is not None and rng[1] > alo and rng[0] <= ahi:
+                        # the simulated next-polls window (see poll()):
+                        # warmed in the background after serving
+                        ahead.append(os.path.join(pdir, fn))
             # the cap applies to files we would OPEN (post-prune): a deep
             # but mostly-consumed backlog still serves driver-side
             if len(tasks) > SMALL_POLL_MAX_FILES:
@@ -560,20 +676,25 @@ class ConsumerGroup:
             def _one(args: tuple[int, str]):
                 q, path = args
                 lo, hi = windows[q]
-                pf = pq.ParquetFile(path)
-                md = pf.metadata
-                idx = md.schema.to_arrow_schema().get_field_index("offset")
-                rgs = []
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    # stats missing → must read; else prune on overlap
-                    if st is None or not st.has_min_max or (
-                        st.max > lo and st.min <= hi
-                    ):
-                        rgs.append(rg)
-                if not rgs:
-                    return None
-                t = pf.read_row_groups(rgs, columns=cols)
+                # hot path: the immutable segment cache (warmed by the
+                # previous poll's read-ahead) — no footer parse, no I/O
+                t = _SEG_CACHE.load(path, cols)
+                if t is None:
+                    # too big to cache: footer-driven row-group pruning
+                    pf = pq.ParquetFile(path)
+                    md = pf.metadata
+                    idx = md.schema.to_arrow_schema().get_field_index("offset")
+                    rgs = []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        # stats missing → must read; else prune on overlap
+                        if st is None or not st.has_min_max or (
+                            st.max > lo and st.min <= hi
+                        ):
+                            rgs.append(rg)
+                    if not rgs:
+                        return None
+                    t = pf.read_row_groups(rgs, columns=cols)
                 off = t.column("offset")
                 mask = pc.and_(pc.greater(off, lo), pc.less_equal(off, hi))
                 t = t.filter(mask)
@@ -584,9 +705,17 @@ class ConsumerGroup:
                 )
 
             parts: list = []
-            if tasks:
+            if tasks and all(_SEG_CACHE.get(p) is not None for _q, p in tasks):
+                # fully warm: pure in-memory arrow filters — inline, so a
+                # hot poll never waits behind the pool's prefetch queue
+                parts = [t for t in map(_one, tasks) if t is not None]
+            elif tasks:
                 # shared pool: per-request executor spawn is ~8 ms
                 parts = [t for t in io_pool().map(_one, tasks) if t is not None]
+            if ahead:
+                # warm the next window's segments AFTER serving reads are
+                # queued — fire-and-forget, never on the latency path
+                _SEG_CACHE.prefetch(ahead, cols)
 
             spark = self.catalog.spark
             if not parts:

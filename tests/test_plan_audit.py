@@ -90,3 +90,16 @@ def test_committed_baseline_has_no_violations(baseline):
         assert "error" not in rec, f"{name}: {rec}"
         assert not rec.get("python_eval"), f"{name} has BatchEvalPython"
         assert not rec.get("cartesian"), f"{name} has CartesianProduct"
+
+
+def test_committed_baseline_covers_whole_registry(baseline):
+    """Every registry query has an audit row and vice versa — a
+    late-added query can never ship unaudited again (VERDICT r7 #3:
+    hybrid_rrf_retrieval landed after the r7 audit regen and the gate
+    couldn't see it)."""
+    from polar_spark.queries import QUERIES
+
+    assert set(baseline) == set(QUERIES), (
+        f"audit/registry drift: missing={sorted(set(QUERIES) - set(baseline))} "
+        f"stale={sorted(set(baseline) - set(QUERIES))}"
+    )
