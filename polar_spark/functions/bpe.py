@@ -1,0 +1,163 @@
+"""Corpus-scale BPE tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909) — the multi-round merge loop, character-level.
+
+The reference engine has no tokenizer surface (SURVEY.md §2.2); this is
+LLM-pipeline capability (SURVEY.md §2.3), completing the single-round
+pair ranking of ``bpe_pair_merge_counts`` into the actual training
+loop: R rounds of (count weighted adjacent symbol pairs → pick the
+argmax merge → apply it everywhere).
+
+Scale shape — the reason industrial BPE trainers (HuggingFace
+tokenizers, SentencePiece) are feasible on terabyte corpora: after ONE
+corpus pass aggregates word frequencies, every training round operates
+on the WORD-TYPE table (Heaps-law vocabulary, ≪ corpus size). Here:
+
+- word frequencies: one explode + one map-side-combined groupBy — the
+  only corpus-sized stage;
+- per round: pair counting is an explode over the vocab table with
+  map-side combine into ≤ |pairs| groups; the argmax is a distributed
+  TakeOrdered(1); the merge application is one narrow ``replace`` map.
+  Each round's driver traffic is exactly ONE row (the chosen merge) —
+  the same bounded-collect discipline as kmeans' centroids.
+
+Determinism: pair ranking ties break on pair text; the merge rewrite
+uses literal (non-regex) ``replace`` whose left-to-right non-overlap
+scan is the classic BPE greedy application and is identical in Spark,
+DuckDB and Python ``str.replace`` — so a fixed-round run carries a full
+value-hash oracle, like the quantized k-means / PageRank iterative
+operators. Counting includes overlapping occurrences ("aaa" counts
+("a","a") twice), matching the standard reference implementation.
+Words are merged without an end-of-word marker (documented
+simplification; the marker is one extra concat if a consumer needs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the space-tokenized corpus — the one
+    corpus-sized aggregation; everything downstream is vocab-bounded."""
+    return (
+        docs.select(
+            F.explode(F.split(F.coalesce(text_col, F.lit("")), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(words: DataFrame, rounds: int = 5) -> DataFrame:
+    """Train ``rounds`` BPE merges over a (word, cnt) table; returns a
+    local (merge_round, pair, cnt) DataFrame of the chosen merges."""
+    spark = words.sparkSession
+    from polar_spark.plans.cache import persist_slot
+
+    syms = persist_slot(
+        words.select(
+            F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("sym"),
+            "cnt",
+        ),
+        "bpe_train.syms",
+        eager=True,
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(rounds):
+        pairs = (
+            syms.select(F.split("sym", " ").alias("s"), "cnt")
+            .select(
+                F.explode(
+                    F.expr(
+                        "case when size(s) < 2 then array() else "
+                        "transform(sequence(2, size(s)), "
+                        "i -> concat(element_at(s, i - 1), ' ', element_at(s, i)))"
+                        " end"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        merges.append((r, pair, int(cnt)))
+        merged = pair.replace(" ", "")
+        syms = syms.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("sym"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, cnt bigint"
+    )
+
+
+def bpe_train_py(word_counts: dict[str, int], rounds: int = 5) -> list[tuple[int, str, int]]:
+    """Pure-Python twin of :func:`bpe_train` (same counting, same
+    tiebreak, same left-to-right non-overlapping merge via str.replace)."""
+    syms = {f" {' '.join(w)} ": c for w, c in word_counts.items()}
+    out: list[tuple[int, str, int]] = []
+    for r in range(rounds):
+        counts: dict[str, int] = {}
+        for s, c in syms.items():
+            toks = s.split()
+            for a, b in zip(toks, toks[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + c
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        out.append((r, pair, counts[pair]))
+        merged = pair.replace(" ", "")
+        nxt: dict[str, int] = {}
+        for s, c in syms.items():
+            ns = s.replace(f" {pair} ", f" {merged} ")
+            nxt[ns] = nxt.get(ns, 0) + c
+        syms = nxt
+    return out
+
+
+def bpe_oracle_sql(rounds: int = 5) -> str:
+    """DuckDB twin over the ``documents`` view: chained per-round CTEs
+    (pair count → argmax → replace), bit-exact vs the Spark loop."""
+    ctes = [
+        "w0 AS (SELECT word, COUNT(*) AS cnt FROM ("
+        "SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word"
+        " FROM documents) t WHERE word <> '' GROUP BY word)",
+        "v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,"
+        " cnt FROM w0)",
+    ]
+    sels = []
+    for r in range(rounds):
+        ctes.append(
+            f"p{r} AS (SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1]"
+            f" AS pair, CAST(SUM(cnt) AS BIGINT) AS cnt"
+            f" FROM (SELECT string_split(sym, ' ') AS s, cnt FROM v{r}) t,"
+            f" UNNEST(range(1, len(s))) AS u(i) GROUP BY 1)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT {r} AS merge_round, pair, cnt FROM p{r}"
+            f" ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r + 1} AS (SELECT trim(replace(' ' || sym || ' ',"
+            f" ' ' || (SELECT pair FROM b{r}) || ' ',"
+            f" ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS sym,"
+            f" cnt FROM v{r})"
+        )
+        sels.append(f"SELECT * FROM b{r}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + "\nORDER BY merge_round"
+    )

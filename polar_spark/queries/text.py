@@ -454,6 +454,35 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    from polar_spark.functions.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(rounds=5)
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five rounds of character-level BPE tokenizer training (Sennrich
+    et al. 2016) over the corpus word-frequency table — the actual merge
+    LOOP, completing bpe_pair_merge_counts' single ranking step. Each
+    round counts weighted adjacent symbol pairs over the VOCAB table
+    (never the corpus), takes the deterministic argmax (ties by pair
+    text), and applies the merge with the classic left-to-right
+    non-overlapping greedy scan (literal replace — identical semantics
+    in Spark, DuckDB and Python str.replace, so the fixed-round run is
+    value-hash checkable like the other iterative quantized operators).
+
+    Scale: one corpus pass builds word frequencies; all R training
+    rounds run over the Heaps-law vocabulary with map-side-combined
+    pair counts and a TakeOrdered(1) argmax — one merge row to the
+    driver per round, the kmeans bounded-collect discipline. This is
+    the shape that makes tokenizer training feasible at 100 TB."""
+    from polar_spark.functions.bpe import bpe_train, word_freq_table
+
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    return bpe_train(word_freq_table(d), rounds=5)
+
+
 @query(
     "tfidf_top_terms_per_source",
     oracle="""

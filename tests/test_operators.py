@@ -1429,3 +1429,33 @@ def test_qs_prefilter_parity_and_fallback(spark):
     )
     assert forced is not None
     assert {tuple(r) for r in forced.collect()} == naive
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """bpe_train == the pure-Python replica on the real corpus AND on a
+    crafted corpus exercising overlap counting ('aaa' counts (a,a)
+    twice but merges left-to-right non-overlapping), tiebreaks, and
+    multi-round merge chains building longer tokens."""
+    from polar_spark.functions.bpe import bpe_train, bpe_train_py, word_freq_table
+    from polar_spark.sources.tables import load_table
+
+    crafted = spark.createDataFrame(
+        [(1, "aaa aaa bb"), (2, "abab abab"), (3, "aaa bb bb cc")],
+        "doc_id int, text string",
+    )
+    wc = {
+        r["word"]: r["cnt"] for r in word_freq_table(crafted).collect()
+    }
+    assert wc == {"aaa": 3, "bb": 3, "abab": 2, "cc": 1}
+    got = [tuple(r) for r in bpe_train(word_freq_table(crafted), rounds=6).collect()]
+    want = bpe_train_py(wc, rounds=6)
+    assert got == want
+    # merges chain: some later-round pair must contain a multi-char token
+    assert any(len(p.split(" ")[0]) > 1 or len(p.split(" ")[1]) > 1 for _, p, _ in got)
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc2 = {
+        r["word"]: r["cnt"] for r in word_freq_table(docs).collect()
+    }
+    got2 = [tuple(r) for r in bpe_train(word_freq_table(docs), rounds=4).collect()]
+    assert got2 == bpe_train_py(wc2, rounds=4)
