@@ -463,3 +463,72 @@ def lm_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lm = persist_slot(train_bigram_counts(train), "lm_bigram_nll_score.lm", eager=True)
     return score_bigram_nll(holdout, lm)
+
+
+def _psi_oracle() -> str:
+    from polar_spark.functions.ln_portable import ln_nano_expr
+
+    lp = ln_nano_expr("cp * nq", "duckdb")
+    lq = ln_nano_expr("cq * np", "duckdb")
+    return f"""
+WITH b AS (
+  SELECT n_chars // 50 AS bucket,
+    COUNT(*) FILTER (WHERE doc_id % 2 = 0) + 1 AS cp,
+    COUNT(*) FILTER (WHERE doc_id % 2 = 1) + 1 AS cq
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq FROM b
+)
+SELECT bucket, CAST(cp AS BIGINT) AS cp, CAST(cq AS BIGINT) AS cq,
+  CAST((cp * nq - cq * np) * ({lp} - {lq}) AS BIGINT) AS psi_term_scaled
+FROM b CROSS JOIN tot
+"""
+
+
+@query("drift_psi_length_buckets", oracle=_psi_oracle())
+def drift_psi_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between two corpus slices (the
+    data-quality gate every continuously-ingesting training pipeline
+    runs): Population Stability Index over fixed-width document-length
+    buckets, reference slice P = even doc_ids vs current slice Q = odd.
+    Add-one smoothing over the union of observed buckets; the per-bucket
+    term (p-q)·ln(p/q) is computed EXACTLY in integers —
+    ln(p/q) = ln(cp·Nq) - ln(cq·Np) takes integer arguments through the
+    portable ln_nano, and the (p-q) numerator stays rational:
+    psi = Σ psi_term_scaled / (Np·Nq·1e9). (For counts beyond ~2^31,
+    pre-scale both slices by a common factor before the product.)
+
+    Scale: ONE map-side-combined aggregation over the corpus into
+    |buckets| rows; totals enter as a 1-row broadcast; every ln runs on
+    the bucket table. PSI ≥ 0.2 · Np·Nq·1e9 is the conventional
+    retrain/alert threshold."""
+    from polar_spark.functions.ln_portable import ln_nano_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            F.expr("n_chars DIV 50").alias("bucket"),
+            F.col("doc_id"),
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)) + 1).alias("cp"),
+            (F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)) + 1).alias("cq"),
+        )
+    )
+    tot = b.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("cq").cast("long").alias("nq")
+    )
+    lp = ln_nano_expr("cp * nq", "spark")
+    lq = ln_nano_expr("cq * np", "spark")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("cp").cast("long").alias("cp"),
+            F.col("cq").cast("long").alias("cq"),
+            F.expr(
+                f"CAST((cp * nq - cq * np) * (({lp}) - ({lq})) AS BIGINT)"
+            ).alias("psi_term_scaled"),
+        )
+    )

@@ -80,6 +80,18 @@ class PolarRestServer:
         facade = self
 
         class Handler(BaseHTTPRequestHandler):
+            # keep-alive so a consumer CONNECTION is a first-class
+            # identity scope, like the reference's HTTP/2 consumer
+            # connections (internal/consuming/server.go:115-178): a
+            # register on a connection binds that connection to the
+            # consumer; subsequent poll/commit/goodbye on the SAME
+            # connection may omit consumerId. One handler instance
+            # serves a connection's whole request stream under
+            # ThreadingHTTPServer, so instance state is the
+            # connection scope.
+            protocol_version = "HTTP/1.1"
+            _conn_cid: str | None = None
+
             def log_message(self, *a):  # silence per-request stderr noise
                 pass
 
@@ -155,6 +167,7 @@ class PolarRestServer:
                     on_new = q.get("onNewGroup", [LATEST])[0]
                     with facade._key_lock("consumer", cid):
                         facade.engine.register(cid, group, topics, on_new_group=on_new)
+                    self._conn_cid = cid  # bind this connection (see class doc)
                     self._send(200, "OK")
                 else:
                     self._send(404)
@@ -164,7 +177,9 @@ class PolarRestServer:
                 q = self._q()
                 if path.startswith("/v1/topic/") and path.endswith("/messages"):
                     return self._produce(path, q)
-                cid = q.get("consumerId", [None])[0]
+                # explicit consumerId wins; a registered CONNECTION may
+                # omit it (reference connection-scoped identity)
+                cid = q.get("consumerId", [None])[0] or self._conn_cid
                 try:
                     if path == "/v1/consumer/poll":
                         return self._poll(cid)

@@ -354,3 +354,55 @@ def test_key_lock_eviction_never_drops_fetched_lock(spark, tmp_path):
     assert blocked.wait(timeout=10)
     t.join(timeout=5)
     t2.join(timeout=5)
+
+
+def test_connection_scoped_consumer_identity(server):
+    """Reference parity (internal/consuming/server.go:115-178): consumer
+    identity is CONNECTION-scoped — registering on a keep-alive
+    connection binds it, so poll/commit/goodbye on the SAME connection
+    may omit consumerId; a different connection without consumerId is
+    not registered (409), and an explicit consumerId always wins."""
+    import http.client
+    import json as _json
+    from urllib.parse import urlparse
+
+    u = urlparse(server.url)
+    _req(
+        "POST",
+        f"{server.url}/v1/topic/conn-topic/messages?partitionKey=7",
+        _json.dumps({"v": 1}).encode(),
+    )
+
+    c1 = http.client.HTTPConnection(u.hostname, u.port)
+    try:
+        c1.request(
+            "PUT",
+            "/v1/consumer/register?consumerId=cc1&group=gc&topic=conn-topic"
+            "&onNewGroup=startFromEarliest",
+        )
+        assert c1.getresponse().read() == b"OK"
+        # poll/commit/goodbye WITHOUT consumerId on the bound connection
+        got = None
+        for _ in range(10):
+            c1.request("POST", "/v1/consumer/poll")
+            r = c1.getresponse()
+            body = r.read()
+            assert r.status in (200, 204)
+            if r.status == 200:
+                got = _json.loads(body)
+                break
+        assert got and got[0]["values"] == [{"v": 1}]
+        c1.request("POST", "/v1/consumer/commit")
+        r = c1.getresponse()
+        r.read()
+        assert r.status == 204
+    finally:
+        c1.close()
+
+    # a FRESH connection with no consumerId has no binding → 409
+    c2 = http.client.HTTPConnection(u.hostname, u.port)
+    try:
+        c2.request("POST", "/v1/consumer/poll")
+        assert c2.getresponse().status == 409
+    finally:
+        c2.close()
