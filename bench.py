@@ -97,6 +97,13 @@ HEADLINE = [
     "bm25_topk_docs",
     "er_fuzzy_name_pairs",
     "hybrid_rrf_retrieval",
+    # r8: proven HLL, the BPE training loop + encoder, PSI drift,
+    # co-partitioned PageRank
+    "sketch_hll_distinct_users",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "drift_psi_length_buckets",
+    "pagerank_event_graph",
 ]
 
 
@@ -187,6 +194,12 @@ SCALE_HEADLINE = [
     # the documents scan (er_fuzzy_name_pairs excluded: part is a DIM
     # the scaled corpus deliberately keeps fixed)
     "bm25_topk_docs",
+    # r8: HLL state is O(groups·m) after map-side combine; BPE training
+    # rounds run over the Heaps-law vocab after one frequency pass; PSI
+    # is one bucket-bounded aggregation — all must scale with the scan
+    "sketch_hll_distinct_users",
+    "bpe_train_merges",
+    "drift_psi_length_buckets",
 ]
 
 

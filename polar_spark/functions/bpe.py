@@ -161,3 +161,44 @@ def bpe_oracle_sql(rounds: int = 5) -> str:
         + "\nUNION ALL\n".join(sels)
         + "\nORDER BY merge_round"
     )
+
+
+def bpe_encode(words: DataFrame, merges: list[str]) -> DataFrame:
+    """Apply an ordered merge list to a (word, cnt) table; returns the
+    encoded (sym, cnt) table. Each merge is ONE narrow literal-replace
+    map (left-to-right non-overlap greedy, the classic BPE apply order)
+    — R merges fuse into a single codegen stage, zero shuffles: at
+    100 TB, encoding is scan-speed."""
+    syms = words.select(
+        F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("sym"),
+        "cnt",
+    )
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        syms = syms.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("sym"),
+            "cnt",
+        )
+    return syms
+
+
+def bpe_encode_oracle_sql(rounds: int = 5, topk: int = 30) -> str:
+    """DuckDB twin of train-then-encode: the chained training CTEs of
+    :func:`bpe_oracle_sql` already materialize the fully-merged vocab as
+    ``v{rounds}`` — token frequencies are one unnest over it."""
+    train = bpe_oracle_sql(rounds)
+    ctes = train[len("WITH ") : train.index("\nSELECT * FROM b0")]
+    return f"""
+WITH {ctes}
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(string_split(sym, ' ')) AS token, cnt FROM v{rounds}) t
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {topk}
+"""

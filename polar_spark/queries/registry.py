@@ -23,17 +23,26 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-8 rotation: the ~50-slot driver sample leads with (a) the
-    # queries whose implementation changed this round and MUST re-prove
-    # (portable-ln LM rewrite, simhash signature-expression rework, the
-    # newly-evidenced HLL pair), then (b) everything else ordered by
-    # DRIVER-EVIDENCE AGE ascending (last hash/rows-green round per
-    # query, computed from CORRECTNESS_r0{1..7}.json).
+    # Round-8 rotation: (a) queries whose implementation or schema
+    # changed this round and MUST re-prove (portable-ln LM/DSIR/ES
+    # rewrite, simhash expression rework, co-partitioned PageRank),
+    # (b) brand-new r8 queries (HLL pair, BPE trainer+encoder, PSI
+    # drift batch+law), then (c) evidence age ascending from
+    # CORRECTNESS_r0{1..7}.json.
     "lm_bigram_nll_score",  # last driver evidence r7
     "lm_stream_vs_batch",  # last driver evidence r7
+    "dsir_importance_scores",  # last driver evidence r7
+    "dsir_resample_select",  # last driver evidence r7
+    "dsir_stream_vs_batch",  # last driver evidence r7
+    "weighted_sample_per_source",  # last driver evidence r7
     "dedup_simhash",  # last driver evidence r6
     "sketch_hll_distinct_users",  # last driver evidence r-none-
     "sketch_hll_stream_vs_batch",  # last driver evidence r-none-
+    "bpe_train_merges",  # last driver evidence r-none-
+    "bpe_encode_tokens",  # last driver evidence r-none-
+    "drift_psi_length_buckets",  # last driver evidence r-none-
+    "drift_psi_stream_vs_batch",  # last driver evidence r-none-
+    "pagerank_event_graph",  # last driver evidence r7
     "knn_label_vote",  # last driver evidence r3
     "lang_id_heuristic",  # last driver evidence r3
     "pipeline_training_data_prep",  # last driver evidence r3
@@ -80,15 +89,6 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "stateful_dedup_stream",  # last driver evidence r4
     "stats_moments_by_type",  # last driver evidence r4
     "stream_join_click_purchase",  # last driver evidence r4
-    "text_redact_numbers",  # last driver evidence r4
-    "unpivot_nation_metrics",  # last driver evidence r4
-    "window_function_breadth",  # last driver evidence r4
-    "debounce_repeated_events",  # last driver evidence r5
-    "event_rate_anomaly",  # last driver evidence r5
-    "impute_group_median",  # last driver evidence r5
-    "knn_hard_negatives",  # last driver evidence r5
-    "outlier_iqr_by_type",  # last driver evidence r5
-    "profile_table_stats",  # last driver evidence r5
 )
 
 

@@ -393,3 +393,38 @@ def bm25_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_stats(
         parallelize_small_scan(d), stats, BM25_TERMS, k=10
     )
+
+
+def _drift_law_oracle() -> str:
+    from polar_spark.queries.quality import _psi_oracle
+
+    return _psi_oracle()
+
+
+@query("drift_psi_stream_vs_batch", oracle=_drift_law_oracle())
+def drift_psi_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor maintained ACROSS three ingest epochs
+    (StreamingDrift epoch store: O(|buckets|) additive count partials
+    per batch, summed at read) reports BIT-identically to the one-shot
+    `drift_psi_length_buckets` — count additivity makes the equality
+    exact, so the streamed path inherits the batch query's full
+    value-hash oracle (the ln_nano PSI terms are pure functions of the
+    merged counts).
+
+    Scale: each epoch's partial is O(|buckets|) after map-side combine,
+    independent of batch size; the live PSI reads O(epochs · buckets)
+    stored rows — the drift dashboard never re-scans corpus history."""
+    from polar_spark.streaming.drift import StreamingDrift
+
+    d = load_table(spark, sf_dir, "documents")
+    root = _store_root(spark, sf_dir, "drift")
+    sink = StreamingDrift(spark, os.path.join(root, "store"))
+
+    def build() -> None:
+        for epoch, cond in enumerate(
+            ("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2")
+        ):
+            sink.apply_batch(d.filter(cond), epoch, root)
+
+    _built_once(root, build)
+    return sink.psi()

@@ -483,6 +483,36 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(word_freq_table(d), rounds=5)
 
 
+def _bpe_encode_oracle() -> str:
+    from polar_spark.functions.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(rounds=5, topk=30)
+
+
+@query("bpe_encode_tokens", oracle=_bpe_encode_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLICATION half of the BPE story: encode the
+    corpus vocabulary with the 5 merges `bpe_train_merges` learned and
+    rank the resulting token frequencies (top-30, ties by token). Each
+    merge applies as one narrow literal-replace map — all R merges fuse
+    into a single codegen stage with ZERO shuffles, so encoding runs at
+    scan speed over 100 TB; only the final token count aggregates
+    (map-side combined over the vocab table)."""
+    from polar_spark.functions.bpe import bpe_encode, bpe_train, word_freq_table
+
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    words = word_freq_table(d)
+    merges = [r["pair"] for r in bpe_train(words, rounds=5).collect()]
+    return (
+        bpe_encode(words, merges)
+        .select(F.explode(F.split("sym", " ")).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(30)
+    )
+
+
 @query(
     "tfidf_top_terms_per_source",
     oracle="""

@@ -1214,3 +1214,60 @@ def test_streaming_corpus_stats_matches_one_shot(spark, sf_dir, tmp_path):
     # replay idempotency (mid-stream epoch): store unchanged
     assert sink.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "bm_cp")) is False
     assert got == as_map(sink.stats())
+
+
+def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path):
+    """StreamingDrift through a real file-stream reports PSI terms
+    bit-identically to the one-shot batch computation (bucket-count
+    additivity), stays replay-idempotent, and its terms carry the PSI
+    sign law: a bucket over-represented in the current slice vs the
+    reference contributes a positive term (both factors flip together)."""
+    from polar_spark.functions.ln_portable import ln_nano_py
+    from polar_spark.streaming.drift import StreamingDrift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "dr_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    sink = StreamingDrift(spark, str(tmp_path / "dr_store"))
+    q = sink.start(
+        spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        checkpoint_dir=str(tmp_path / "dr_cp"),
+    )
+    q.awaitTermination(180)
+
+    got = {r["bucket"]: (r["cp"], r["cq"], r["psi_term_scaled"]) for r in sink.psi().collect()}
+
+    # python replica from the raw rows
+    rows = snap.collect()
+    cp: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    for r in rows:
+        b = r["n_chars"] // 50
+        if r["doc_id"] % 2 == 0:
+            cp[b] = cp.get(b, 0) + 1
+        else:
+            cq[b] = cq.get(b, 0) + 1
+    buckets = set(cp) | set(cq)
+    scp = {b: cp.get(b, 0) + 1 for b in buckets}
+    scq = {b: cq.get(b, 0) + 1 for b in buckets}
+    np_, nq = sum(scp.values()), sum(scq.values())
+    want = {}
+    for b in buckets:
+        term = (scp[b] * nq - scq[b] * np_) * (
+            ln_nano_py(scp[b] * nq) - ln_nano_py(scq[b] * np_)
+        )
+        want[b] = (scp[b], scq[b], term)
+    assert got == want and len(got) > 3
+    # sign law: every term is >= 0 (both factors share sign)
+    assert all(t >= 0 for _, _, t in got.values())
+
+    # replay idempotency: re-applying a recorded epoch is a no-op
+    assert sink.apply_batch(snap, epoch=1, sink_id=str(tmp_path / "dr_cp")) is False
+    assert got == {
+        r["bucket"]: (r["cp"], r["cq"], r["psi_term_scaled"])
+        for r in sink.psi().collect()
+    }
