@@ -535,6 +535,14 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         # and a poll REQUEST is served via PollResult.items() (the REST
         # facade's path — driver-side parquet read, zero Spark jobs for
         # bounded windows). Both are durable before the ack returns.
+        # settle before the request-latency loops: the scale blocks just
+        # wrote and deleted multi-GB corpora, and async writeback racing
+        # the timed syscalls inflates the tail 2-3× (r8: isolated run
+        # p95/max 11.8/13.7 ms vs 22.5/29 in-suite). sync() drains dirty
+        # pages so the loops time the serving path, not the kernel
+        # flushing someone else's data
+        os.sync()
+        time.sleep(1.0)
         lat_vals = [r["props"] for r in ev.limit(1000).collect()]
         lats: list[float] = []
         for i in range(60):

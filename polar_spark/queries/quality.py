@@ -532,3 +532,88 @@ def drift_psi_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term_scaled"),
         )
     )
+
+
+# the 2-D box probed by the z-order layout demo: all users, a narrow
+# value band — the shape where a user_id-sorted layout prunes NOTHING
+# and the Morton layout's per-file envelopes carry the whole win
+_ZB = {"x1": 0, "x2": 1023, "y1": 100, "y2": 140}
+
+
+def _zorder_oracle() -> str:
+    from polar_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql("x", "y", "duckdb")
+    b = _ZB
+    return f"""
+WITH d AS (
+  SELECT user_id & 1023 AS x,
+         CAST(FLOOR(value) AS BIGINT) & 1023 AS y
+  FROM events
+), keyed AS (
+  SELECT x, y, {z} >> 11 AS zbucket, x >> 2 AS lbucket FROM d
+), z AS (
+  SELECT 'zorder' AS layout, zbucket AS bucket, COUNT(*) AS n_rows,
+    MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+  FROM keyed GROUP BY zbucket
+), l AS (
+  SELECT 'linear_by_user' AS layout, lbucket AS bucket, COUNT(*) AS n_rows,
+    MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+  FROM keyed GROUP BY lbucket
+), u AS (SELECT * FROM z UNION ALL SELECT * FROM l)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket, n_rows,
+  x_min, x_max, y_min, y_max,
+  CAST(x_max >= {b['x1']} AND x_min <= {b['x2']}
+   AND y_max >= {b['y1']} AND y_min <= {b['y2']} AS INT) AS must_read
+FROM u
+"""
+
+
+@query("zorder_pruning_stats", oracle=_zorder_oracle())
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout vs single-dimension layout, measured by
+    the pruning arithmetic itself (functions/zorder.py — the technique
+    Delta's OPTIMIZE ZORDER BY ships): rows bucket by the interleaved
+    key's top bits (bucket ≙ file; in production this is
+    repartitionByRange(z) + parquet min/max stats), per-bucket min/max
+    envelopes on BOTH dimensions, and a must_read flag for a fixed 2-D
+    box (all users × a narrow value band). The user-sorted layout must
+    read every bucket for this box; the Morton layout's envelopes bound
+    the value dimension too, so most buckets prune — exactly the
+    file-skipping a 100 TB scan needs, verified in exact integers.
+
+    Scale: ONE map-side-combined aggregation per layout over a
+    shift/mask codegen key — the demo is a scan + tiny group table; the
+    production layout write is one range-repartition by the same key."""
+    from polar_spark.functions.zorder import z_value_sql
+
+    d = load_table(spark, sf_dir, "events").select(
+        F.expr("user_id & 1023").alias("x"),
+        F.expr("CAST(FLOOR(value) AS BIGINT) & 1023").alias("y"),
+    )
+    z = z_value_sql("x", "y", "spark")
+    keyed = d.select(
+        "x", "y",
+        F.expr(f"shiftright({z}, 11)").alias("zbucket"),
+        F.expr("shiftright(x, 2)").alias("lbucket"),
+    )
+
+    def layout(name: str, bucket_col: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            )
+            .select(F.lit(name).alias("layout"), F.col("bucket").cast("long").alias("bucket"),
+                    "n_rows", "x_min", "x_max", "y_min", "y_max")
+        )
+
+    b = _ZB
+    u = layout("zorder", "zbucket").unionByName(layout("linear_by_user", "lbucket"))
+    must = (
+        (F.col("x_max") >= b["x1"]) & (F.col("x_min") <= b["x2"])
+        & (F.col("y_max") >= b["y1"]) & (F.col("y_min") <= b["y2"])
+    )
+    return u.withColumn("must_read", must.cast("int"))

@@ -1459,3 +1459,45 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     }
     got2 = [tuple(r) for r in bpe_train(word_freq_table(docs), rounds=4).collect()]
     assert got2 == bpe_train_py(wc2, rounds=4)
+
+
+def test_zorder_morton_key_tri_engine(spark):
+    """The Morton interleave is bit-identical in Spark, DuckDB and the
+    Python twin, and carries the locality property the layout relies on
+    (nearby (x,y) cells share z prefixes; an axis range maps to a
+    bounded z-bucket set)."""
+    import duckdb
+    import pandas as pd
+
+    from polar_spark.functions.zorder import z_value_py, z_value_sql
+
+    pts = [(x, y) for x in range(0, 1024, 37) for y in range(0, 1024, 41)]
+    sdf = spark.createDataFrame(pts, "x bigint, y bigint")
+    got_spark = {
+        (r["x"], r["y"]): r["z"]
+        for r in sdf.selectExpr("x", "y", f"{z_value_sql('x','y','spark')} AS z").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pts, columns=["x", "y"]))
+    got_duck = {
+        (x, y): z
+        for x, y, z in con.sql(
+            f"SELECT x, y, {z_value_sql('x','y','duckdb')} AS z FROM t"
+        ).fetchall()
+    }
+    for x, y in pts:
+        want = z_value_py(x, y)
+        assert got_spark[(x, y)] == want
+        assert got_duck[(x, y)] == want
+    # interleave is a bijection on the 20-bit grid sample
+    assert len(set(got_spark.values())) == len(pts)
+    # locality: the top-6-bit bucket of z bounds BOTH coordinates within
+    # a 128-wide band (the envelope property zorder_pruning_stats uses)
+    from collections import defaultdict
+    env = defaultdict(lambda: [1 << 20, -1, 1 << 20, -1])
+    for (x, y), z in got_spark.items():
+        e = env[z >> 14]
+        e[0] = min(e[0], x); e[1] = max(e[1], x)
+        e[2] = min(e[2], y); e[3] = max(e[3], y)
+    for xmin, xmax, ymin, ymax in env.values():
+        assert xmax - xmin <= 128 and ymax - ymin <= 128
