@@ -76,3 +76,38 @@ def test_ln_nano_identities():
     assert ln_nano_py(2) == int(math.floor(math.log(2) * 1e9 + 0.5))
     with pytest.raises(ValueError):
         ln_nano_py(0)
+
+
+def test_ln_nano_properties_hypothesis():
+    """Property fuzz over the full bigint domain: quantization within
+    half a nano-nat of libm ln (the series truncation is ~5e-13, far
+    under the quantum — note both engines compute the SAME value, so
+    this bound is about semantic fidelity, not cross-engine agreement),
+    monotone non-decreasing, and the log-law |ln(a*b) - ln(a) - ln(b)|
+    within 2 quanta (three independent roundings)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**52))
+    def _accuracy(n):
+        assert abs(ln_nano_py(n) / 1e9 - math.log(n)) <= 5.01e-10
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**52 - 1))
+    def _monotone(n):
+        assert ln_nano_py(n + 1) >= ln_nano_py(n)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=2**26),
+        st.integers(min_value=1, max_value=2**26),
+    )
+    def _log_law(a, b):
+        assert abs(ln_nano_py(a * b) - ln_nano_py(a) - ln_nano_py(b)) <= 2
+
+    _accuracy()
+    _monotone()
+    _log_law()

@@ -1197,3 +1197,55 @@ def test_poll_items_fallback_micros_survive_host_tz(spark, tmp_path):
             _os.environ["TZ"] = old_tz
         _time_mod.tzset()
     assert items[0]["records"][0][0] == true_us
+
+
+def test_segment_cache_never_serves_stale_after_compaction(spark, tmp_path):
+    """The driver-side segment cache keys whole-file tables by PATH and
+    relies on the publish/compact invariant that a path's content never
+    changes (compaction swaps whole partition dirs with fresh
+    filenames). Prove the serving contract end-to-end: warm the cache
+    with bounded polls, compact the topic (files replaced), and keep
+    polling — every record delivers exactly once across the swap, none
+    from stale cache entries, and the cache's dead paths are never
+    consulted (fresh listing per poll)."""
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.sources.tables import load_table
+    from polar_spark.topics import TopicCatalog
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    cat.ensure_topic("cc_topic")
+    prod = Producer(cat)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    vals = [r["props"] for r in ev.limit(200).collect()]
+    for i in range(6):
+        prod.produce_rows("cc_topic", vals, key=f"u{i % 3}")
+
+    g = ConsumerGroup(cat, "cc_group")
+    g.register("cc_topic", EARLIEST)
+    seen: list[tuple[int, int]] = []
+
+    def drain_some(n_polls: int):
+        for _ in range(n_polls):
+            res = g.poll("cc_topic", max_records=150)
+            for it in res.items():
+                # records are (ts_us, key, value) in offset order from
+                # startOffset (no aborted gaps in this test)
+                for i, _rec in enumerate(it["records"]):
+                    seen.append((it["partition"], it["startOffset"] + i))
+            g.commit("cc_topic", res.positions)
+            res.release()
+
+    drain_some(3)  # warms the segment cache on pre-compaction paths
+    before = len(seen)
+    assert before > 0
+    files_before, files_after = cat.compact("cc_topic", target_records_per_file=10_000)
+    assert files_after < files_before  # the swap really happened
+    # post-swap: produce more, then drain everything
+    for i in range(2):
+        prod.produce_rows("cc_topic", vals, key=f"u{i % 3}")
+    drain_some(30)
+    # exactly-once across the swap: 8 requests x 200 records, no dup,
+    # no loss, each (partition, offset) unique
+    assert len(seen) == 8 * 200
+    assert len(set(seen)) == len(seen)
