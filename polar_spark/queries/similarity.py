@@ -746,31 +746,29 @@ def kmeans_lloyd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [(cl, [int(x) for x in r["v"]]) for cl, r in enumerate(init_rows)]
 
     def assign(cent_list):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cl).alias("cl"),
-                    F.array(*[F.lit(x).cast("bigint") for x in c]).alias("c"),
-                )
-                for cl, c in cent_list
-            ]
+        # the k×d centroid model folds into ONE SQL string (a single
+        # parse): the former Column-builder form issued ~1000 py4j
+        # roundtrips per call (8 structs × 64 literals + lambda trees),
+        # ~2 s of pure driver time per invocation — the simhash r8
+        # lesson. Semantics identical: strict < with ascending-cl
+        # iteration == ORDER BY d, cl.
+        structs = ", ".join(
+            f"named_struct('cl', {cl}, 'c',"
+            f" CAST(array({', '.join(str(x) for x in c)}) AS ARRAY<BIGINT>))"
+            for cl, c in cent_list
         )
-        acc0 = F.struct(
-            F.lit(1 << 62).cast("bigint").alias("d"), F.lit(-1).alias("cl")
+        best = F.expr(
+            f"aggregate(array({structs}),"
+            " named_struct('d', CAST(4611686018427387904 AS BIGINT), 'cl', -1),"
+            " (acc, cent) -> IF("
+            "   aggregate(zip_with(v, cent.c, (a, b) -> (a - b) * (a - b)),"
+            "             CAST(0 AS BIGINT), (s, x) -> s + x) < acc.d,"
+            "   named_struct('d',"
+            "     aggregate(zip_with(v, cent.c, (a, b) -> (a - b) * (a - b)),"
+            "               CAST(0 AS BIGINT), (s, x) -> s + x),"
+            "     'cl', cent.cl),"
+            "   acc))"
         )
-
-        def step(acc, cent):
-            d = F.aggregate(
-                F.zip_with(F.col("v"), cent["c"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda s, x: s + x,
-            )
-            # strict < with ascending-cl iteration == ORDER BY d, cl
-            return F.when(
-                d < acc["d"], F.struct(d.alias("d"), cent["cl"].alias("cl"))
-            ).otherwise(acc)
-
-        best = F.aggregate(arr, acc0, step)
         return qv.withColumn("_b", best).select(
             "vec_id",
             "v",
