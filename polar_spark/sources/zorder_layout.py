@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polar_spark.functions.zorder import z_value_py, z_value_sql
+from polar_spark.functions.zorder import z_value_sql
 
 # 10 bits per dimension, buckets = z >> SHIFT (top 9 bits → ≤ 512 dirs)
 Z_BITS = 10
@@ -114,3 +114,43 @@ def read_z_box(
         (F.col(x_col) >= x1) & (F.col(x_col) <= x2)
         & (F.col(y_col) >= y1) & (F.col(y_col) <= y2)
     )
+
+
+def stream_zordered(
+    stream_df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    checkpoint_dir: str,
+    bits: int = Z_BITS,
+    shift: int = Z_SHIFT,
+    trigger_seconds: float | None = None,
+):
+    """Streaming ingest into the same Morton-partitioned layout (the
+    stream_ivf_index analog): the parquet sink's checkpoint gives
+    exactly-once file output; each micro-batch pays only its own O(batch)
+    key computation, and every landed file is already envelope-bounded
+    in both dimensions — box queries prune a growing corpus identically
+    to the batch layout."""
+    z = z_value_sql(
+        f"({x_col}) & {(1 << bits) - 1}",
+        f"({y_col}) & {(1 << bits) - 1}",
+        "spark",
+        bits,
+    )
+    out = stream_df.withColumn("zbucket", F.expr(f"shiftright({z}, {shift})"))
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("zbucket")
+        .outputMode("append")
+        .trigger(
+            **(
+                {"processingTime": f"{trigger_seconds} seconds"}
+                if trigger_seconds
+                else {"availableNow": True}
+            )
+        )
+    )
+    return w.start()

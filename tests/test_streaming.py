@@ -1271,3 +1271,57 @@ def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path):
         r["bucket"]: (r["cp"], r["cq"], r["psi_term_scaled"])
         for r in sink.psi().collect()
     }
+
+
+def test_streaming_zordered_layout_equals_batch(spark, sf_dir, tmp_path):
+    """stream_zordered lands the SAME Morton-partitioned layout as the
+    batch writer (bucket-for-bucket identical row sets), and box reads
+    over the streamed layout prune partitions exactly like the batch
+    one."""
+    from polar_spark.sources.zorder_layout import (
+        read_z_box,
+        stream_zordered,
+        write_zordered,
+        z_box_buckets,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("user_id & 1023").alias("x"),
+        F.expr("CAST(FLOOR(value) AS BIGINT) & 1023").alias("y"),
+    )
+    src = str(tmp_path / "zsrc")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    snap = spark.read.parquet(src)
+
+    bpath = str(tmp_path / "zbatch")
+    write_zordered(snap, bpath, "x", "y")
+    spath = str(tmp_path / "zstream")
+    q = stream_zordered(
+        spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        spath, "x", "y", checkpoint_dir=str(tmp_path / "zcp"),
+    )
+    q.awaitTermination(180)
+
+    def by_bucket(path):
+        d = spark.read.parquet(path)
+        return {
+            r["zbucket"]: r["ids"]
+            for r in d.groupBy("zbucket")
+            .agg(F.sort_array(F.collect_list("event_id")).alias("ids"))
+            .collect()
+        }
+
+    assert by_bucket(spath) == by_bucket(bpath)
+
+    box = (0, 1023, 100, 140)
+    got = sorted(r["event_id"] for r in read_z_box(spark, spath, "x", "y", *box).collect())
+    want = sorted(
+        r["event_id"]
+        for r in snap.filter(
+            (F.col("y") >= box[2]) & (F.col("y") <= box[3])
+        ).collect()
+    )
+    assert got == want and len(z_box_buckets(*box)) > 0
