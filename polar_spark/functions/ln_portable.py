@@ -63,7 +63,9 @@ def _dlit(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
-_VAR = 0
+import itertools as _it
+
+_VAR = _it.count(1)  # thread-safe unique suffixes for nested lambdas
 
 
 def ln_expr(arg: str, dialect: str) -> str:
@@ -77,9 +79,8 @@ def ln_expr(arg: str, dialect: str) -> str:
     (the Horner chain references z twelve times, z references m twice,
     …), which made a nested Gumbel expression quadratically explode.
     Fresh variable names per call keep nested lambdas shadow-free."""
-    global _VAR
-    _VAR += 1
-    nv, ev, mv, zv, yv = (f"_ln{_VAR}{c}" for c in "nemzy")
+    uid = next(_VAR)
+    nv, ev, mv, zv, yv = (f"_ln{uid}{c}" for c in "nemzy")
     e = f"(length(bin({nv})) - 1)"
     if dialect == "spark":
         def lam(v, body, inner):

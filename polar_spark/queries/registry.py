@@ -39,10 +39,11 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "sketch_hll_distinct_users",  # last driver evidence r-none-
     "sketch_hll_stream_vs_batch",  # last driver evidence r-none-
     "bpe_train_merges",  # last driver evidence r-none-
-    "bpe_encode_tokens",  # last driver evidence r-none-
     "drift_psi_length_buckets",  # last driver evidence r-none-
-    "drift_psi_stream_vs_batch",  # last driver evidence r-none-
     "pagerank_event_graph",  # last driver evidence r7
+    "bpe_encode_tokens",  # last driver evidence r-none-
+    "drift_psi_stream_vs_batch",  # last driver evidence r-none-
+    "zorder_pruning_stats",  # last driver evidence r-none-
     "knn_label_vote",  # last driver evidence r3
     "lang_id_heuristic",  # last driver evidence r3
     "pipeline_training_data_prep",  # last driver evidence r3
