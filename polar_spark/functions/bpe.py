@@ -149,10 +149,15 @@ def bpe_oracle_sql(rounds: int = 5) -> str:
             f"b{r} AS (SELECT {r} AS merge_round, pair, cnt FROM p{r}"
             f" ORDER BY cnt DESC, pair LIMIT 1)"
         )
+        # coalesce to a never-matching sentinel: a corpus that exhausts
+        # its merges before `rounds` leaves b{r} empty, and a NULL
+        # pattern would null every sym — the Spark loop just stops, so
+        # the oracle must become a no-op pass instead
         ctes.append(
             f"v{r + 1} AS (SELECT trim(replace(' ' || sym || ' ',"
-            f" ' ' || (SELECT pair FROM b{r}) || ' ',"
-            f" ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS sym,"
+            f" ' ' || coalesce((SELECT pair FROM b{r}), chr(1)) || ' ',"
+            f" ' ' || coalesce(replace((SELECT pair FROM b{r}), ' ', ''), chr(1))"
+            f" || ' ')) AS sym,"
             f" cnt FROM v{r})"
         )
         sels.append(f"SELECT * FROM b{r}")

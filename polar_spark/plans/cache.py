@@ -59,7 +59,15 @@ def persist_slot(df: DataFrame, slot: str, eager: bool = False) -> DataFrame:
     scratch each run. When the new plan sameResult()s the old one we
     keep the entry (the warm cache IS the correct state for an
     identical query); eviction only happens when the plan actually
-    changed."""
+    changed.
+
+    Freshness contract: same-plan reuse carries STANDARD Spark persist
+    semantics — a cached plan does not observe files appended under an
+    unchanged path. Every slot in this repo derives from immutable
+    sf_dir parquet or from epoch stores that are append-once per
+    application (the _built_once discipline), so reuse is always of
+    identical data; a caller whose input path genuinely accretes must
+    unpersist explicitly or key the plan by a content tag."""
     key = (id(df.sparkSession), slot)
     out = df.persist()
     with _LOCK:
