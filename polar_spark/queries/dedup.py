@@ -459,6 +459,13 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a._noun") == F.col("b._noun"),
                 F.col("a.p_brand") == F.col("b.p_brand"),
                 F.col("a.p_partkey") < F.col("b.p_partkey"),
+                # length band: |len(x)-len(y)| ≤ 2 is NECESSARY for
+                # edit distance ≤ 2 and costs two length() reads — the
+                # standard ER pre-verify prune, cutting the O(len²) DP
+                # off most candidate pairs
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                ) <= 2,
             ],
         )
         .select(
@@ -466,7 +473,11 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+            # banded DP: the threshold arg early-exits at distance > 2
+            # (O(len·k) instead of O(len²)); pruned pairs return -1 and
+            # the filter drops them — survivors carry the exact distance,
+            # value-identical to the unbounded form the oracle computes
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2).alias("dist"),
         )
-        .filter(F.col("dist") <= 2)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
     )
