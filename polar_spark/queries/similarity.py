@@ -801,3 +801,91 @@ def kmeans_lloyd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("d").cast("bigint").alias("ssd"),
     )
+
+
+_RECALL_ORACLE = f"""
+WITH c0 AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+qx AS (SELECT vec_id AS qid, v AS qv FROM c0 WHERE vec_id < 10),
+exd AS (
+  SELECT qid, vec_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) AS BIGINT) AS dot
+  FROM qx, c0 WHERE vec_id <> qid
+), exr AS (
+  SELECT qid, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+  FROM exd
+), exact5 AS (SELECT qid, vec_id FROM exr WHERE rn <= 5),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c0 WHERE vec_id < {NLIST}),
+asg AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT a.vec_id, a.v, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(range(1, 65), i -> (a.v[i] - cent.cv[i]) * (a.v[i] - cent.cv[i]))), cent.cid) AS r
+    FROM c0 a CROSS JOIN cent) t WHERE r = 1
+), probe AS (
+  SELECT qid, qv, cid AS cell FROM (
+    SELECT qx.qid, qx.qv, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY qx.qid ORDER BY
+        list_sum(list_transform(range(1, 65), i -> (qx.qv[i] - cent.cv[i]) * (qx.qv[i] - cent.cv[i]))), cent.cid) AS r
+    FROM qx CROSS JOIN cent) t WHERE r <= {NPROBE}
+), ivd AS (
+  SELECT probe.qid, asg.vec_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> probe.qv[i] * asg.v[i])) AS BIGINT) AS dot
+  FROM probe JOIN asg USING (cell) WHERE asg.vec_id <> probe.qid
+), ivr AS (
+  SELECT qid, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+  FROM ivd
+), ivf5 AS (SELECT qid, vec_id FROM ivr WHERE rn <= 5),
+hits AS (
+  SELECT i.qid, COUNT(*) AS n
+  FROM ivf5 i JOIN exact5 ex ON i.qid = ex.qid AND i.vec_id = ex.vec_id
+  GROUP BY i.qid
+)
+SELECT qx.qid, CAST(coalesce(hits.n, 0) AS INT) AS n_hits,
+  CAST(coalesce(hits.n, 0) * 20 AS INT) AS recall_pct
+FROM qx LEFT JOIN hits ON qx.qid = hits.qid
+"""
+
+
+@query("ann_recall_ivf_vs_exact", oracle=_RECALL_ORACLE)
+def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION as a first-class exact operator: per-query
+    recall@5 of the IVF probe against the brute-force ground truth —
+    the measurement every retrieval/dedup pipeline must run before
+    trusting an approximate index at 100 TB. Both rankers are
+    deterministic integer machines, so the recall itself is
+    value-hash-checked (n_hits = |ivf∩exact| per query, recall_pct =
+    n_hits·20).
+
+    Scale: ground truth costs one brute-force pass over the EVAL query
+    sample only (|Q| small by design — recall is estimated on a sample,
+    the standard protocol); the IVF side is the probed-cells plan. The
+    set intersection is a |Q|·k-row semi join — nothing corpus-sized
+    meets anything corpus-sized except inside the two rankers
+    themselves."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"]) for r in qv.filter(F.col("vec_id") < NLIST).collect()
+    ]
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cands = qv.select("vec_id", F.col("v").alias("cv"))
+    exact5 = brute_force_topk(queries, cands, k=5).select("qid", "vec_id")
+    ivf5 = ivf_topk(queries, cands, cents, k=5).select("qid", "vec_id")
+    hits = (
+        ivf5.join(exact5, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) * 20).cast("int").alias("recall_pct"),
+        )
+    )
