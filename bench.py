@@ -104,6 +104,7 @@ HEADLINE = [
     "bpe_encode_tokens",
     "drift_psi_length_buckets",
     "pagerank_event_graph",
+    "ann_recall_ivf_vs_exact",
 ]
 
 
