@@ -579,6 +579,12 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
             dlats.append((time.perf_counter() - t0) * 1000)
         dlats.sort()
         extra["produce_df_latency_ms_p50"] = round(dlats[len(dlats) // 2], 1)
+        # second settle: the DataFrame-produce loop just ran 10 Spark
+        # write jobs — drain their writeback before timing polls (same
+        # rationale as the pre-produce settle; without it one poll in
+        # the loop lands behind a kernel flush and reads 2× the p95)
+        os.sync()
+        time.sleep(1.0)
         gl = ConsumerGroup(cat, "lat_group")
         gl.register("bench_lat", EARLIEST)
         plats: list[float] = []
