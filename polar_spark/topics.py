@@ -699,36 +699,75 @@ class TopicCatalog:
 
         if not os.path.isdir(d):
             return (0, 0)
+        # COPY-ON-WRITE compaction (r8): the Spark rewrite runs on a
+        # SNAPSHOT of the published file list with NO lock held — a
+        # produce landing mid-rewrite is no longer blocked for the whole
+        # job (at scale a partition rewrite is minutes; the r7 form held
+        # the produce lock throughout, stalling every producer). The
+        # produce lock is then held only for: re-list, hard-link the
+        # files that landed since the snapshot into the rewritten dir
+        # (they are immutable and offset-stamped — coexistence is safe
+        # and listing-prunable), and the two-rename swap. Produce stall
+        # is bounded by a few renames, not the rewrite.
+        import contextlib as _ctx
+        import shutil
+
+        def _published(p: str) -> set[str]:
+            out = set()
+            for dp, _dn, fns in os.walk(p):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        out.add(os.path.relpath(os.path.join(dp, fn), p))
+            return out
+
+        before = _count(d)
+        snapshot = _published(d)
+        if not snapshot:
+            return (before, before)
+        tmp = d + ".compact_tmp"
+        old = d + ".compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # read exactly the snapshot files (new arrivals stay out of the
+        # rewrite and ride through verbatim below); basePath keeps the
+        # partition directory column
+        paths = [os.path.join(d, rel) for rel in sorted(snapshot)]
+        df = (
+            self.spark.read.schema(TOPIC_SCHEMA)
+            .option("basePath", d)
+            .parquet(*paths)
+        )
+        (
+            df.repartition("partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_records_per_file)
+            .partitionBy("partition")
+            .parquet(tmp)
+        )
+        # stamp offset ranges into the rewritten filenames (the
+        # produce paths stamp at validation; compacted files must
+        # keep the listing-prunable property or poll latency would
+        # regress right after every compaction)
+        self.stamp_staged_offsets(tmp)
         with self.produce_lock(name):
-            before = _count(d)
-            tmp = d + ".compact_tmp"
-            old = d + ".compact_old"
-            df = self.spark.read.schema(TOPIC_SCHEMA).parquet(d)
-            (
-                df.repartition("partition")
-                .sortWithinPartitions("offset")
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", target_records_per_file)
-                .partitionBy("partition")
-                .parquet(tmp)
-            )
-            # stamp offset ranges into the rewritten filenames (the
-            # produce paths stamp at validation; compacted files must
-            # keep the listing-prunable property or poll latency would
-            # regress right after every compaction)
-            self.stamp_staged_offsets(tmp)
+            # files published since the snapshot pass through unchanged
+            for rel in sorted(_published(d) - snapshot):
+                src = os.path.join(d, rel)
+                dst = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)  # same fs: free
+                except OSError:
+                    shutil.copy2(src, dst)
             # only the swap needs reader exclusion (the rewrite above
             # went to a side dir): hold the engine's compaction gate for
             # two renames + an rmtree, not the whole Spark job
-            import contextlib as _ctx
-            import shutil
-
             gate = swap_gate if swap_gate is not None else _ctx.nullcontext
             with gate():
                 os.rename(d, old)
                 os.rename(tmp, d)
                 shutil.rmtree(old, ignore_errors=True)
-            return before, _count(d)
+        return before, _count(d)
 
 
 def normalize_events(

@@ -186,3 +186,93 @@ def test_full_service_composition(spark, sf_dir, tmp_path):
     finally:
         edge.stop()
         rest.stop()
+
+
+def test_concurrent_produce_poll_compact_stress(spark, sf_dir, tmp_path):
+    """Three actors race on one topic — a producer firing request-path
+    batches, a compactor sweeping copy-on-write under the engine's swap
+    gate, and a consumer poll/commit loop — and the audit must hold
+    EXACTLY: every produced record delivered once, no duplicates, no
+    losses, across live directory swaps. The copy-on-write compaction
+    contract is asserted directly: NO produce request may stall behind
+    a rewrite (the r8 rework holds the produce lock only for the link+
+    swap, so the slowest produce stays in request-path milliseconds,
+    not Spark-job seconds)."""
+    import threading
+    import time as _time
+
+    from polar_spark.api import PolarEngine
+    from polar_spark.sources.tables import load_table
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=4)
+    ev = load_table(spark, sf_dir, "events")
+    vals = [r["props"] for r in ev.limit(100).collect()]
+
+    N_REQ = 12
+    produced = threading.Event()
+    produce_lat: list[float] = []
+    compact_runs: list[tuple[int, int]] = []
+    errors: list[BaseException] = []
+
+    def producer():
+        try:
+            for i in range(N_REQ):
+                t0 = _time.perf_counter()
+                eng.produce_rows(
+                    "stress", vals, key=(f"k{i % 5}" if i % 3 else None)
+                )
+                produce_lat.append(_time.perf_counter() - t0)
+                _time.sleep(0.05)
+        except BaseException as ex:  # noqa: BLE001 — surfaced below
+            errors.append(ex)
+        finally:
+            produced.set()
+
+    def compactor():
+        while not produced.is_set():
+            try:
+                compact_runs.append(
+                    eng.catalog.compact(
+                        "stress", target_records_per_file=10_000,
+                        swap_gate=eng.compaction_gate.write,
+                    )
+                )
+            except BaseException as ex:  # noqa: BLE001
+                errors.append(ex)
+                return
+
+    eng.produce_rows("stress", vals, key="k0")  # topic exists before racing
+    eng.register("c1", "g1", ["stress"], on_new_group="startFromEarliest")
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=compactor)
+    tp.start(); tc.start()
+
+    seen: list[tuple[int, int]] = []
+    total = (N_REQ + 1) * len(vals)
+    deadline = _time.time() + 180
+    while len(seen) < total and _time.time() < deadline:
+        out = eng.poll("c1", max_records=300)
+        got = 0
+        for res in out.values():
+            for it in res.items():
+                for i, _rec in enumerate(it["records"]):
+                    seen.append((it["partition"], it["startOffset"] + i))
+                    got += 1
+            res.release()
+        eng.commit("c1")
+        if not got:
+            if produced.is_set() and not tp.is_alive():
+                # one final sweep after the producer stopped
+                _time.sleep(0.2)
+            else:
+                _time.sleep(0.02)
+    tp.join(timeout=60); tc.join(timeout=120)
+    assert not errors, errors
+    assert len(seen) == total, (len(seen), total)
+    assert len(set(seen)) == len(seen)  # exactly once, across the swaps
+    assert compact_runs, "the compactor never ran during the race"
+    # copy-on-write contract: the compactor ran Spark rewrites the whole
+    # time, yet no produce request waited on one (lock held only for the
+    # link+swap) — request latency stays well under the rewrite duration
+    assert max(produce_lat) < 5.0, produce_lat
+    eng.goodbye("c1")
