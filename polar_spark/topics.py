@@ -682,10 +682,10 @@ class TopicCatalog:
 
         Files are written offset-sorted so parquet row-group stats on
         ``offset`` stay tight (the index-file analog — consumers seek by
-        offset predicate). Like the reference's single writer per token,
-        compaction is serialized against produce via the topic's produce
-        lock — a produce landing between the read and the directory swap
-        would otherwise be silently discarded with the old directory.
+        offset predicate). Copy-on-write vs produce (r8): the rewrite
+        runs on a snapshot with NO lock; only the catch-up link of
+        files landed since + the directory swap hold the produce lock,
+        so a produce landing mid-rewrite neither blocks nor is lost.
         Returns (files_before, files_after)."""
         d = self.data_dir(name)
 
@@ -696,9 +696,6 @@ class TopicCatalog:
                 for fn in fns
                 if fn.endswith(".parquet")
             )
-
-        if not os.path.isdir(d):
-            return (0, 0)
         # COPY-ON-WRITE compaction (r8): the Spark rewrite runs on a
         # SNAPSHOT of the published file list with NO lock held — a
         # produce landing mid-rewrite is no longer blocked for the whole
@@ -720,12 +717,23 @@ class TopicCatalog:
                         out.add(os.path.relpath(os.path.join(dp, fn), p))
             return out
 
+        tmp = d + ".compact_tmp"
+        old = d + ".compact_old"
+        # pre-flight crash recovery (the repartition_topic discipline):
+        # a death between the swap's two renames leaves the data parked
+        # at .compact_old and no live dir — restore it before anything
+        # else touches the topic. A surviving .compact_old WITH a live
+        # dir is a completed swap whose rmtree didn't finish: just drop it.
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+        elif os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        if not os.path.isdir(d):
+            return (0, 0)
         before = _count(d)
         snapshot = _published(d)
         if not snapshot:
             return (before, before)
-        tmp = d + ".compact_tmp"
-        old = d + ".compact_old"
         shutil.rmtree(tmp, ignore_errors=True)
         # read exactly the snapshot files (new arrivals stay out of the
         # rewrite and ride through verbatim below); basePath keeps the

@@ -276,3 +276,44 @@ def test_concurrent_produce_poll_compact_stress(spark, sf_dir, tmp_path):
     # link+swap) — request latency stays well under the rewrite duration
     assert max(produce_lat) < 5.0, produce_lat
     eng.goodbye("c1")
+
+
+def test_compaction_crash_between_renames_recovers(spark, sf_dir, tmp_path):
+    """A death between the swap's two renames parks the data at
+    .compact_old with no live dir; the next compact's pre-flight must
+    restore it (the repartition_topic recovery discipline), and a
+    surviving .compact_old WITH a live dir (interrupted rmtree) must be
+    dropped, never merged."""
+    import os
+
+    from polar_spark.api import PolarEngine
+    from polar_spark.sources.tables import load_table
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=2)
+    vals = [r["props"] for r in load_table(spark, sf_dir, "events").limit(50).collect()]
+    eng.produce_rows("cr_topic", vals, key="a")
+    eng.produce_rows("cr_topic", vals, key="b")
+    d = eng.catalog.data_dir("cr_topic")
+
+    # simulate the crash window: live dir renamed away, swap never done
+    os.rename(d, d + ".compact_old")
+    assert not os.path.isdir(d)
+    b, a = eng.catalog.compact("cr_topic", target_records_per_file=10_000)
+    assert os.path.isdir(d) and a >= 1  # recovered, then compacted
+    eng.register("crc", "crg", ["cr_topic"], on_new_group="startFromEarliest")
+    served = 0
+    for _ in range(10):
+        for res in eng.poll("crc", max_records=1000).values():
+            served += sum(len(it["records"]) for it in res.items())
+            res.release()
+        eng.commit("crc")
+        if served >= 100:
+            break
+    assert served == 100  # nothing lost across the crash + recovery
+
+    # interrupted-rmtree leftover beside a LIVE dir: dropped, not merged
+    os.makedirs(d + ".compact_old/partition=0", exist_ok=True)
+    with open(d + ".compact_old/partition=0/off-0-1-stale.parquet", "w"):
+        pass
+    eng.catalog.compact("cr_topic", target_records_per_file=10_000)
+    assert not os.path.isdir(d + ".compact_old")
