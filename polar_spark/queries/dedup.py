@@ -481,3 +481,115 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
     )
+
+
+@query(
+    "dedup_recall_lsh_vs_exact",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter_all AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact_pairs AS (
+  SELECT id_a, id_b FROM inter_all i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
+), hp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS a,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(17, 32),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> (acc * 16 + d) % 2147483647) AS b
+  FROM sh
+), hs AS (
+  SELECT doc_id, seed, MIN((a + seed * b) % 2147483647) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bandkey AS (
+  SELECT doc_id, seed // 4 AS band,
+    md5((seed // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM hs GROUP BY doc_id, seed // 4
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), found_pairs AS (
+  SELECT e.id_a, e.id_b FROM exact_pairs e
+  JOIN cands c ON c.id_a = e.id_a AND c.id_b = e.id_b
+)
+SELECT
+  (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+  (SELECT COUNT(*) FROM found_pairs) AS n_found,
+  (SELECT COUNT(*) FROM exact_pairs) - (SELECT COUNT(*) FROM found_pairs) AS n_missed,
+  CAST((100 * (SELECT COUNT(*) FROM found_pairs))
+       // greatest((SELECT COUNT(*) FROM exact_pairs), 1) AS INT) AS recall_pct
+""",
+)
+def dedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVALUATION: recall of the MinHash-LSH candidate
+    generator against exhaustive exact-Jaccard ground truth at the 0.7
+    threshold — the dedup twin of `ann_recall_ivf_vs_exact` (measure the
+    approximation before trusting it at 100 TB). Verified LSH pairs are
+    a SUBSET of the exact pairs by construction (same strict shingle
+    universe, same metric), so precision is 1 and the number that
+    matters is the band-miss rate. Both sides are deterministic md5
+    machines → the recall itself is value-hash-checked.
+
+    Scale: ground truth is the documented all-pairs verification tool
+    (O(Σ df²) — run on a SAMPLE at corpus scale, exactly as here); the
+    LSH side is the production banded path. One summary row out."""
+    from polar_spark.functions.dedup import (
+        shingle_table,
+        verified_near_dups,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_table(d, "doc_id", "text", with_word_count=True)
+        .filter(F.col("n_words") >= 3)
+        .select("id", "shingle")
+    )
+    from polar_spark.plans.cache import persist_slot
+
+    sh = persist_slot(sh, "dedup_recall.sh", eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.7
+        )
+        .select("id_a", "id_b")
+    )
+    found = verified_near_dups(d, "doc_id", "text", threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.count()
+    n_found = exact.join(found, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_found, n_exact - n_found,
+          (100 * n_found) // max(n_exact, 1))],
+        "n_exact bigint, n_found bigint, n_missed bigint, recall_pct int",
+    )

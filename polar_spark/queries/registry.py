@@ -45,6 +45,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "drift_psi_stream_vs_batch",  # last driver evidence r-none-
     "zorder_pruning_stats",  # last driver evidence r-none-
     "ann_recall_ivf_vs_exact",  # last driver evidence r-none-
+    "dedup_recall_lsh_vs_exact",  # last driver evidence r-none-
     "knn_label_vote",  # last driver evidence r3
     "lang_id_heuristic",  # last driver evidence r3
     "pipeline_training_data_prep",  # last driver evidence r3
