@@ -46,6 +46,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "zorder_pruning_stats",  # last driver evidence r-none-
     "ann_recall_ivf_vs_exact",  # last driver evidence r-none-
     "dedup_recall_lsh_vs_exact",  # last driver evidence r-none-
+    "decayed_event_rate",  # last driver evidence r-none-
+    "novelty_first_seen_daily",  # last driver evidence r-none-
     "knn_label_vote",  # last driver evidence r3
     "lang_id_heuristic",  # last driver evidence r3
     "pipeline_training_data_prep",  # last driver evidence r3

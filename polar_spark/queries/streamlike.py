@@ -772,3 +772,74 @@ def debounce_repeated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_gap").isNull() | (F.col("_gap") > 300_000_000))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "decayed_event_rate",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS INT) AS age
+  FROM events
+), bucketed AS (
+  SELECT event_type, age, COUNT(*) AS cnt FROM d GROUP BY event_type, age
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN age < 63 THEN cnt >> age ELSE 0 END) AS BIGINT) AS decayed_score,
+  CAST(SUM(cnt) AS BIGINT) AS n_total
+FROM bucketed GROUP BY event_type
+""",
+)
+def decayed_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per event type with a
+    one-day half-life — the trending/feature-store recency metric —
+    in EXACT integers: weight 2^-age applies as a per-day-bucket right
+    shift (cnt_d >> age_d), so the score is engine-exact and mergeable
+    (day buckets are additive; a streaming sink maintains them like any
+    count partial and the serving read applies the shifts — decay costs
+    nothing at write time, the classic epoch-halving trick).
+
+    Scale: ONE map-side-combined aggregation to (type, day) buckets —
+    O(types · days) rows — then the shift-weighted rollup; the corpus
+    never shuffles at event grain."""
+    d = load_table(spark, sf_dir, "events")
+    b = (
+        d.select(
+            "event_type",
+            F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")).alias("age"),
+        )
+        .groupBy("event_type", "age")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return b.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("age") < 63, F.expr("shiftright(cnt, age)")).otherwise(0)
+        ).cast("long").alias("decayed_score"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+
+
+@query(
+    "novelty_first_seen_daily",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(CAST(first_ts AS DATE) AS VARCHAR) AS day,
+  COUNT(*) AS n_new_users
+FROM f GROUP BY 1
+""",
+)
+def novelty_first_seen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve of the stream: first-ever-seen users per day (the
+    new-vs-returning split every ingest dashboard tracks, and the
+    corpus-novelty signal a training pipeline watches to detect a
+    source going stale). Two map-side-combined aggregations — per-user
+    min(ts), then a day rollup over O(users) rows; the raw stream
+    shuffles once on user_id."""
+    d = load_table(spark, sf_dir, "events")
+    f = d.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        f.select(F.col("first_ts").cast("date").cast("string").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
