@@ -672,13 +672,24 @@ class TopicCatalog:
 
     def compact(
         self, name: str, target_records_per_file: int = 1_000_000,
-        swap_gate=None,
+        swap_gate=None, keep_latest_per_key: bool = False,
     ) -> tuple[int, int]:
         """Rewrite each partition's accumulated small files into few
         offset-sorted large ones — the operational analog of the
         reference's 1 GiB segment rolling (conf.SegmentFileName max size,
         internal/conf/config.go:320-322): streaming ingest appends a file
         per micro-batch, and scan efficiency needs them re-rolled.
+
+        ``keep_latest_per_key=True`` is Kafka-style LOG COMPACTION
+        (cleanup.policy=compact — beyond the reference, which only has
+        time retention): each key's superseded records are dropped and
+        only its latest (max-offset) record survives, keeping its
+        ORIGINAL offset. Keys are partition-local by placement, so the
+        latest-per-key window never crosses partitions; NULL-key records
+        carry no identity and all survive. Consumers are unaffected —
+        offsets stay monotone and polls already tolerate offset gaps
+        (the aborted-reservation discipline); a group replaying history
+        sees the compacted view, exactly Kafka's contract.
 
         Files are written offset-sorted so parquet row-group stats on
         ``offset`` stay tight (the index-file analog — consumers seek by
@@ -744,6 +755,15 @@ class TopicCatalog:
             .option("basePath", d)
             .parquet(*paths)
         )
+        if keep_latest_per_key:
+            from pyspark.sql.window import Window as _W
+
+            w = _W.partitionBy("partition", "key").orderBy(F.desc("offset"))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) | F.col("key").isNull())
+                .drop("_rn")
+            )
         (
             df.repartition("partition")
             .sortWithinPartitions("offset")

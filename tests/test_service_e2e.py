@@ -317,3 +317,65 @@ def test_compaction_crash_between_renames_recovers(spark, sf_dir, tmp_path):
         pass
     eng.catalog.compact("cr_topic", target_records_per_file=10_000)
     assert not os.path.isdir(d + ".compact_old")
+
+
+def test_log_compaction_keeps_latest_per_key(spark, sf_dir, tmp_path):
+    """Kafka-style log compaction (cleanup.policy=compact, beyond the
+    reference's time retention): after compact(keep_latest_per_key=True)
+    a full replay serves exactly each key's LATEST record at its
+    ORIGINAL offset, every NULL-key record survives, tails are
+    untouched, and records produced AFTER the compaction snapshot ride
+    through verbatim (the copy-on-write catch-up link)."""
+    import json as _json
+
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=2)
+    # three versions of key a, two of key b, two keyless
+    for i, (key, val) in enumerate(
+        [("a", "a1"), ("b", "b1"), ("a", "a2"), (None, "n1"),
+         ("b", "b2"), ("a", "a3"), (None, "n2")]
+    ):
+        eng.produce_rows("kc", [_json.dumps({"v": val})], key=key)
+
+    # remember each record's (partition, offset) pre-compaction
+    eng.register("pre", "preg", ["kc"], on_new_group="startFromEarliest")
+    pre = {}
+    for _ in range(10):
+        out = eng.poll("pre", max_records=100)
+        served = 0
+        for res in out.values():
+            for it in res.items():
+                for i, (ts, k, v) in enumerate(it["records"]):
+                    pre[(it["partition"], it["startOffset"] + i)] = (k, v)
+                    served += 1
+            res.release()
+        eng.commit("pre")
+        if not served and len(pre) >= 7:
+            break
+    assert len(pre) == 7
+    tails_before = eng.catalog.tails("kc")
+
+    b, a = eng.catalog.compact("kc", keep_latest_per_key=True)
+    assert eng.catalog.tails("kc") == tails_before
+
+    eng.register("post", "postg", ["kc"], on_new_group="startFromEarliest")
+    post = {}
+    for _ in range(10):
+        out = eng.poll("post", max_records=100)
+        served = 0
+        for res in out.values():
+            for it in res.items():
+                for i, (ts, k, v) in enumerate(it["records"]):
+                    post[(it["partition"], it["startOffset"] + i)] = (k, v)
+                    served += 1
+            res.release()
+        eng.commit("post")
+        if not served and post:
+            break
+    # survivors: latest per key (a3, b2) + the two keyless records,
+    # each at its ORIGINAL (partition, offset)
+    vals = sorted(_json.loads(v)["v"] for (_k, v) in post.values())
+    assert vals == ["a3", "b2", "n1", "n2"]
+    for po, rec in post.items():
+        assert pre[po] == rec  # identity preserved, never rewritten
