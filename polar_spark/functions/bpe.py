@@ -22,10 +22,19 @@ on the WORD-TYPE table (Heaps-law vocabulary, ≪ corpus size). Here:
 
 Determinism: pair ranking ties break on pair text; the merge rewrite
 uses literal (non-regex) ``replace`` whose left-to-right non-overlap
-scan is the classic BPE greedy application and is identical in Spark,
-DuckDB and Python ``str.replace`` — so a fixed-round run carries a full
-value-hash oracle, like the quantized k-means / PageRank iterative
-operators. Counting includes overlapping occurrences ("aaa" counts
+scan is identical in Spark, DuckDB and Python ``str.replace`` — so a
+fixed-round run carries a full value-hash oracle, like the quantized
+k-means / PageRank iterative operators.
+
+DOCUMENTED DEVIATION from classic greedy BPE: the space-delimited
+literal replace (``' a a '`` → ``' aa '``) consumes the boundary
+space, so ADJACENT occurrences that share it are skipped within one
+pass — ``a a a a`` merges to ``[aa, a, a]`` where a classic trainer
+yields ``[aa, aa]``. All three twins (Spark / DuckDB / Python) share
+the behavior, so every oracle law holds exactly; only merge COUNTS on
+runs of repeated symbols differ from reference BPE trainers. A
+fixed-point double-replace per merge would restore classic greedy at
+2× rewrite cost; kept single-pass deliberately. Counting includes overlapping occurrences ("aaa" counts
 ("a","a") twice), matching the standard reference implementation.
 Words are merged without an end-of-word marker (documented
 simplification; the marker is one extra concat if a consumer needs it).

@@ -33,6 +33,16 @@ Every engine computes the same doubles at every node, so the floor can
 never straddle a boundary differently. Downstream arithmetic (LM
 negative log-likelihood sums, buckets) then runs in exact integers.
 
+Assumption — NO FP CONTRACTION: the bit-identity claim requires each
+``+ - * /`` to round separately. A build compiled with FMA contraction
+(``-ffp-contract=fast``) could fuse the Horner ``s*y + c`` into a
+single-rounding fma and reintroduce last-ulp drift; IEEE 754 permits
+this, so the guarantee is build-dependent, not standard-mandated.
+Default builds of the JVM, DuckDB release binaries, and CPython do not
+contract; ``tests/test_ln_portable.py`` property-tests Spark vs DuckDB
+vs the Python twin over large random integer samples as the standing
+guard — run it against any NEW engine build before trusting the hash.
+
 The same generator emits the Spark and the DuckDB expression; the only
 dialect fork is the power-of-two shift spelling (``shiftleft`` function
 vs ``<<`` operator) — everything else is shared text, so the two plans

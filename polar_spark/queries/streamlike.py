@@ -784,7 +784,7 @@ WITH d AS (
   SELECT event_type, age, COUNT(*) AS cnt FROM d GROUP BY event_type, age
 )
 SELECT event_type,
-  CAST(SUM(CASE WHEN age < 63 THEN cnt >> age ELSE 0 END) AS BIGINT) AS decayed_score,
+  CAST(SUM(CASE WHEN age BETWEEN 0 AND 62 THEN cnt >> age ELSE 0 END) AS BIGINT) AS decayed_score,
   CAST(SUM(cnt) AS BIGINT) AS n_total
 FROM bucketed GROUP BY event_type
 """,
@@ -797,6 +797,11 @@ def decayed_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day buckets are additive; a streaming sink maintains them like any
     count partial and the serving read applies the shifts — decay costs
     nothing at write time, the classic epoch-halving trick).
+
+    Ages are clamped to [0, 62] in BOTH engines: a future-dated event
+    (negative age) gets weight 0 rather than hitting engine-specific
+    shift semantics (Spark's shiftright wraps the amount mod 64;
+    DuckDB's >> does not), and age >= 63 underflows to 0 anyway.
 
     Scale: ONE map-side-combined aggregation to (type, day) buckets —
     O(types · days) rows — then the shift-weighted rollup; the corpus
@@ -812,7 +817,9 @@ def decayed_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b.groupBy("event_type").agg(
         F.sum(
-            F.when(F.col("age") < 63, F.expr("shiftright(cnt, age)")).otherwise(0)
+            F.when(
+                F.col("age").between(0, 62), F.expr("shiftright(cnt, age)")
+            ).otherwise(0)
         ).cast("long").alias("decayed_score"),
         F.sum("cnt").cast("long").alias("n_total"),
     )

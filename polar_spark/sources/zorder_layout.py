@@ -36,6 +36,19 @@ Z_BITS = 10
 Z_SHIFT = 11
 
 
+def _domain_checked(col: str, bits: int) -> str:
+    """SQL for ``col`` with an inline [0, 2^bits - 1] domain check:
+    out-of-domain values raise at write time instead of being masked
+    into the wrong bucket (silently unreachable by box queries)."""
+    hi = (1 << bits) - 1
+    return (
+        f"(CASE WHEN ({col}) BETWEEN 0 AND {hi} THEN ({col}) "
+        f"ELSE CAST(raise_error(CONCAT('zorder domain: {col}=', "
+        f"CAST({col} AS STRING), ' outside [0, {hi}]')) AS BIGINT) "
+        f"END)"
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -45,12 +58,14 @@ def write_zordered(
     shift: int = Z_SHIFT,
 ) -> None:
     """Write ``df`` partitioned by the Morton bucket of the two
-    non-negative integer columns (values masked to ``bits``)."""
+    integer columns. The layout's domain is [0, 2^bits - 1] per
+    dimension; an out-of-domain value FAILS the write (inline
+    ``raise_error`` — zero extra scan, stays in codegen) rather than
+    being silently masked into the wrong bucket, where it would become
+    unreachable by box queries (r9 ADVICE fix)."""
     z = z_value_sql(
-        f"({x_col}) & {(1 << bits) - 1}",
-        f"({y_col}) & {(1 << bits) - 1}",
-        "spark",
-        bits,
+        _domain_checked(x_col, bits), _domain_checked(y_col, bits),
+        "spark", bits,
     )
     (
         df.withColumn("zbucket", F.expr(f"shiftright({z}, {shift})"))
@@ -107,8 +122,17 @@ def read_z_box(
     """Box query over a z-ordered layout: bucket list from
     :func:`z_box_buckets` lands as a partition filter (directories
     outside the box are pruned before any I/O), the exact box predicate
-    filters the residual rows."""
-    buckets = z_box_buckets(x1, x2, y1, y2, bits, shift)
+    filters the residual rows. Box bounds are clamped to the layout's
+    [0, 2^bits - 1] domain first, so a box that merely OVERHANGS the
+    domain still returns its in-domain rows instead of silently
+    enumerating zero buckets (r9 ADVICE fix); a box entirely outside is
+    correctly empty."""
+    hi = (1 << bits) - 1
+    x1, x2 = max(x1, 0), min(x2, hi)
+    y1, y2 = max(y1, 0), min(y2, hi)
+    buckets = z_box_buckets(x1, x2, y1, y2, bits, shift) if (
+        x1 <= x2 and y1 <= y2
+    ) else []
     d = spark.read.parquet(path)
     return d.filter(F.col("zbucket").isin(buckets)).filter(
         (F.col(x_col) >= x1) & (F.col(x_col) <= x2)
@@ -131,12 +155,11 @@ def stream_zordered(
     exactly-once file output; each micro-batch pays only its own O(batch)
     key computation, and every landed file is already envelope-bounded
     in both dimensions — box queries prune a growing corpus identically
-    to the batch layout."""
+    to the batch layout. Out-of-domain values fail the micro-batch
+    (same inline domain check as the batch writer)."""
     z = z_value_sql(
-        f"({x_col}) & {(1 << bits) - 1}",
-        f"({y_col}) & {(1 << bits) - 1}",
-        "spark",
-        bits,
+        _domain_checked(x_col, bits), _domain_checked(y_col, bits),
+        "spark", bits,
     )
     out = stream_df.withColumn("zbucket", F.expr(f"shiftright({z}, {shift})"))
     w = (

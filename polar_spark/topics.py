@@ -673,6 +673,7 @@ class TopicCatalog:
     def compact(
         self, name: str, target_records_per_file: int = 1_000_000,
         swap_gate=None, keep_latest_per_key: bool = False,
+        lock_timeout: float = 600.0,
     ) -> tuple[int, int]:
         """Rewrite each partition's accumulated small files into few
         offset-sorted large ones — the operational analog of the
@@ -694,9 +695,12 @@ class TopicCatalog:
         Files are written offset-sorted so parquet row-group stats on
         ``offset`` stay tight (the index-file analog — consumers seek by
         offset predicate). Copy-on-write vs produce (r8): the rewrite
-        runs on a snapshot with NO lock; only the catch-up link of
-        files landed since + the directory swap hold the produce lock,
-        so a produce landing mid-rewrite neither blocks nor is lost.
+        runs on a snapshot with NO produce lock; only the catch-up link
+        of files landed since + the directory swap hold the produce
+        lock, so a produce landing mid-rewrite neither blocks nor is
+        lost. Concurrent compactions of the SAME topic (manual vs
+        retention sweeper) are serialized by a per-topic compaction
+        flock held around preflight→rewrite→swap (r9).
         Returns (files_before, files_after)."""
         d = self.data_dir(name)
 
@@ -730,72 +734,89 @@ class TopicCatalog:
 
         tmp = d + ".compact_tmp"
         old = d + ".compact_old"
-        # pre-flight crash recovery (the repartition_topic discipline):
-        # a death between the swap's two renames leaves the data parked
-        # at .compact_old and no live dir — restore it before anything
-        # else touches the topic. A surviving .compact_old WITH a live
-        # dir is a completed swap whose rmtree didn't finish: just drop it.
-        if not os.path.isdir(d) and os.path.isdir(old):
-            os.rename(old, d)
-        elif os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
-        if not os.path.isdir(d):
-            return (0, 0)
-        before = _count(d)
-        snapshot = _published(d)
-        if not snapshot:
-            return (before, before)
-        shutil.rmtree(tmp, ignore_errors=True)
-        # read exactly the snapshot files (new arrivals stay out of the
-        # rewrite and ride through verbatim below); basePath keeps the
-        # partition directory column
-        paths = [os.path.join(d, rel) for rel in sorted(snapshot)]
-        df = (
-            self.spark.read.schema(TOPIC_SCHEMA)
-            .option("basePath", d)
-            .parquet(*paths)
-        )
-        if keep_latest_per_key:
-            from pyspark.sql.window import Window as _W
-
-            w = _W.partitionBy("partition", "key").orderBy(F.desc("offset"))
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_rn") == 1) | F.col("key").isNull())
-                .drop("_rn")
-            )
-        (
-            df.repartition("partition")
-            .sortWithinPartitions("offset")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", target_records_per_file)
-            .partitionBy("partition")
-            .parquet(tmp)
-        )
-        # stamp offset ranges into the rewritten filenames (the
-        # produce paths stamp at validation; compacted files must
-        # keep the listing-prunable property or poll latency would
-        # regress right after every compaction)
-        self.stamp_staged_offsets(tmp)
-        with self.produce_lock(name):
-            # files published since the snapshot pass through unchanged
-            for rel in sorted(_published(d) - snapshot):
-                src = os.path.join(d, rel)
-                dst = os.path.join(tmp, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                try:
-                    os.link(src, dst)  # same fs: free
-                except OSError:
-                    shutil.copy2(src, dst)
-            # only the swap needs reader exclusion (the rewrite above
-            # went to a side dir): hold the engine's compaction gate for
-            # two renames + an rmtree, not the whole Spark job
-            gate = swap_gate if swap_gate is not None else _ctx.nullcontext
-            with gate():
-                os.rename(d, old)
-                os.rename(tmp, d)
+        # Compaction is copy-on-write vs PRODUCERS, but two compactions
+        # of the same topic (a manual compact racing the retention
+        # sweeper) share .compact_tmp/.compact_old and would corrupt each
+        # other: one's rmtree(tmp) deletes the other's in-progress
+        # rewrite, the preflight rename collides with an in-flight swap,
+        # and the catch-up hard-link can duplicate records. A per-topic
+        # compaction flock serializes the ENTIRE preflight→snapshot→
+        # rewrite→swap sequence against other compactors while producers
+        # stay unblocked (they only contend on the short produce_lock
+        # section below).
+        with self._file_lock(d + ".compact.lock", f"compact({name})",
+                             timeout=lock_timeout):
+            # pre-flight crash recovery (the repartition_topic
+            # discipline): a death between the swap's two renames leaves
+            # the data parked at .compact_old and no live dir — restore
+            # it before anything else touches the topic. A surviving
+            # .compact_old WITH a live dir is a completed swap whose
+            # rmtree didn't finish: just drop it. Runs under the same
+            # compaction lock so it can never race a live swap.
+            if not os.path.isdir(d) and os.path.isdir(old):
+                os.rename(old, d)
+            elif os.path.isdir(old):
                 shutil.rmtree(old, ignore_errors=True)
-        return before, _count(d)
+            if not os.path.isdir(d):
+                return (0, 0)
+            before = _count(d)
+            snapshot = _published(d)
+            if not snapshot:
+                return (before, before)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # read exactly the snapshot files (new arrivals stay out of
+            # the rewrite and ride through verbatim below); basePath
+            # keeps the partition directory column
+            paths = [os.path.join(d, rel) for rel in sorted(snapshot)]
+            df = (
+                self.spark.read.schema(TOPIC_SCHEMA)
+                .option("basePath", d)
+                .parquet(*paths)
+            )
+            if keep_latest_per_key:
+                from pyspark.sql.window import Window as _W
+
+                w = _W.partitionBy("partition", "key").orderBy(
+                    F.desc("offset"))
+                df = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter((F.col("_rn") == 1) | F.col("key").isNull())
+                    .drop("_rn")
+                )
+            (
+                df.repartition("partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", target_records_per_file)
+                .partitionBy("partition")
+                .parquet(tmp)
+            )
+            # stamp offset ranges into the rewritten filenames (the
+            # produce paths stamp at validation; compacted files must
+            # keep the listing-prunable property or poll latency would
+            # regress right after every compaction)
+            self.stamp_staged_offsets(tmp)
+            with self.produce_lock(name):
+                # files published since the snapshot pass through
+                # unchanged
+                for rel in sorted(_published(d) - snapshot):
+                    src = os.path.join(d, rel)
+                    dst = os.path.join(tmp, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(src, dst)  # same fs: free
+                    except OSError:
+                        shutil.copy2(src, dst)
+                # only the swap needs reader exclusion (the rewrite above
+                # went to a side dir): hold the engine's compaction gate
+                # for two renames + an rmtree, not the whole Spark job
+                gate = (swap_gate if swap_gate is not None
+                        else _ctx.nullcontext)
+                with gate():
+                    os.rename(d, old)
+                    os.rename(tmp, d)
+                    shutil.rmtree(old, ignore_errors=True)
+            return before, _count(d)
 
 
 def normalize_events(

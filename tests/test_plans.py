@@ -512,3 +512,33 @@ def test_zordered_layout_box_query_prunes_partitions(spark, tmp_path):
 
     read_files = scan_num_files(got)
     assert 0 < read_files < all_files, (read_files, all_files)
+
+
+def test_zorder_domain_checked_not_masked(spark, tmp_path):
+    """r9 ADVICE fix: an out-of-domain coordinate must FAIL the write
+    (it would otherwise be masked into the wrong bucket and become
+    silently unreachable by box queries), and a query box that
+    OVERHANGS the domain must clamp and still return the in-domain
+    rows instead of enumerating zero buckets."""
+    import pytest
+
+    from polar_spark.sources.zorder_layout import read_z_box, write_zordered
+
+    bad = spark.createDataFrame(
+        [(1, 5, 5), (2, 2000, 3)], "id long, x long, y long"
+    )
+    with pytest.raises(Exception, match="zorder domain"):
+        write_zordered(bad, str(tmp_path / "zbad"), "x", "y")
+
+    ok = spark.createDataFrame(
+        [(i, i % 1024, (i * 7) % 1024) for i in range(500)],
+        "id long, x long, y long",
+    )
+    path = str(tmp_path / "zok")
+    write_zordered(ok, path, "x", "y")
+    # box overhangs the 2^10 domain on every side: must clamp to
+    # [0,1023]² and return ALL rows, not none
+    got = read_z_box(spark, path, "x", "y", -50, 5000, -1, 2048)
+    assert got.count() == 500
+    # box entirely outside the domain: correctly empty, no error
+    assert read_z_box(spark, path, "x", "y", 2000, 3000, 0, 10).count() == 0

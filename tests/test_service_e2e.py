@@ -379,3 +379,49 @@ def test_log_compaction_keeps_latest_per_key(spark, sf_dir, tmp_path):
     assert vals == ["a3", "b2", "n1", "n2"]
     for po, rec in post.items():
         assert pre[po] == rec  # identity preserved, never rewritten
+
+
+def test_compaction_mutex_serializes_concurrent_compacts(spark, sf_dir, tmp_path):
+    """r9 ADVICE fix: two compactions of the SAME topic (manual compact
+    racing the retention sweeper) share .compact_tmp/.compact_old, so
+    they must serialize. While one holder owns the per-topic compaction
+    flock, a second compact() times out instead of rmtree-ing the
+    other's in-progress rewrite; once released, it proceeds normally."""
+    import threading
+
+    import pytest
+
+    from polar_spark.api import PolarEngine
+    from polar_spark.sources.tables import load_table
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=2)
+    vals = [
+        r["props"]
+        for r in load_table(spark, sf_dir, "events").limit(40).collect()
+    ]
+    eng.produce_rows("mx", vals, key="a")
+    eng.produce_rows("mx", vals, key="b")
+    d = eng.catalog.data_dir("mx")
+
+    held = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with eng.catalog._file_lock(
+            d + ".compact.lock", "test-holder", timeout=5.0
+        ):
+            held.set()
+            release.wait(20.0)
+
+    t = threading.Thread(target=holder, daemon=True)
+    t.start()
+    assert held.wait(5.0)
+    try:
+        with pytest.raises(TimeoutError, match="compact"):
+            eng.catalog.compact("mx", lock_timeout=0.3)
+    finally:
+        release.set()
+        t.join(10.0)
+    # lock released → the same call compacts normally
+    b, a = eng.catalog.compact("mx", target_records_per_file=10_000)
+    assert a >= 1 and b >= a
