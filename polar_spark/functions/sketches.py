@@ -561,31 +561,55 @@ def qs_quantiles(
 # IDEMPOTENT (replaying a batch cannot change any register), the property
 # that makes HLL the sketch of choice for at-least-once pipelines.
 
-HLL_M = 64  # registers: the 60-bit hash's low 6 bits pick one
-# w = h DIV 64 leaves 54 hash bits; rank = leading-zero count + 1,
-# capped so 2^(CAP - rank) stays a small exact bigint everywhere
+HLL_M = 64  # default registers: the 60-bit hash's low 6 bits pick one
+# w = h DIV m leaves (60 - log2 m) hash bits; rank = leading-zero count
+# + 1, capped so 2^(CAP - rank) stays a small exact bigint everywhere
 HLL_RANK_CAP = 25
-# alpha_64 = 0.7213 / (1 + 1.079/64) as an exact rational
+# alpha_64 = 0.7213 / (1 + 1.079/64) as an exact rational — the r8
+# constants, pinned so the default-m oracle hashes never move
 _HLL_ALPHA_NUM = 70_937
 _HLL_ALPHA_DEN = 100_000
 # alpha_num * m^2 * 2^CAP — the estimator numerator, precomputed exact
 _HLL_EST_NUM = _HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RANK_CAP)
 
 
-def _hll_rank(w):
-    """Position of the highest set bit of the 54-bit column ``w``,
-    counted from the top (leading zeros + 1), capped at HLL_RANK_CAP.
-    A 24-branch comparison ladder: exact integer arithmetic in any
-    engine — float log2 misrounds near power-of-two boundaries."""
+def _hll_params(m: int) -> tuple[int, int, int, int]:
+    """(w_bits, alpha_num, alpha_den, est_num) for ``m`` registers.
+
+    m=64 (±13% SE) is the LAW-PROOF size — small enough that the merge /
+    idempotency / stream-vs-batch laws check oracle-exactly on tiny
+    fixtures. Production distinct counts want m=1024+ (±3.2% at 2^10;
+    the reference-class pipelines run 2^11+): m is now a parameter
+    (r9 VERDICT ask #3). m must be a power of two ≤ 2^20 so reg_idx is
+    a mask of the shared 60-bit md5 hash and w keeps ≥ CAP+1 bits for
+    the rank ladder. m=64 keeps the exact r8 rational for alpha (hash
+    stability); other sizes use alpha_m = 0.7213/(1 + 1.079/m) as the
+    exact rational 7213·m / (10·(1000·m + 1079))."""
+    if m < 16 or (m & (m - 1)) or m > (1 << 20):
+        raise ValueError(f"HLL m must be a power of two in [16, 2^20]: {m}")
+    w_bits = 60 - (m.bit_length() - 1)
+    if m == HLL_M:
+        alpha_num, alpha_den = _HLL_ALPHA_NUM, _HLL_ALPHA_DEN
+    else:
+        alpha_num, alpha_den = 7213 * m, 10 * (1000 * m + 1079)
+    return w_bits, alpha_num, alpha_den, alpha_num * m * m * (1 << HLL_RANK_CAP)
+
+
+def _hll_rank(w, w_bits: int = 54):
+    """Position of the highest set bit of the ``w_bits``-wide column
+    ``w``, counted from the top (leading zeros + 1), capped at
+    HLL_RANK_CAP. A 24-branch comparison ladder: exact integer
+    arithmetic in any engine — float log2 misrounds near power-of-two
+    boundaries."""
     expr = None
     for r in range(1, HLL_RANK_CAP):
-        cond = w >= F.lit(1 << (54 - r)).cast("bigint")
+        cond = w >= F.lit(1 << (w_bits - r)).cast("bigint")
         expr = F.when(cond, r) if expr is None else expr.when(cond, r)
     return expr.otherwise(HLL_RANK_CAP)
 
 
 def hll_register_partial(
-    df: DataFrame, keys: list[str], value_col: str
+    df: DataFrame, keys: list[str], value_col: str, m: int = HLL_M
 ) -> DataFrame:
     """Per-group HLL register partial: (keys, reg_idx, reg_max) with
     reg_max the highest rank observed among values hashing into the
@@ -598,11 +622,12 @@ def hll_register_partial(
         .cast("bigint")
         .alias("h")
     )
+    w_bits, _, _, _ = _hll_params(m)
     hashed = df.select(*keys, h).filter(F.col("h").isNotNull())
     regs = hashed.select(
         *keys,
-        (F.col("h") % HLL_M).alias("reg_idx"),
-        _hll_rank(F.expr(f"h DIV {HLL_M}")).alias("rank"),
+        (F.col("h") % m).alias("reg_idx"),
+        _hll_rank(F.expr(f"h DIV {m}"), w_bits).alias("rank"),
     )
     return regs.groupBy(*keys, "reg_idx").agg(F.max("rank").alias("reg_max"))
 
@@ -615,7 +640,9 @@ def hll_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, keys: list[str], m: int = HLL_M
+) -> DataFrame:
     """The raw-HLL estimate from a merged register table, all-integer:
 
       S = Σ_j 2^(CAP - M_j)   (absent registers contribute 2^CAP)
@@ -626,7 +653,13 @@ def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
     engine-owned). ``v_zero`` (empty-register count) is reported so a
     consumer can apply its own small-range correction; the estimate
     column is the uncorrected raw estimator by contract — its bias
-    below ~2.5m is documented, not hidden."""
+    below ~2.5m is documented, not hidden.
+
+    For m beyond 256 the exact numerator alpha_num·m²·2^CAP exceeds
+    int64, so the division runs in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB oracle) — still exact single-rounding integer arithmetic,
+    same cross-engine guarantee, before the final BIGINT cast."""
+    _, _, alpha_den, est_num = _hll_params(m)
     per_group = registers.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n_set"),
         F.sum(
@@ -635,38 +668,46 @@ def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
     )
     s = (
         F.col("_s_set")
-        + (F.lit(HLL_M) - F.col("_n_set")) * F.lit(1 << HLL_RANK_CAP)
+        + (F.lit(m) - F.col("_n_set")) * F.lit(1 << HLL_RANK_CAP)
     ).alias("s_sum")
+    s_expr = f"(_s_set + ({m} - _n_set) * {1 << HLL_RANK_CAP})"
+    if est_num < (1 << 62):
+        est = f"CAST({est_num} AS BIGINT) DIV ({alpha_den} * {s_expr})"
+    else:
+        est = (
+            f"CAST(CAST('{est_num}' AS DECIMAL(38,0)) DIV "
+            f"(CAST({alpha_den} AS DECIMAL(38,0)) * {s_expr}) AS BIGINT)"
+        )
     return per_group.select(
         *keys,
-        (F.lit(HLL_M) - F.col("_n_set")).cast("bigint").alias("v_zero"),
+        (F.lit(m) - F.col("_n_set")).cast("bigint").alias("v_zero"),
         s.cast("bigint"),
-        F.expr(
-            f"CAST({_HLL_EST_NUM} AS BIGINT) DIV "
-            f"({_HLL_ALPHA_DEN} * (_s_set + ({HLL_M} - _n_set) * {1 << HLL_RANK_CAP}))"
-        ).alias("est_distinct"),
+        F.expr(est).cast("bigint").alias("est_distinct"),
     )
 
 
 def hll_distinct(
-    df: DataFrame, keys: list[str], value_col: str
+    df: DataFrame, keys: list[str], value_col: str, m: int = HLL_M
 ) -> DataFrame:
     """One-shot per-group HLL estimate (build + estimate)."""
-    return hll_estimate(hll_register_partial(df, keys, value_col), keys)
+    return hll_estimate(hll_register_partial(df, keys, value_col, m), keys, m)
 
 
 def hll_oracle_sql(
     table: str = "events",
     key_col: str = "event_type",
     value_col: str = "user_id",
+    m: int = HLL_M,
 ) -> str:
     """DuckDB twin of :func:`hll_distinct` — the register table, the
     comparison-ladder rank and the scaled-integer estimator are all
     exact integer arithmetic, so the oracle equality is bit-exact (the
     same all-integer discipline that made KMV oracle-checkable; the HLL
     float estimator folklore only applies to float harmonic sums)."""
+    w_bits, _, alpha_den, est_num = _hll_params(m)
     rank_cases = " ".join(
-        f"WHEN w >= {1 << (54 - r)} THEN {r}" for r in range(1, HLL_RANK_CAP)
+        f"WHEN w >= {1 << (w_bits - r)} THEN {r}"
+        for r in range(1, HLL_RANK_CAP)
     )
     cap = 1 << HLL_RANK_CAP
     return f"""
@@ -677,20 +718,20 @@ WITH h AS (
       (acc, d) -> acc * 16 + d) AS hv
   FROM {table} WHERE {value_col} IS NOT NULL
 ), regs AS (
-  SELECT {key_col}, hv % {HLL_M} AS reg_idx,
+  SELECT {key_col}, hv % {m} AS reg_idx,
     MAX(CASE {rank_cases} ELSE {HLL_RANK_CAP} END) AS reg_max
-  FROM (SELECT {key_col}, hv, hv // {HLL_M} AS w FROM h) t
-  GROUP BY {key_col}, hv % {HLL_M}
+  FROM (SELECT {key_col}, hv, hv // {m} AS w FROM h) t
+  GROUP BY {key_col}, hv % {m}
 ), per AS (
   SELECT {key_col}, COUNT(*) AS n_set,
     SUM(CAST(1 AS BIGINT) << ({HLL_RANK_CAP} - reg_max)) AS s_set
   FROM regs GROUP BY {key_col}
 )
 SELECT {key_col},
-  CAST({HLL_M} - n_set AS BIGINT) AS v_zero,
-  CAST(s_set + ({HLL_M} - n_set) * {cap} AS BIGINT) AS s_sum,
-  CAST(CAST({_HLL_EST_NUM} AS HUGEINT)
-       // ({_HLL_ALPHA_DEN} * (s_set + ({HLL_M} - n_set) * {cap}))
+  CAST({m} - n_set AS BIGINT) AS v_zero,
+  CAST(s_set + ({m} - n_set) * {cap} AS BIGINT) AS s_sum,
+  CAST(CAST('{est_num}' AS HUGEINT)
+       // ({alpha_den} * (s_set + ({m} - n_set) * {cap}))
        AS BIGINT) AS est_distinct
 FROM per
 """

@@ -44,6 +44,7 @@ from polar_spark.functions.sketches import (
     QS_PCTS,
     _k_smallest_hashes,
     _kmv_estimate,
+    HLL_M,
     cm_counters,
     cm_estimate,
     hll_estimate,
@@ -327,13 +328,17 @@ class StreamingHLL(_EpochPartialSink):
         store_path: str,
         keys: list[str],
         value_col: str,
+        m: int = HLL_M,
     ):
         super().__init__(spark, store_path)
         self.keys = keys
         self.value_col = value_col
+        self.m = m
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
-        return hll_register_partial(batch_df, self.keys, self.value_col)
+        return hll_register_partial(
+            batch_df, self.keys, self.value_col, self.m
+        )
 
     def registers(self) -> DataFrame | None:
         stored = self._stored()
@@ -351,4 +356,4 @@ class StreamingHLL(_EpochPartialSink):
                 [],
                 f"{schema}, v_zero bigint, s_sum bigint, est_distinct bigint",
             )
-        return hll_estimate(regs, self.keys)
+        return hll_estimate(regs, self.keys, self.m)

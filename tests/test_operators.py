@@ -1501,3 +1501,70 @@ def test_zorder_morton_key_tri_engine(spark):
         e[2] = min(e[2], y); e[3] = max(e[3], y)
     for xmin, xmax, ymin, ymax in env.values():
         assert xmax - xmin <= 128 and ymax - ymin <= 128
+
+
+def test_hll_m1024_laws_and_accuracy_envelope(spark):
+    """r9 VERDICT ask #3: HLL register count is now a parameter. At the
+    production size m=1024 (vs the m=64 law-proof default) the sketch
+    must still satisfy (a) the split-merge law bit-exactly, (b) max-
+    merge idempotency under overlapping re-ingest, and (c) a MUCH
+    tighter accuracy envelope: the linear-counting-corrected estimate
+    lands within ±5% of truth where the m=64 band is ±40%. Also pins
+    the DECIMAL(38,0) exact estimator path (the m=1024 numerator
+    alpha·m²·2^25 ≈ 2.6e20 overflows int64)."""
+    import math
+
+    from polar_spark.functions.sketches import (
+        _hll_params,
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_register_partial,
+    )
+    from polar_spark.sources.tables import load_table
+
+    import pytest
+
+    # parameter validation: power-of-two window
+    for bad in (0, 63, 96, 8, 1 << 21):
+        with pytest.raises(ValueError):
+            _hll_params(bad)
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    m = 1024
+
+    def rows(df):
+        return {
+            r["event_type"]: (r["v_zero"], r["s_sum"], r["est_distinct"])
+            for r in df.collect()
+        }
+
+    direct = rows(hll_distinct(ev, ["event_type"], "user_id", m=m))
+
+    # (a) split-merge law: two disjoint halves' partials, max-merged,
+    # estimate bit-identically to the one-shot sketch
+    a = hll_register_partial(
+        ev.filter("event_id % 2 = 0"), ["event_type"], "user_id", m=m
+    )
+    b = hll_register_partial(
+        ev.filter("event_id % 2 = 1"), ["event_type"], "user_id", m=m
+    )
+    merged = hll_merge(a.unionByName(b), ["event_type"])
+    assert rows(hll_estimate(merged, ["event_type"], m=m)) == direct
+
+    # (b) idempotency: re-merging one half AGAIN (overlap = at-least-once
+    # replay) changes nothing
+    remerged = hll_merge(a.unionByName(b).unionByName(a), ["event_type"])
+    assert rows(hll_estimate(remerged, ["event_type"], m=m)) == direct
+
+    # (c) accuracy envelope: corrected estimate within ±5% at m=1024
+    truth = {
+        r["event_type"]: r["t"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("t"))
+        .collect()
+    }
+    for et, (v_zero, _, est) in direct.items():
+        if est < 2.5 * m and v_zero > 0:
+            est = m * math.log(m / v_zero)
+        assert abs(est - truth[et]) <= 0.05 * truth[et], (et, est, truth[et])

@@ -22,7 +22,11 @@ import os
 import sys
 from decimal import Decimal
 
-SF_DIR = "/root/testdata/sf0.01"
+# Default sf0.01 mirrors the driver's gate; override with
+# POLAR_ORACLE_SF_DIR=/root/testdata/sf0.1 for the at-scale sweep
+# (broadcast thresholds, AQE coalescing and multi-row-group scans all
+# flip between sf0.01 and sf0.1 — both sweeps are committed per round).
+SF_DIR = os.environ.get("POLAR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
