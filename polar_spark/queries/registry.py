@@ -97,9 +97,99 @@ SAMPLE_HEAD: tuple[str, ...] = (
 )
 
 
+def portable_double_casts(sql: str) -> str:
+    """Rewrite every ``CAST(<expr> AS DOUBLE)`` in a DuckDB oracle as
+    ``CAST(CAST(<expr> AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB's direct DECIMAL→DOUBLE cast double-rounds (the int128
+    payload and 10^scale are each converted to double, then divided),
+    which can land one ulp away from the correctly rounded double of
+    the exact decimal. Spark's decimal→double goes through the
+    decimal's string form and IS correctly rounded. Routing the oracle
+    through VARCHAR makes DuckDB take the same correctly-rounded
+    string→double path — the ln_portable string-literal discipline
+    applied to oracle OUTPUTS. For DECIMAL/INT/HUGEINT/DOUBLE inputs
+    the detour is value-neutral-or-better: integers print exact
+    digits, doubles print their shortest round-trip repr.
+
+    The ONE type the detour must NOT touch is FLOAT (float4): Spark's
+    float→double is exact bit widening, but a float's shortest repr
+    reparsed as DOUBLE is a different value (float 0.1 widens to
+    0.100000001490116…, while "0.1" parses to 0.1000000000000000055…),
+    so quantization floors downstream shift (kmeans_lloyd_quantized
+    caught this in the r9 sweep). The rewrite therefore branches on
+    typeof() at run time: FLOAT keeps the direct exact-widening cast,
+    everything else takes the VARCHAR path.
+
+    Found by the r9 full-registry sweep at sf0.1: q1's sum_charge over
+    53k rows straddled an ulp that no sf0.01 run ever exposed. Applied
+    centrally at @query registration so all ~47 oracle cast sites are
+    covered uniformly and new oracles inherit the fix."""
+    def _skip_quote(s: str, k: int) -> int:
+        # k is at the opening '; return index just past the closing '
+        # ('' is the SQL escape for a literal quote)
+        k += 1
+        while k < len(s):
+            if s[k] == "'":
+                if k + 1 < len(s) and s[k + 1] == "'":
+                    k += 2
+                    continue
+                return k + 1
+            k += 1
+        return k
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = _skip_quote(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if sql.startswith("CAST(", i):
+            j = i + 5
+            depth = 1
+            while j < n and depth:
+                if sql[j] == "'":
+                    j = _skip_quote(sql, j)
+                    continue
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = portable_double_casts(sql[i + 5 : j - 1])
+            stripped = inner.rstrip()
+            if stripped.upper().endswith("AS DOUBLE"):
+                expr = stripped[: -len("AS DOUBLE")].rstrip()
+                if expr.startswith("CAST(") and expr.upper().endswith(
+                    "AS VARCHAR)"
+                ):
+                    out.append(f"CAST({inner})")  # already portable
+                else:
+                    out.append(
+                        f"(CASE WHEN typeof({expr}) = 'FLOAT' "
+                        f"THEN CAST({expr} AS DOUBLE) "
+                        f"ELSE CAST(CAST({expr} AS VARCHAR) AS DOUBLE) "
+                        f"END)"
+                    )
+            else:
+                out.append(f"CAST({inner})")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=portable_double_casts(oracle) if oracle else oracle,
+            doc=fn.__doc__ or "",
+        )
         return fn
 
     return deco
