@@ -23,77 +23,91 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-8 rotation: (a) queries whose implementation or schema
-    # changed this round and MUST re-prove (portable-ln LM/DSIR/ES
-    # rewrite, simhash expression rework, co-partitioned PageRank),
-    # (b) brand-new r8 queries (HLL pair, BPE trainer+encoder, PSI
-    # drift batch+law), then (c) evidence age ascending from
-    # CORRECTNESS_r0{1..7}.json.
-    "lm_bigram_nll_score",  # last driver evidence r7
-    "lm_stream_vs_batch",  # last driver evidence r7
-    "dsir_importance_scores",  # last driver evidence r7
-    "dsir_resample_select",  # last driver evidence r7
-    "dsir_stream_vs_batch",  # last driver evidence r7
-    "weighted_sample_per_source",  # last driver evidence r7
-    "dedup_simhash",  # last driver evidence r6
-    "sketch_hll_distinct_users",  # last driver evidence r-none-
-    "sketch_hll_stream_vs_batch",  # last driver evidence r-none-
-    "bpe_train_merges",  # last driver evidence r-none-
-    "drift_psi_length_buckets",  # last driver evidence r-none-
-    "pagerank_event_graph",  # last driver evidence r7
-    "bpe_encode_tokens",  # last driver evidence r-none-
-    "drift_psi_stream_vs_batch",  # last driver evidence r-none-
-    "zorder_pruning_stats",  # last driver evidence r-none-
-    "ann_recall_ivf_vs_exact",  # last driver evidence r-none-
-    "dedup_recall_lsh_vs_exact",  # last driver evidence r-none-
-    "decayed_event_rate",  # last driver evidence r-none-
-    "novelty_first_seen_daily",  # last driver evidence r-none-
-    "knn_label_vote",  # last driver evidence r3
-    "lang_id_heuristic",  # last driver evidence r3
-    "pipeline_training_data_prep",  # last driver evidence r3
-    "rollup_time_multires",  # last driver evidence r3
-    "session_windows_30m",  # last driver evidence r3
-    "sketch_cm_heavy_hitters",  # last driver evidence r3
-    "sketch_kmv_distinct_users",  # last driver evidence r3
-    "sketch_kmv_merged_months",  # last driver evidence r3
-    "text_quality_stats",  # last driver evidence r3
-    "text_regexp_extract_stats",  # last driver evidence r3
-    "text_repetition_stats",  # last driver evidence r3
-    "text_word_diversity",  # last driver evidence r3
-    "token_count_bpe_ish",  # last driver evidence r3
-    "window_sliding_1h_30m",  # last driver evidence r3
-    "window_tumbling_hourly",  # last driver evidence r3
-    "array_function_breadth",  # last driver evidence r4
-    "bloom_semi_join_orders",  # last driver evidence r4
-    "chunk_dup_ratio",  # last driver evidence r4
-    "contamination_ngram_overlap",  # last driver evidence r4
-    "dedup_clusters_cc",  # last driver evidence r4
-    "dedup_incremental_index",  # last driver evidence r4
-    "dedup_strip_dup_chunks",  # last driver evidence r4
-    "embedding_coverage_by_source",  # last driver evidence r4
-    "embedding_outlier_centroid",  # last driver evidence r4
-    "full_outer_nation_activity",  # last driver evidence r4
-    "gopher_quality_filter",  # last driver evidence r4
-    "histogram_value_buckets",  # last driver evidence r4
-    "knn_ivf_stored_cells",  # last driver evidence r4
-    "mixture_quality_buckets",  # last driver evidence r4
-    "mixture_resample_by_source",  # last driver evidence r4
-    "pack_token_shards_sequential",  # last driver evidence r4
-    "quality_linear_classifier",  # last driver evidence r4
-    "quantiles_order_prices",  # last driver evidence r4
-    "quota_downsample_per_source",  # last driver evidence r4
-    "retention_cohort_daily",  # last driver evidence r4
-    "semdedup_embedding_prune",  # last driver evidence r4
-    "skew_salted_agg",  # last driver evidence r4
-    "skew_salted_join",  # last driver evidence r4
-    "split_train_eval_deterministic",  # last driver evidence r4
-    "sql_correlated_scalar_subquery",  # last driver evidence r4
-    "sql_not_in_null_aware",  # last driver evidence r4
-    "sql_recursive_order_chain",  # last driver evidence r4
-    "stateful_dedup_builtin",  # last driver evidence r4
-    "stateful_dedup_stream",  # last driver evidence r4
-    "stats_moments_by_type",  # last driver evidence r4
-    "stream_join_click_purchase",  # last driver evidence r4
+    # Round-9 rotation: (a) the new r9 query and the three whose
+    # SEMANTICS changed this round, then (b) every query whose
+    # DuckDB oracle text was rewritten by the r9 portable-double-
+    # cast transform (registry.portable_double_casts) — values only
+    # move at decimal ulp-straddle points, but the driver evidence
+    # should re-prove against the NEW oracle text; the full-registry
+    # LOCAL sweeps at sf0.01 AND sf0.1 are the compensating control
+    # for everything past the driver's ~50-query sample.
+    "sketch_hll_m1024_distinct_users",  # new/changed r9 — must re-prove
+    "decayed_event_rate",  # new/changed r9 — must re-prove
+    "kmeans_lloyd_quantized",  # new/changed r9 — must re-prove
+    "q1_pricing_summary",  # new/changed r9 — must re-prove
+    "lm_bigram_nll_score",  # oracle rewritten r9 (portable double casts)
+    "lm_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "dsir_importance_scores",  # oracle rewritten r9 (portable double casts)
+    "dsir_resample_select",  # oracle rewritten r9 (portable double casts)
+    "dsir_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "weighted_sample_per_source",  # oracle rewritten r9 (portable double casts)
+    "drift_psi_length_buckets",  # oracle rewritten r9 (portable double casts)
+    "drift_psi_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "ann_recall_ivf_vs_exact",  # oracle rewritten r9 (portable double casts)
+    "dedup_recall_lsh_vs_exact",  # oracle rewritten r9 (portable double casts)
+    "knn_label_vote",  # oracle rewritten r9 (portable double casts)
+    "lang_id_heuristic",  # oracle rewritten r9 (portable double casts)
+    "pipeline_training_data_prep",  # oracle rewritten r9 (portable double casts)
+    "sketch_kmv_distinct_users",  # oracle rewritten r9 (portable double casts)
+    "sketch_kmv_merged_months",  # oracle rewritten r9 (portable double casts)
+    "text_quality_stats",  # oracle rewritten r9 (portable double casts)
+    "text_repetition_stats",  # oracle rewritten r9 (portable double casts)
+    "text_word_diversity",  # oracle rewritten r9 (portable double casts)
+    "window_sliding_1h_30m",  # oracle rewritten r9 (portable double casts)
+    "window_tumbling_hourly",  # oracle rewritten r9 (portable double casts)
+    "chunk_dup_ratio",  # oracle rewritten r9 (portable double casts)
+    "contamination_ngram_overlap",  # oracle rewritten r9 (portable double casts)
+    "dedup_clusters_cc",  # oracle rewritten r9 (portable double casts)
+    "dedup_incremental_index",  # oracle rewritten r9 (portable double casts)
+    "embedding_coverage_by_source",  # oracle rewritten r9 (portable double casts)
+    "embedding_outlier_centroid",  # oracle rewritten r9 (portable double casts)
+    "gopher_quality_filter",  # oracle rewritten r9 (portable double casts)
+    "knn_ivf_stored_cells",  # oracle rewritten r9 (portable double casts)
+    "mixture_quality_buckets",  # oracle rewritten r9 (portable double casts)
+    "quality_linear_classifier",  # oracle rewritten r9 (portable double casts)
+    "semdedup_embedding_prune",  # oracle rewritten r9 (portable double casts)
+    "sql_recursive_order_chain",  # oracle rewritten r9 (portable double casts)
+    "stats_moments_by_type",  # oracle rewritten r9 (portable double casts)
+    "q3_top_orders_by_revenue",  # oracle rewritten r9 (portable double casts)
+    "q5_nation_revenue",  # oracle rewritten r9 (portable double casts)
+    "rollup_returns",  # oracle rewritten r9 (portable double casts)
+    "cube_order_priority",  # oracle rewritten r9 (portable double casts)
+    "window_running_revenue",  # oracle rewritten r9 (portable double casts)
+    "range_join_value_bands",  # oracle rewritten r9 (portable double casts)
+    "q18_large_volume_customers",  # oracle rewritten r9 (portable double casts)
+    "q7_cross_nation_volume",  # oracle rewritten r9 (portable double casts)
+    "orders_monthly_revenue_growth",  # oracle rewritten r9 (portable double casts)
+    "priority_share_by_month",  # oracle rewritten r9 (portable double casts)
+    "q6_forecast_revenue",  # oracle rewritten r9 (portable double casts)
+    "q8_market_share",  # oracle rewritten r9 (portable double casts)
+    "q9_profit_by_nation",  # oracle rewritten r9 (portable double casts)
+    "q10_returned_items",  # oracle rewritten r9 (portable double casts)
+    "q14_promo_revenue",  # oracle rewritten r9 (portable double casts)
+    "q15_top_supplier",  # oracle rewritten r9 (portable double casts)
+    "q17_small_qty_revenue",  # oracle rewritten r9 (portable double casts)
+    "q19_bracketed_revenue",  # oracle rewritten r9 (portable double casts)
+    "q22_dormant_customers",  # oracle rewritten r9 (portable double casts)
+    "q2_min_cost_supplier",  # oracle rewritten r9 (portable double casts)
+    "q11_important_parts",  # oracle rewritten r9 (portable double casts)
+    "funnel_click_to_purchase",  # oracle rewritten r9 (portable double casts)
+    "tfidf_top_terms_per_source",  # oracle rewritten r9 (portable double casts)
+    "bm25_topk_docs",  # oracle rewritten r9 (portable double casts)
+    "dedup_ngram_jaccard",  # oracle rewritten r9 (portable double casts)
+    "dedup_minhash_verified",  # oracle rewritten r9 (portable double casts)
+    "dedup_keep_list",  # oracle rewritten r9 (portable double casts)
+    "knn_bruteforce_dot",  # oracle rewritten r9 (portable double casts)
+    "knn_ivf_probe",  # oracle rewritten r9 (portable double casts)
+    "dedup_embedding_cosine",  # oracle rewritten r9 (portable double casts)
+    "embedding_lsh_buckets",  # oracle rewritten r9 (portable double casts)
+    "embedding_norm_stats",  # oracle rewritten r9 (portable double casts)
+    "knn_hard_negatives",  # oracle rewritten r9 (portable double casts)
+    "grouping_sets_mix",  # oracle rewritten r9 (portable double casts)
+    "unpivot_nation_metrics",  # oracle rewritten r9 (portable double casts)
+    "sketch_kmv_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "sketch_quantiles_by_type",  # oracle rewritten r9 (portable double casts)
+    "sketch_qs_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "bm25_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
+    "hybrid_rrf_retrieval",  # oracle rewritten r9 (portable double casts)
 )
 
 
