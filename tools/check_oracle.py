@@ -70,9 +70,13 @@ def main(names: list[str]) -> int:
     spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
-        )
+        # testdata tables are single parquet FILES; derived corpora
+        # (bench._build_scaled_corpus) are Spark-written DIRECTORIES of
+        # part files — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"create view {t} as select * from '{p}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
