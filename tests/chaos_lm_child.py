@@ -1,18 +1,27 @@
-"""Child process for the mid-epoch SIGKILL chaos test (NOT a pytest
+"""Child process for the mid-epoch SIGKILL chaos tests (NOT a pytest
 module — driven by tests/test_chaos_kill.py via subprocess).
 
-Phases (argv[2]):
-  prep                    build the 5-file source corpus + the batch-twin
-                          expected bigram counts
-  run <kill_epoch> <when> start StreamingBigramLM over the corpus with
+argv: <root> <phase> [<sink> <kill_epoch> <when>]
+
+Phases:
+  prep  <sink>            build the 5-file source corpus + the batch-twin
+                          expected result for the sink
+  run <sink> <ke> <when>  start the streaming sink over the corpus with
                           maxFilesPerTrigger=1 and SIGKILL OURSELVES at
-                          ``kill_epoch``, either ``before`` the epoch
-                          ledger append (partial parquet written, ledger
+                          epoch ``ke``, either ``before`` the epoch
+                          ledger append (partials/pairs written, ledger
                           behind — the torn-write window) or ``after``
                           it (ledger ahead of the stream's commit log —
-                          the at-least-once replay window). -1 = no kill:
-                          run to completion and write verdict.json
-                          comparing the live LM to the batch twin.
+                          the at-least-once replay window). ke=-1 = no
+                          kill: run to completion and write verdict.json
+                          comparing the live state to the batch twin.
+
+Sinks:
+  lm       StreamingBigramLM — additive bigram counts; a double-applied
+           epoch shows as a count diff vs one-shot training.
+  neardup  StreamingNearDup — TWO stores (LSH index + pairs sink); a
+           double-applied epoch shows as duplicated pairs vs the
+           one-shot verified_near_dups law.
 
 The kill is a raw SIGKILL (no atexit, no JVM shutdown hooks) — the
 crash-vs-graceful-stop distinction VERDICT r8 ask #6 calls out: the
@@ -31,6 +40,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     root, phase = sys.argv[1], sys.argv[2]
+    sink = sys.argv[3] if len(sys.argv) > 3 else "lm"
     src = os.path.join(root, "src")
 
     from polar_spark.session import get_spark
@@ -38,21 +48,31 @@ def main() -> None:
     spark = get_spark(app_name=f"chaos_{phase}", shuffle_partitions=4)
 
     if phase == "prep":
-        from polar_spark.functions.lm import train_bigram_counts
         from polar_spark.sources.tables import load_table
 
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-        docs.repartition(5).write.mode("overwrite").parquet(src)
-        train_bigram_counts(spark.read.parquet(src), "text").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(root, "want"))
+        if sink == "lm":
+            from polar_spark.functions.lm import train_bigram_counts
+
+            docs.repartition(5).write.mode("overwrite").parquet(src)
+            want = train_bigram_counts(spark.read.parquet(src), "text")
+        else:
+            from polar_spark.functions.dedup import verified_near_dups
+
+            d = docs.select("doc_id", "text")
+            d.repartition(5).write.mode("overwrite").parquet(src)
+            want = verified_near_dups(
+                spark.read.parquet(src), "doc_id", "text", threshold=0.7
+            ).select(
+                "id_a", "id_b", F_round("jaccard")
+            )
+        want.write.mode("overwrite").parquet(os.path.join(root, "want"))
         return
 
-    kill_epoch = int(sys.argv[3])
-    when = sys.argv[4] if len(sys.argv) > 4 else "before"
+    kill_epoch = int(sys.argv[4])
+    when = sys.argv[5] if len(sys.argv) > 5 else "before"
 
     import polar_spark.streaming.dedup as sd
-    from polar_spark.streaming.lm import StreamingBigramLM
 
     if kill_epoch >= 0:
         orig_record = sd.EpochLedger.record
@@ -66,22 +86,46 @@ def main() -> None:
 
         sd.EpochLedger.record = record
 
-    lm = StreamingBigramLM(spark, os.path.join(root, "store"))
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = lm.start(stream, checkpoint_dir=os.path.join(root, "cp"))
-    q.awaitTermination(300)
+    if sink == "lm":
+        from polar_spark.streaming.lm import StreamingBigramLM
 
-    got = lm.counts()
+        s = StreamingBigramLM(spark, os.path.join(root, "store"))
+        q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
+        q.awaitTermination(300)
+        got = s.counts()
+    else:
+        from polar_spark.streaming.dedup import StreamingNearDup
+
+        s = StreamingNearDup(
+            spark,
+            os.path.join(root, "idx"),
+            os.path.join(root, "pairs"),
+            threshold=0.7,
+        )
+        q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
+        q.awaitTermination(300)
+        got = s.pairs().select("id_a", "id_b", F_round("jaccard"))
+
     want = spark.read.parquet(os.path.join(root, "want"))
     diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     with open(os.path.join(root, "verdict.json"), "w") as f:
         json.dump(
             {"diff": diff, "got": got.count(), "want": want.count()}, f
         )
+
+
+def F_round(col: str):
+    """jaccard to 9 dp for the compare (floats via different join orders
+    are still identical here, but the law test's rounding convention is
+    kept for parity)."""
+    from pyspark.sql import functions as F
+
+    return F.round(col, 9).alias("jaccard")
 
 
 if __name__ == "__main__":

@@ -45,15 +45,23 @@ def _run(root: str, *args: str) -> subprocess.CompletedProcess:
     )
 
 
-@pytest.mark.parametrize("when", ["before", "after"])
-def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, when):
+@pytest.mark.parametrize(
+    "sink,when",
+    [
+        ("lm", "before"),
+        ("lm", "after"),
+        ("neardup", "before"),
+        ("neardup", "after"),
+    ],
+)
+def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
     root = str(tmp_path)
-    prep = _run(root, "prep")
+    prep = _run(root, "prep", sink)
     assert prep.returncode == 0, prep.stderr[-2000:]
 
     # phase 1: stream with a SIGKILL landing inside epoch 2's commit
     # window (5 single-file micro-batches, so the kill is mid-stream)
-    crashed = _run(root, "run", "2", when)
+    crashed = _run(root, "run", sink, "2", when)
     assert crashed.returncode == -signal.SIGKILL, (
         crashed.returncode,
         crashed.stderr[-2000:],
@@ -62,7 +70,7 @@ def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, when):
 
     # phase 2: fresh process, same checkpoint — runs the remainder and
     # writes the verdict
-    done = _run(root, "run", "-1")
+    done = _run(root, "run", sink, "-1")
     assert done.returncode == 0, done.stderr[-2000:]
     with open(os.path.join(root, "verdict.json")) as f:
         v = json.load(f)
