@@ -77,3 +77,85 @@ def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
     assert v["want"] > 0
     assert v["got"] == v["want"]
     assert v["diff"] == 0, v  # no loss, no double-count — bit-identical
+
+
+def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
+    """Produce-path chaos (beyond the simulated dead-pid tests): a real
+    producer PROCESS is SIGKILLed somewhere inside a batch's
+    reserve→write→validate→publish window. Afterwards:
+
+    - every ACKED batch is served exactly once (produce() returning is
+      the durability ack);
+    - the killed in-flight batch may be absent or partially present
+      (at-least-once, never acked) but NO record is served twice;
+    - the reservation queue is not wedged: a fresh producer publishes
+      past the dead reservation (pid-liveness skip) and its batch is
+      served."""
+    import time
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+    from polar_spark.produce import Producer
+    from polar_spark.topics import TopicCatalog
+
+    root = str(tmp_path)
+    child = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "chaos_produce_child.py"),
+         root, "40", "500"],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+    )
+    acks_path = os.path.join(root, "acks.log")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            with open(acks_path) as f:
+                n = sum(1 for _ in f)
+        except FileNotFoundError:
+            n = 0
+        if n >= 5:
+            break
+        time.sleep(0.05)
+    else:
+        child.kill()
+        raise AssertionError("child never produced 5 batches")
+    child.send_signal(signal.SIGKILL)
+    child.wait(30)
+    assert child.returncode == -signal.SIGKILL
+
+    with open(acks_path) as f:
+        acked = [int(line.split()[1]) for line in f if line.startswith("ACK")]
+    assert len(acked) >= 5
+
+    # fresh "producer process" (this test's session): must publish past
+    # the dead producer's in-flight reservation, not wedge behind it
+    cat = TopicCatalog(spark, os.path.join(root, "cat"))
+    prod = Producer(cat)
+    after = spark.createDataFrame(
+        [(f"k{i % 7}", f"post:{i}") for i in range(100)], "k string, v string"
+    )
+    prod.produce(after, "chaos", key_col="k", value_col="v")
+
+    g = ConsumerGroup(cat, "chaos_g")
+    g.register("chaos", EARLIEST)
+    from collections import Counter
+
+    seen: Counter = Counter()
+    for _ in range(200):
+        res = g.poll("chaos")
+        rows = res.df.collect()
+        if not rows:
+            break
+        seen.update(r["value"] for r in rows)
+        g.commit("chaos", res.positions)
+
+    # acked batches: exactly once, complete
+    for b in acked:
+        vals = [v for v in seen if v.startswith(f"b{b}:")]
+        assert len(vals) == 500, (b, len(vals))
+        assert all(seen[v] == 1 for v in vals)
+    # NOTHING is served twice — including any torn in-flight batch
+    dup = {v: c for v, c in seen.items() if c > 1}
+    assert not dup, dict(list(dup.items())[:5])
+    # the post-crash batch made it through
+    assert sum(1 for v in seen if v.startswith("post:")) == 100
