@@ -105,6 +105,8 @@ HEADLINE = [
     "drift_psi_length_buckets",
     "pagerank_event_graph",
     "ann_recall_ivf_vs_exact",
+    # r9: the production-size HLL (m=1024 registers, DECIMAL estimator)
+    "sketch_hll_m1024_distinct_users",
 ]
 
 
