@@ -69,6 +69,14 @@ def main(names: list[str]) -> int:
 
     spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
+    # Spark-WRITTEN parquet (the derived 10x corpora) marks timestamps
+    # isAdjustedToUTC, which DuckDB reads as TIMESTAMP WITH TIME ZONE —
+    # the driver's canonicalizer (and this mirror's dtype guard) rejects
+    # TZ-typed outputs. Both engines run UTC (session.py pins Spark's
+    # session timeZone; we pin DuckDB here), so casting those columns
+    # back to naive TIMESTAMP in the VIEW is value-identical to the
+    # driver-generated naive testdata shape.
+    con.sql("SET TimeZone='UTC'")
     for t in TABLES:
         # testdata tables are single parquet FILES; derived corpora
         # (bench._build_scaled_corpus) are Spark-written DIRECTORIES of
@@ -76,7 +84,22 @@ def main(names: list[str]) -> int:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
-        con.sql(f"create view {t} as select * from '{p}'")
+        tz_cols = [
+            c
+            for c, ty, *_ in con.sql(
+                f"describe select * from '{p}'"
+            ).fetchall()
+            if "WITH TIME ZONE" in ty
+        ]
+        if tz_cols:
+            repl = ", ".join(
+                f'CAST("{c}" AS TIMESTAMP) AS "{c}"' for c in tz_cols
+            )
+            con.sql(
+                f"create view {t} as select * replace ({repl}) from '{p}'"
+            )
+        else:
+            con.sql(f"create view {t} as select * from '{p}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
