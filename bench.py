@@ -106,7 +106,9 @@ HEADLINE = [
     "pagerank_event_graph",
     "ann_recall_ivf_vs_exact",
     # r9: the production-size HLL (m=1024 registers, DECIMAL estimator)
+    # and the web-scale simhash operating point (d=3, 20-table scheme)
     "sketch_hll_m1024_distinct_users",
+    "dedup_simhash_radius3",
 ]
 
 
@@ -211,6 +213,7 @@ def _build_scaled_corpus(
     tables: tuple[str, ...] = (
         "orders", "lineitem", "events", "documents", "embeddings"
     ),
+    doc_salt_every: int = 4,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -278,15 +281,28 @@ def _build_scaled_corpus(
             # beyond ~10 replicas rotation wraps (docs have 10-100
             # words) and replicas collapse to EXACT duplicates — a
             # minhash bench over that corpus measures a degenerate
-            # quadratic pair explosion, not scaling. Salt 1 word in 4
-            # per replica (deterministic, position-varied by _rep):
-            # cross-replica shingle Jaccard drops below the 0.7
-            # near-dup threshold, so replicas are distinct documents
-            # and pair output grows linearly with the corpus — the
-            # honest 100× shape
+            # quadratic pair explosion, not scaling. Salt 1 word in
+            # ``doc_salt_every`` per replica (deterministic,
+            # position-varied by _rep): cross-replica shingle Jaccard
+            # drops below the 0.7 near-dup threshold, so replicas are
+            # distinct documents and pair output grows linearly with
+            # the corpus — the honest 100× shape for MINHASH.
+            #
+            # doc_salt_every=1 (every word salted) is the SIMHASH-
+            # calibrated variant: 1-in-4 salting breaks Jaccard-0.7 but
+            # NOT hamming-3 — simhash is locality-sensitive over the
+            # word BAG, so 75%-shared replicas stay within its radius
+            # and the true near-dup output grows quadratically in the
+            # replica count (r9 decade sweep found dedup_simhash at
+            # 100×/1-in-4 running 246× — all of it real output, not an
+            # engine term). With every word carrying its replica's
+            # suffix, cross-replica word sets are disjoint (signatures
+            # far apart) while SAME-replica pairs keep their original
+            # similarity (both docs transform identically), so output
+            # stays linear in the corpus.
             text = F.expr(
                 "concat_ws(' ', transform(_w, (x, i) ->"
-                " if(pmod(i + _rep, 4) = 0,"
+                f" if(pmod(i + _rep, {int(doc_salt_every)}) = 0,"
                 " concat(x, '_', cast(_rep as string)), x)))"
             )
         (

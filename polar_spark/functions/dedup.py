@@ -449,7 +449,8 @@ def ngram_jaccard_pairs(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -464,22 +465,44 @@ def simhash_pairs(
        over DISTINCT signatures — its cost is bounded by signature
        diversity, not corpus size.
     2. **Blocked-LSH over distinct signatures** (pigeonhole guarantee):
-       the 64-bit signature is split into ``max_hamming + 1`` blocks —
-       any pair within ``max_hamming`` differing bits agrees on at least
-       one whole block, so joining on (block_idx, block_bits) finds
-       every qualifying signature pair while only same-block rows ever
-       shuffle together. Exact Hamming is verified with two 32-bit
-       ``bit_count(xor)`` ops, duplicates from multi-block agreement are
-       dropped on the (small) signature-pair table, and group pairs are
-       expanded back to doc pairs by two signature-count-sized joins
-       plus an output-sized explode.
+       the 64-bit signature is split into ``n_blocks`` blocks (default
+       ``max_hamming + 1``) — a pair within ``max_hamming`` differing
+       bits corrupts at most ``max_hamming`` blocks, leaving at least
+       ``c = n_blocks - max_hamming`` whole blocks intact, so it agrees
+       on at least one of the C(n_blocks, c) block SUBSETS of size c;
+       joining on (subset_idx, concatenated subset bits) finds every
+       qualifying signature pair while only same-key rows ever shuffle
+       together. Exact Hamming is verified with two 32-bit
+       ``bit_count(xor)`` ops, duplicates from multi-subset agreement
+       are dropped on the (small) signature-pair table, and group pairs
+       are expanded back to doc pairs by two signature-count-sized
+       joins plus an output-sized explode.
 
-    Scale note: with ``max_hamming=8`` the block keys are ~7 bits, so
-    stage 2 is ~n_sig²/2⁷ per block — collapsing to distinct signatures
-    is what keeps that quadratic term off the corpus size. A group whose
-    membership is huge yields a quadratic OUTPUT (every pair genuinely
-    qualifies); cap or keep-one upstream if pairs are not needed."""
-    n_blocks = max_hamming + 1
+    Scale note — the ``n_blocks`` knob is the Manku-Jain-Das Sarma
+    table/key-width tradeoff (Detecting Near-Duplicates for Web
+    Crawling, WWW'07 §3): at the default (c=1, classic pigeonhole) the
+    join keys are 64/(d+1) bits, and once distinct signatures grow past
+    ~2^(64/(d+1)) the candidate set picks up a BIRTHDAY-collision
+    quadratic (measured r9: d=8 → 7-bit keys went 42× at 100× corpus).
+    Raising ``n_blocks`` multiplies candidate tables (C(b, c) exploded
+    rows per signature — linear cost) while making each key c× wider —
+    e.g. d=3 with n_blocks=6 gives 20 tables of ~32-bit keys, pushing
+    the collision knee past 10^9 distinct signatures. Output is
+    IDENTICAL for any valid ``n_blocks`` (the exact Hamming filter
+    decides membership; the scheme only decides candidate cost).
+    A group whose membership is huge yields a quadratic OUTPUT (every
+    pair genuinely qualifies); cap or keep-one upstream if pairs are
+    not needed."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming "
+            f"({max_hamming}) for the pigeonhole guarantee"
+        )
+    combo = n_blocks - max_hamming
     base = 64 // n_blocks
     rem = 64 % n_blocks
     # block b covers [start_b, start_b + len_b): first `rem` blocks one wider
@@ -489,6 +512,7 @@ def simhash_pairs(
         ln = base + (1 if b_idx < rem else 0)
         bounds.append((pos, ln))
         pos += ln
+    subsets = list(combinations(range(n_blocks), combo))
 
     # collapse the corpus to signature groups in ONE shuffle, then
     # persist: the block explode (both join sides), the within-group
@@ -539,6 +563,14 @@ def simhash_pairs(
         )
         .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
     )
+    def _subset_key(sub: tuple[int, ...]):
+        parts = [
+            F.substring("sim", bounds[b][0], bounds[b][1]) for b in sub
+        ]
+        # single-block subsets keep the bare substring (byte-identical
+        # plan to the pre-r9 c=1 scheme)
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
     blocks = groups.select(
         "sim",
         "h1",
@@ -548,9 +580,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.substring("sim", start, ln).alias("key"),
+                        _subset_key(sub).alias("key"),
                     )
-                    for i, (start, ln) in enumerate(bounds)
+                    for i, sub in enumerate(subsets)
                 ]
             )
         ).alias("b"),

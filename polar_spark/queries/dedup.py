@@ -108,9 +108,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
+# Criterion-based simhash oracle (ALL pairs within the radius) — shared
+# by both simhash queries; the Spark side's candidate SCHEME (pigeonhole
+# block count) cannot change the output, only its cost, so one oracle
+# template serves every (radius, n_blocks) combination.
+_SIMHASH_ORACLE = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents
 ), wc AS (
@@ -133,14 +135,35 @@ SELECT id_a, id_b, hamming FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     len(list_filter(range(1, 65), i -> substr(a.sim, i, 1) <> substr(b.sim, i, 1))) AS hamming
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-) t WHERE hamming <= 8
-""",
-)
+) t WHERE hamming <= RADIUS
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE.replace("RADIUS", "8"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 8); word-frequency-weighted
     signature computed by an Arrow-batched UDF (functions/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+@query("dedup_simhash_radius3", oracle=_SIMHASH_ORACLE.replace("RADIUS", "3"))
+def dedup_simhash_radius3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at the web-scale operating point:
+    Hamming ≤ 3 (the radius Manku-Jain-Das Sarma run over 8B docs,
+    WWW'07) with the candidate scheme at n_blocks=6 — every pair within
+    3 bits keeps ≥3 of 6 blocks intact, so the C(6,3)=20 tables of
+    ~32-bit keys find all candidates while the wide keys kill the
+    birthday-collision quadratic the d=8 query's 7-bit keys develop
+    past ~10^5 distinct signatures (r9 decade sweep). Output is
+    criterion-exact either way (shared oracle, radius swapped).
+
+    Scale: candidate generation is 20 exploded rows per DISTINCT
+    signature (linear; exact-dup collapse runs first), random key
+    collisions stay negligible past 10^9 signatures; the exchanges
+    carry signature-sized rows, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, n_blocks=6)
 
 
 @query(

@@ -32,6 +32,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # LOCAL sweeps at sf0.01 AND sf0.1 are the compensating control
     # for everything past the driver's ~50-query sample.
     "sketch_hll_m1024_distinct_users",  # new/changed r9 — must re-prove
+    "dedup_simhash_radius3",  # new r9 — Manku block-combination scale path
     "decayed_event_rate",  # new/changed r9 — must re-prove
     "kmeans_lloyd_quantized",  # new/changed r9 — must re-prove
     "q1_pricing_summary",  # new/changed r9 — must re-prove

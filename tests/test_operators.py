@@ -1568,3 +1568,33 @@ def test_hll_m1024_laws_and_accuracy_envelope(spark):
         if est < 2.5 * m and v_zero > 0:
             est = m * math.log(m / v_zero)
         assert abs(est - truth[et]) <= 0.05 * truth[et], (et, est, truth[et])
+
+
+def test_simhash_block_combination_scheme_output_identical(spark):
+    """r9: the pigeonhole candidate scheme is now the generalized
+    Manku-Jain-Das Sarma (b, c) form. The scheme decides candidate COST
+    only — for any valid n_blocks the exact Hamming filter yields the
+    SAME pairs. Pins c=1 (classic, 4 blocks), the n_blocks=6 / C(6,3)
+    scale form, and an oversplit n_blocks=8 against each other, plus
+    the pigeonhole-violating parameter error."""
+    import pytest
+
+    from polar_spark.functions.dedup import simhash_pairs
+    from polar_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    def rows(nb):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(
+                d, "doc_id", "text", max_hamming=3, n_blocks=nb
+            ).collect()
+        )
+
+    classic = rows(None)  # default: 4 blocks, c=1
+    assert classic == rows(6) == rows(8)
+    assert len(classic) > 0
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(d, "doc_id", "text", max_hamming=3, n_blocks=3)

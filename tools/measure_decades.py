@@ -21,7 +21,9 @@ minutes, a 2× wall cost buys retry-noise immunity at the point that
 matters most).
 
 Usage: python tools/measure_decades.py [query] [factor ...] [--table=T]
-       (defaults: sketch_kmv_distinct_users 10 100 1000 --table=events)
+       [--salt=N]  (defaults: sketch_kmv_distinct_users 10 100 1000
+       --table=events --salt=4; use --salt=1 for simhash-radius-safe,
+       output-linear document replicas)
 
 Representative committed runs live in SURVEY.md §14.
 """
@@ -61,11 +63,18 @@ def main() -> None:
     from polar_spark.session import get_spark
     from polar_spark.sources.tables import load_table
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--table=")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     table = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--table=")),
         "events",
     )
+    # --salt=N: documents-derivation salt density (1 = every word —
+    # the simhash-calibrated, output-linear variant; default 4 = the
+    # minhash-calibrated one). See bench._build_scaled_corpus.
+    salt = int(next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--salt=")),
+        "4",
+    ))
     name = args[0] if args else "sketch_kmv_distinct_users"
     factors = [int(a) for a in args[1:]] or [10, 100, 1000]
     fn = QUERIES[name].fn
@@ -91,7 +100,8 @@ def main() -> None:
         dst = tempfile.mkdtemp(prefix=f"decade_{factor}x_")
         try:
             bench._build_scaled_corpus(
-                spark, dst, factor=factor, tables=(table,)
+                spark, dst, factor=factor, tables=(table,),
+                doc_salt_every=salt,
             )
             spark.catalog.clearCache()
             sq = best(lambda: scan(dst))  # doubles as the page-warm
