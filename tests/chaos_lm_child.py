@@ -22,6 +22,11 @@ Sinks:
   neardup  StreamingNearDup — TWO stores (LSH index + pairs sink); a
            double-applied epoch shows as duplicated pairs vs the
            one-shot verified_near_dups law.
+  semdedup StreamingSemDedup — the replay path must EXCLUDE the
+           replayed epoch's own store partition from its read (or the
+           batch dedups against its own half-written keeps). Twin = a
+           CLEAN single-process stream over the same file sequence;
+           crashed+restarted kept/dropped sets must match it exactly.
 
 The kill is a raw SIGKILL (no atexit, no JVM shutdown hooks) — the
 crash-vs-graceful-stop distinction VERDICT r8 ask #6 calls out: the
@@ -50,15 +55,16 @@ def main() -> None:
     if phase == "prep":
         from polar_spark.sources.tables import load_table
 
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
         if sink == "lm":
             from polar_spark.functions.lm import train_bigram_counts
 
+            docs = load_table(spark, "/root/testdata/sf0.001", "documents")
             docs.repartition(5).write.mode("overwrite").parquet(src)
             want = train_bigram_counts(spark.read.parquet(src), "text")
-        else:
+        elif sink == "neardup":
             from polar_spark.functions.dedup import verified_near_dups
 
+            docs = load_table(spark, "/root/testdata/sf0.001", "documents")
             d = docs.select("doc_id", "text")
             d.repartition(5).write.mode("overwrite").parquet(src)
             want = verified_near_dups(
@@ -66,6 +72,14 @@ def main() -> None:
             ).select(
                 "id_a", "id_b", F_round("jaccard")
             )
+        else:  # semdedup: quantized embedding corpus; twin is built by
+            # a CLEAN stream in the run phase (crash-equivalence)
+            from polar_spark.functions.similarity import quantize
+
+            e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+            qv = e.select("vec_id", quantize("embedding").alias("v"))
+            qv.repartition(5).write.mode("overwrite").parquet(src)
+            return
         want.write.mode("overwrite").parquet(os.path.join(root, "want"))
         return
 
@@ -98,7 +112,8 @@ def main() -> None:
         q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
         q.awaitTermination(300)
         got = s.counts()
-    else:
+        want = spark.read.parquet(os.path.join(root, "want"))
+    elif sink == "neardup":
         from polar_spark.streaming.dedup import StreamingNearDup
 
         s = StreamingNearDup(
@@ -110,8 +125,45 @@ def main() -> None:
         q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
         q.awaitTermination(300)
         got = s.pairs().select("id_a", "id_b", F_round("jaccard"))
+        want = spark.read.parquet(os.path.join(root, "want"))
+    else:
+        from pyspark.sql import functions as F
 
-    want = spark.read.parquet(os.path.join(root, "want"))
+        from polar_spark.functions.similarity import NLIST
+        from polar_spark.streaming.dedup import StreamingSemDedup
+
+        qv = spark.read.parquet(src)
+        cents = [
+            (r["vec_id"], r["v"])
+            for r in qv.filter(F.col("vec_id") < NLIST)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        TAU = 1600  # cosine >= 0.40 — exercises drops on this corpus
+        s = StreamingSemDedup(
+            spark, os.path.join(root, "idx"), os.path.join(root, "drops"),
+            cents, tau_sq_pct=TAU,
+        )
+        q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
+        q.awaitTermination(300)
+        got = s.kept().select("vec_id").withColumn(
+            "keep", F.lit(1)
+        ).unionByName(
+            s.dropped().select("vec_id").withColumn("keep", F.lit(0))
+        )
+        # the twin: a CLEAN stream over the SAME file sequence in this
+        # (restarted) process — fresh stores, fresh checkpoint
+        tw = StreamingSemDedup(
+            spark, os.path.join(root, "idx_tw"),
+            os.path.join(root, "drops_tw"), cents, tau_sq_pct=TAU,
+        )
+        qt = tw.start(stream, checkpoint_dir=os.path.join(root, "cp_tw"))
+        qt.awaitTermination(300)
+        want = tw.kept().select("vec_id").withColumn(
+            "keep", F.lit(1)
+        ).unionByName(
+            tw.dropped().select("vec_id").withColumn("keep", F.lit(0))
+        )
     diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     with open(os.path.join(root, "verdict.json"), "w") as f:
         json.dump(

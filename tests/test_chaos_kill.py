@@ -52,6 +52,8 @@ def _run(root: str, *args: str) -> subprocess.CompletedProcess:
         ("lm", "after"),
         ("neardup", "before"),
         ("neardup", "after"),
+        ("semdedup", "before"),
+        ("semdedup", "after"),
     ],
 )
 def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
