@@ -205,6 +205,12 @@ SCALE_HEADLINE = [
     "sketch_hll_distinct_users",
     "bpe_train_merges",
     "drift_psi_length_buckets",
+    # r9: m=1024 registers still shuffle O(groups·m); the radius-3
+    # simhash's 20-table candidate explode is linear per distinct
+    # signature (the rotation corpus collapses replicas to exact
+    # signature groups, so output rides the join-free explode)
+    "sketch_hll_m1024_distinct_users",
+    "dedup_simhash_radius3",
 ]
 
 
