@@ -49,6 +49,16 @@ class EpochLedger:
         except FileNotFoundError:
             return -1
 
+    def all(self) -> dict[str, int]:
+        """Every (sink key → last applied epoch) pair. Compaction uses
+        this to tell COMMITTED epoch partitions (epoch ≤ the recorded
+        high-water mark) from in-flight ones a replay still owns."""
+        try:
+            with open(self._ledger) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
     def record(self, key: str, epoch: int, force: bool = False) -> None:
         lock = self._ledger + ".lock"
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)

@@ -54,6 +54,11 @@ class StreamingDrift(_EpochPartialSink):
             .agg(F.sum("_p").alias("cp0"), F.sum("_q").alias("cq0"))
         )
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return stored.groupBy("bucket").agg(
+            F.sum("cp0").alias("cp0"), F.sum("cq0").alias("cq0")
+        )
+
     def counts(self) -> DataFrame:
         """Summed raw bucket counts over all epochs (pre-smoothing)."""
         stored = self._stored()
@@ -61,9 +66,7 @@ class StreamingDrift(_EpochPartialSink):
             return self.spark.createDataFrame(
                 [], "bucket bigint, cp0 bigint, cq0 bigint"
             )
-        return stored.groupBy("bucket").agg(
-            F.sum("cp0").alias("cp0"), F.sum("cq0").alias("cq0")
-        )
+        return self._fold(stored)
 
     def psi(self) -> DataFrame:
         """The live PSI table — identical arithmetic to the batch query

@@ -53,15 +53,18 @@ class StreamingDSIR(_EpochPartialSink):
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         return bucket_counts(batch_df, self._target_col(), self.m, self.id_col)
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return stored.groupBy("bucket").agg(
+            F.sum("cq").alias("cq"), F.sum("cp").alias("cp")
+        )
+
     def counts(self) -> DataFrame:
         """The live model state: bucket counts summed over all epochs —
         bit-identical to one-shot counting over everything ingested."""
         stored = self._stored()
         if stored is None:
             return self.spark.createDataFrame([], "bucket bigint, cq bigint, cp bigint")
-        return stored.groupBy("bucket").agg(
-            F.sum("cq").alias("cq"), F.sum("cp").alias("cp")
-        )
+        return self._fold(stored)
 
     def score(self, docs: DataFrame) -> DataFrame:
         """Score documents against the CURRENT model (functions/dsir.py

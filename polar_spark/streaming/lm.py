@@ -37,6 +37,9 @@ class StreamingBigramLM(_EpochPartialSink):
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         return train_bigram_counts(batch_df, self.text_col)
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return stored.groupBy("w1", "w2").agg(F.sum("c2").alias("c2"))
+
     def counts(self) -> DataFrame:
         """The live LM state: bigram counts summed over all epochs —
         bit-identical to one-shot training on everything ingested."""
@@ -45,7 +48,7 @@ class StreamingBigramLM(_EpochPartialSink):
             return self.spark.createDataFrame(
                 [], "w1 string, w2 string, c2 bigint"
             )
-        return stored.groupBy("w1", "w2").agg(F.sum("c2").alias("c2"))
+        return self._fold(stored)
 
     def score(
         self,

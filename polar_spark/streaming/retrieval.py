@@ -47,6 +47,9 @@ class StreamingCorpusStats(_EpochPartialSink):
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         return corpus_term_stats(batch_df, self.id_col, self.text_col)
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return merge_term_stats(stored)
+
     def stats(self) -> DataFrame:
         """The live stats table: per-term df rows plus the NULL-term
         corpus row, summed over all epochs — bit-identical to a
@@ -54,4 +57,4 @@ class StreamingCorpusStats(_EpochPartialSink):
         stored = self._stored()
         if stored is None:
             return self.spark.createDataFrame([], STATS_SCHEMA)
-        return merge_term_stats(stored)
+        return self._fold(stored)

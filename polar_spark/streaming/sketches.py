@@ -27,8 +27,11 @@ watermark coupling — reading the store IS the query).
 
 from __future__ import annotations
 
+import fcntl
+import hashlib
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,8 +62,27 @@ from polar_spark.streaming.dedup import EpochLedger, epoch_tag
 from polar_spark.streaming.ingest import _sink_instance_key, start_epoch_sink
 
 
+# base partitions are compaction output (`ep=base<gen>`); epoch
+# partitions carry the sink-key hash + epoch number baked into their tag
+# (streaming/dedup.epoch_tag) — compaction parses the tag to decide what
+# is safely foldable
+_BASE_DIR_RE = re.compile(r"^ep=base\d{8}$")
+_EPOCH_DIR_RE = re.compile(r"^ep=t([0-9a-f]{10})x(\d+)$")
+
+
 class _EpochPartialSink:
-    """Shared machinery: write one partial per epoch, idempotently."""
+    """Shared machinery: write one partial per epoch, idempotently.
+
+    Store longevity (r10): without maintenance the store accumulates one
+    ``ep=`` partition per trigger forever, so every read merges
+    O(epochs · state) rows — merge cost degrades with stream AGE, not
+    data size (the reference continuously rolls its segments and
+    compacts offsets instead, internal/data/segment_writer.go:172-246).
+    :meth:`compact` folds all COMMITTED partials into a single
+    ``ep=base<gen>`` partition via the sink's own merge law
+    (:meth:`_fold` — the same expression the read path uses, so
+    fold-then-read ≡ read by construction), after which reads touch
+    O(1 + epochs-since-compact) partitions."""
 
     def __init__(self, spark: SparkSession, store_path: str):
         self.spark = spark
@@ -71,6 +93,12 @@ class _EpochPartialSink:
     def _partial(self, batch_df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def _fold(self, stored: DataFrame) -> DataFrame:  # pragma: no cover
+        """Merge a union of partials down to ONE equivalent partial of
+        the same schema — each sink's merge law (sum / k-smallest /
+        register-max). Shared by the live read and compaction."""
+        raise NotImplementedError
+
     # -- store maintenance -------------------------------------------------
     def _partition_dirs(self) -> list[os.DirEntry]:
         return [
@@ -78,6 +106,131 @@ class _EpochPartialSink:
             for e in os.scandir(self.store_path)
             if e.is_dir() and e.name.startswith("ep=")
         ]
+
+    # -- compaction manifest -------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.store_path, "_compact.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"gen": 0, "base": None, "folded": []}
+
+    def _write_manifest(self, man: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())
+
+    def _live_partition_dirs(self) -> list[os.DirEntry]:
+        """Partitions a read may merge: excludes partials already folded
+        into the current base (pending deletion after a compaction
+        commit) and base dirs from a compaction that died before its
+        manifest commit — both would double-count additive state."""
+        man = self._read_manifest()
+        folded = set(man.get("folded", []))
+        base = man.get("base")
+        out = []
+        for e in self._partition_dirs():
+            if e.name in folded:
+                continue
+            if _BASE_DIR_RE.match(e.name) and e.name != base:
+                continue
+            out.append(e)
+        return out
+
+    def _gc_folded(self) -> None:
+        """Delete partitions superseded by the committed base: the
+        manifest's folded list plus any orphaned base dir from a
+        crashed compaction. Names stay in the manifest until their dir
+        is verifiably gone — clearing first and failing the rmtree
+        would resurrect them into reads."""
+        man = self._read_manifest()
+        folded = set(man.get("folded", []))
+        for e in self._partition_dirs():
+            if e.name in folded or (
+                _BASE_DIR_RE.match(e.name) and e.name != man.get("base")
+            ):
+                shutil.rmtree(e.path, ignore_errors=True)
+        remaining = [
+            n
+            for n in man.get("folded", [])
+            if os.path.isdir(os.path.join(self.store_path, n))
+        ]
+        if len(remaining) != len(man.get("folded", [])):
+            self._write_manifest({**man, "folded": remaining})
+
+    def _cast_to_partial_schema(self, df: DataFrame) -> DataFrame:
+        """Pin the fold output to the lineage's recorded partial schema
+        (merge aggregates widen types — e.g. SUM(int) → bigint — and a
+        retyped base partition would break the multi-path read)."""
+        if not os.path.exists(self._schema_path()):
+            return df
+        with open(self._schema_path()) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return df.select(
+            *[F.col(fld.name).cast(fld.dataType) for fld in schema.fields]
+        )
+
+    def compact(self) -> tuple[int, int]:
+        """Fold every COMMITTED partial (and the previous base) into one
+        ``ep=base<gen>`` partition. Returns (n_folded, n_live_after).
+
+        Crash-safe at every step: the new base only becomes visible via
+        the manifest's atomic os.replace (before it, readers ignore the
+        unreferenced base dir; after it, they ignore the folded source
+        dirs until GC removes them), so a SIGKILL anywhere leaves reads
+        correct and the next compact/GC finishes the cleanup — the same
+        write-aside-then-swap discipline as topics.compact.
+
+        Only epochs at or below the ledger's recorded high-water mark
+        fold: a partition written by a crash BETWEEN the partial write
+        and the epoch record still belongs to its replay (which will
+        overwrite it); folding it would double-count the replay."""
+        lock = os.path.join(self.store_path, "_compact.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._gc_folded()
+            man = self._read_manifest()
+            last_by_hash = {
+                hashlib.sha1(k.encode()).hexdigest()[:10]: v
+                for k, v in self._epochs.all().items()
+            }
+            srcs = []
+            for e in self._partition_dirs():
+                if not os.path.exists(os.path.join(e.path, "_SUCCESS")):
+                    continue  # incomplete write — not committed state
+                m = _EPOCH_DIR_RE.match(e.name)
+                if m:
+                    if last_by_hash.get(m.group(1), -1) < int(m.group(2)):
+                        continue  # written but unrecorded: replay owns it
+                    srcs.append(e)
+                elif _BASE_DIR_RE.match(e.name) and e.name == man.get("base"):
+                    srcs.append(e)
+            if len(srcs) <= 1:
+                return (0, len(self._live_partition_dirs()))
+            stored = self.spark.read.parquet(*[e.path for e in srcs])
+            folded = self._cast_to_partial_schema(self._fold(stored))
+            gen = int(man.get("gen", 0)) + 1
+            base_name = f"ep=base{gen:08d}"
+            folded.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.store_path, base_name)
+            )
+            self._write_manifest(
+                {
+                    "gen": gen,
+                    "base": base_name,
+                    "folded": sorted(e.name for e in srcs),
+                }
+            )
+            self._gc_folded()
+            return (len(srcs), len(self._live_partition_dirs()))
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _purge(self) -> None:
         """Drop every stored partial. Sketch partials ADD when merged, so
@@ -93,6 +246,11 @@ class _EpochPartialSink:
         schema-stability contract in tests/test_streaming.py)."""
         for e in self._partition_dirs():
             shutil.rmtree(e.path, ignore_errors=True)
+        # the compaction manifest indexes the purged lineage's dirs —
+        # a stale one would hide the NEW lineage's base after its first
+        # compact (gen collision) or resurrect nothing; reset it
+        if os.path.exists(self._manifest_path()):
+            os.remove(self._manifest_path())
         if os.path.exists(self._schema_path()):
             with open(self._stale_marker_path(), "w"):
                 pass
@@ -163,16 +321,20 @@ class _EpochPartialSink:
         return self.spark.createDataFrame([], schema)
 
     def _stored(self) -> DataFrame | None:
-        """All stored partials; None = cold store. Mirrors the
+        """All LIVE stored partials; None = cold store. Reads the
+        manifest-filtered partition list by explicit paths (never the
+        store root): during a compaction swap the superseded source
+        dirs coexist with the new base, and a root read would merge
+        both and double-count every additive estimate. Mirrors the
         read-safety of streaming/dedup.py: a read failure over a store
         with at least one COMPLETED epoch re-raises (swallowing it would
         silently serve wrong estimates); only a cold/partial store with
         no completed write anywhere reads as empty."""
-        parts = self._partition_dirs()
+        parts = self._live_partition_dirs()
         if not parts:
             return None
         try:
-            return self.spark.read.parquet(self.store_path).drop("ep")
+            return self.spark.read.parquet(*[e.path for e in parts])
         except Exception:
             complete = any(
                 os.path.exists(os.path.join(e.path, "_SUCCESS")) for e in parts
@@ -203,13 +365,18 @@ class StreamingCountMin(_EpochPartialSink):
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         return cm_counters(batch_df, self.value_col, self.rows, self.width)
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return stored.groupBy("cm_row", "cm_bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+
     def counters(self) -> DataFrame:
         stored = self._stored()
         if stored is None:
             return self.spark.createDataFrame(
                 [], "cm_row int, cm_bucket bigint, cnt bigint"
             )
-        return stored.groupBy("cm_row", "cm_bucket").agg(F.sum("cnt").alias("cnt"))
+        return self._fold(stored)
 
     def estimate(self, keys: DataFrame, key_col: str) -> DataFrame:
         """Point-query the LIVE sketch — identical to the one-shot batch
@@ -243,6 +410,11 @@ class StreamingKMV(_EpochPartialSink):
             batch_df, self.keys, self.value_col, self.k, prefilter=False
         )
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        # k-smallest-of-union law: re-selecting over folded partials is
+        # bit-identical to re-selecting over the originals
+        return _k_smallest_hashes(stored, self.keys, self.k)
+
     def estimate(self) -> DataFrame:
         stored = self._stored()
         if stored is None:
@@ -255,9 +427,7 @@ class StreamingKMV(_EpochPartialSink):
                 return self.spark.createDataFrame(
                     [], f"{schema}, n_kept bigint, est_distinct double"
                 )
-        return _kmv_estimate(
-            _k_smallest_hashes(stored, self.keys, self.k), self.keys, self.k
-        )
+        return _kmv_estimate(self._fold(stored), self.keys, self.k)
 
 
 class StreamingQuantile(_EpochPartialSink):
@@ -294,13 +464,16 @@ class StreamingQuantile(_EpochPartialSink):
             prefilter=False,
         )
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return qs_select(stored, self.keys, self.k)
+
     def sample(self) -> DataFrame | None:
         stored = self._stored()
         if stored is None:
             stored = self._empty_partial()
             if stored is None:
                 return None
-        return qs_select(stored, self.keys, self.k)
+        return self._fold(stored)
 
     def estimate(self, pcts: tuple[int, ...] = QS_PCTS) -> DataFrame:
         sample = self.sample()
@@ -340,13 +513,16 @@ class StreamingHLL(_EpochPartialSink):
             batch_df, self.keys, self.value_col, self.m
         )
 
+    def _fold(self, stored: DataFrame) -> DataFrame:
+        return hll_merge(stored, self.keys)
+
     def registers(self) -> DataFrame | None:
         stored = self._stored()
         if stored is None:
             stored = self._empty_partial()
             if stored is None:
                 return None
-        return hll_merge(stored, self.keys)
+        return self._fold(stored)
 
     def estimate(self) -> DataFrame:
         regs = self.registers()
