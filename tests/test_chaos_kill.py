@@ -81,6 +81,84 @@ def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
     assert v["diff"] == 0, v  # no loss, no double-count — bit-identical
 
 
+@pytest.mark.parametrize("when", ["before", "after"])
+def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
+    """Consumer-side crash (r9 VERDICT ask #2): a consumer PROCESS is
+    SIGKILLed between serving a poll and/or committing it — on both
+    sides of the offset-ledger write — and a fresh process re-registers
+    (no goodbye ever ran) and resumes from the COMMITTED offsets.
+
+    The at-least-once law under crash, checked record-by-record from
+    the incarnations' serve logs:
+      before-commit  the killed poll's records were served but never
+                     committed → the restart re-delivers EXACTLY them
+                     (each exactly twice, everything else exactly once);
+      after-commit   the ledger advanced before the kill → the restart
+                     re-delivers NOTHING (every record exactly once) —
+                     committed offsets survive a crash.
+    Either way the union covers the full corpus: no loss, no skip
+    (reference's failover consume,
+    internal/test/integration/roundtrip_test.go:121-213)."""
+    from collections import Counter
+
+    root = str(tmp_path)
+    child = os.path.join(REPO, "tests", "chaos_consume_child.py")
+
+    def run(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, child, root, *args],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+
+    assert run("prep").returncode == 0
+
+    crashed = run("consume", "served_1.log", "3", when)
+    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
+
+    done = run("consume", "served_2.log", "-1")
+    assert done.returncode == 0, done.stderr[-2000:]
+
+    def parse(name: str) -> tuple[list[list[str]], int]:
+        """(polls as record-value lists, number of COMMIT markers)."""
+        polls: list[list[str]] = []
+        cur: list[str] = []
+        commits = 0
+        with open(os.path.join(root, name)) as f:
+            for line in f:
+                kind, _, val = line.strip().partition(" ")
+                if kind == "SERVED":
+                    cur.append(val)
+                elif kind == "COMMIT":
+                    polls.append(cur)
+                    cur = []
+                    commits += 1
+        if cur:
+            polls.append(cur)  # the killed poll (no COMMIT marker)
+        return polls, commits
+
+    p1, c1 = parse("served_1.log")
+    p2, _ = parse("served_2.log")
+    served: Counter = Counter(v for poll in p1 + p2 for v in poll)
+
+    want = {f"b{b}:{i}" for b in range(8) for i in range(250)}
+    assert set(served) == want  # no loss, no skip, nothing invented
+
+    if when == "before":
+        # the killed poll was served but never committed
+        assert c1 == 2 and len(p1) == 3
+        uncommitted = set(p1[-1])
+        assert uncommitted  # the kill landed on a non-empty poll
+        dup = {v for v, c in served.items() if c > 1}
+        assert dup == uncommitted  # redelivered EXACTLY the lost poll
+        assert all(c == 2 for v, c in served.items() if v in uncommitted)
+    else:
+        # ledger write beat the kill: nothing may be re-delivered
+        assert c1 == 2 and len(p1) == 3  # 3rd poll committed, marker lost
+        assert all(c == 1 for c in served.values()), Counter(
+            {v: c for v, c in served.items() if c > 1}
+        )
+
+
 def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
     """Produce-path chaos (beyond the simulated dead-pid tests): a real
     producer PROCESS is SIGKILLed somewhere inside a batch's
