@@ -584,12 +584,20 @@ def _hll_params(m: int) -> tuple[int, int, int, int]:
     a mask of the shared 60-bit md5 hash and w keeps ≥ CAP+1 bits for
     the rank ladder. m=64 keeps the exact r8 rational for alpha (hash
     stability); other sizes use alpha_m = 0.7213/(1 + 1.079/m) as the
-    exact rational 7213·m / (10·(1000·m + 1079))."""
+    exact rational 7213·m / (10·(1000·m + 1079)) — EXCEPT m=16 and
+    m=32, where the HLL paper (Flajolet et al. 2007, Fig. 3) pins
+    alpha_16 = 0.673 and alpha_32 = 0.697 rather than the asymptotic
+    formula (which gives 0.6757/0.6978, a ~0.3-0.4% systematic bias at
+    the smallest register counts; ADVICE r9)."""
     if m < 16 or (m & (m - 1)) or m > (1 << 20):
         raise ValueError(f"HLL m must be a power of two in [16, 2^20]: {m}")
     w_bits = 60 - (m.bit_length() - 1)
     if m == HLL_M:
         alpha_num, alpha_den = _HLL_ALPHA_NUM, _HLL_ALPHA_DEN
+    elif m == 16:
+        alpha_num, alpha_den = 673, 1000
+    elif m == 32:
+        alpha_num, alpha_den = 697, 1000
     else:
         alpha_num, alpha_den = 7213 * m, 10 * (1000 * m + 1079)
     return w_bits, alpha_num, alpha_den, alpha_num * m * m * (1 << HLL_RANK_CAP)

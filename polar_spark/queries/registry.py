@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -140,6 +141,8 @@ def portable_double_casts(sql: str) -> str:
     53k rows straddled an ulp that no sf0.01 run ever exposed. Applied
     centrally at @query registration so all ~47 oracle cast sites are
     covered uniformly and new oracles inherit the fix."""
+    _CAST_RE = re.compile(r"CAST\s*\(", re.IGNORECASE)
+
     def _skip_quote(s: str, k: int) -> int:
         # k is at the opening '; return index just past the closing '
         # ('' is the SQL escape for a literal quote)
@@ -153,6 +156,12 @@ def portable_double_casts(sql: str) -> str:
             k += 1
         return k
 
+    def _skip_comment(s: str, k: int) -> int:
+        # k is at the '--'; return index just past the line (an
+        # apostrophe inside a comment must not desync the quote scanner)
+        nl = s.find("\n", k)
+        return len(s) if nl == -1 else nl + 1
+
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -161,19 +170,35 @@ def portable_double_casts(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        if sql.startswith("CAST(", i):
-            j = i + 5
+        if sql.startswith("--", i):
+            j = _skip_comment(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        # word-boundary, case-insensitive, space-tolerant match: an
+        # identifier ENDING in "cast" (TRY_CAST, my_cast) must pass
+        # through untouched, while `cast (` / `Cast(` spellings rewrite
+        m = (
+            _CAST_RE.match(sql, i)
+            if i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            else None
+        )
+        if m:
+            j = m.end()
             depth = 1
             while j < n and depth:
                 if sql[j] == "'":
                     j = _skip_quote(sql, j)
+                    continue
+                if sql.startswith("--", j):
+                    j = _skip_comment(sql, j)
                     continue
                 if sql[j] == "(":
                     depth += 1
                 elif sql[j] == ")":
                     depth -= 1
                 j += 1
-            inner = portable_double_casts(sql[i + 5 : j - 1])
+            inner = portable_double_casts(sql[m.end() : j - 1])
             stripped = inner.rstrip()
             if stripped.upper().endswith("AS DOUBLE"):
                 expr = stripped[: -len("AS DOUBLE")].rstrip()

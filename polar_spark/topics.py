@@ -734,6 +734,15 @@ class TopicCatalog:
 
         tmp = d + ".compact_tmp"
         old = d + ".compact_old"
+        # a topic that was never created (or already dropped) has no
+        # topic dir: the lock file's parent is missing, so acquiring the
+        # compaction flock would raise FileNotFoundError where a
+        # retention sweeper iterating configured-but-dropped topics
+        # expects a graceful no-op (ADVICE r9). The mid-swap crash state
+        # (data parked at .compact_old, no live dir) keeps the topic dir
+        # itself, so this short-circuit never skips that recovery.
+        if not os.path.isdir(self.topic_dir(name)):
+            return (0, 0)
         # Compaction is copy-on-write vs PRODUCERS, but two compactions
         # of the same topic (a manual compact racing the retention
         # sweeper) share .compact_tmp/.compact_old and would corrupt each
