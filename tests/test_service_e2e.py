@@ -425,3 +425,69 @@ def test_compaction_mutex_serializes_concurrent_compacts(spark, sf_dir, tmp_path
     # lock released → the same call compacts normally
     b, a = eng.catalog.compact("mx", target_records_per_file=10_000)
     assert a >= 1 and b >= a
+
+
+def test_two_engine_processes_contend_exactly_once(tmp_path):
+    """TWO full PolarEngine facades — two SparkSessions in SEPARATE
+    processes — produce, compact, and poll against ONE store
+    concurrently (r9 VERDICT ask #6). The in-process stress test above
+    exercises thread contention; this one proves the flock/ledger
+    contracts CROSS-PROCESS, the multi-broker shape:
+
+    - produce vs produce: offset reservation across engines → per-
+      partition offsets stay contiguous, every acked record durable;
+    - compact vs produce/poll: copy-on-write swaps under live readers
+      in another process;
+    - compact vs compact: the per-topic compaction flock across
+      processes;
+    - two consumer GROUPS each drain the topic concurrently with the
+      writers → each group serves the full produced multiset exactly
+      once (graceful commit loop — no crash in this test)."""
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    child = _os.path.join(repo, "tests", "engine_contention_child.py")
+    root = str(tmp_path)
+
+    def spawn(role: str, tag: str) -> _sp.Popen:
+        return _sp.Popen(
+            [_sys.executable, child, root, role, tag],
+            stdout=_sp.DEVNULL, stderr=_sp.PIPE, text=True, cwd=repo,
+        )
+
+    procs = [
+        spawn("writer", "wA"),
+        spawn("writer", "wB"),
+        spawn("consumer", "cX"),
+        spawn("consumer", "cY"),
+    ]
+    fails = []
+    for p in procs:
+        try:
+            p.wait(420)
+        except _sp.TimeoutExpired:
+            p.kill()
+            fails.append((p.args, "timeout"))
+            continue
+        if p.returncode != 0:
+            fails.append((p.args, p.returncode, p.stderr.read()[-1500:]))
+    assert not fails, fails
+
+    from collections import Counter
+
+    want = Counter(
+        f"{w}:{b}:{i}" for w in ("wA", "wB") for b in range(10)
+        for i in range(200)
+    )
+    for tag in ("cX", "cY"):
+        got = Counter()
+        with open(_os.path.join(root, f"{tag}.log")) as f:
+            for line in f:
+                if line.startswith("REC "):
+                    got[line[4:].rstrip("\n")] += 1
+        assert got == want, (
+            tag,
+            {v: c for v, c in got.items() if c != 1 and want[v] == 1},
+        )
