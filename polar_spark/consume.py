@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,9 +111,16 @@ class _SegmentCache:
         return t
 
     def prefetch(self, paths: list[str], cols: list[str]) -> None:
-        """Queue background loads; never blocks the caller."""
-        from polar_spark.topics import io_pool
+        """Queue background loads; never blocks the caller.
 
+        Loads go to a DEDICATED pool, not topics.io_pool: serving reads
+        map onto the shared pool, and a read-ahead backlog queued there
+        would make the next poll's cold files wait behind its own
+        warming — measured as the r9 poll max tail (an in-suite spike
+        to ~40 ms whose instrumented profile showed every slow poll
+        paying 25-40 cold-file loads while the warm loop never left
+        ~15 ms). A separate small pool keeps warming strictly off the
+        serving path."""
         todo = []
         with self._lock:
             for p in paths:
@@ -129,10 +137,36 @@ class _SegmentCache:
                     with self._lock:
                         self._inflight.discard(path)
 
-            io_pool().submit(_bg)
+            _prefetch_pool().submit(_bg)
+
+
+_PREFETCH_POOL = None
+_PREFETCH_POOL_GUARD = threading.Lock()
+
+
+def _prefetch_pool():
+    """Background-warming pool, deliberately separate from (and smaller
+    than) topics.io_pool — see _SegmentCache.prefetch."""
+    global _PREFETCH_POOL
+    if _PREFETCH_POOL is None:
+        with _PREFETCH_POOL_GUARD:
+            if _PREFETCH_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _PREFETCH_POOL = ThreadPoolExecutor(
+                    max_workers=6, thread_name_prefix="polar-prefetch"
+                )
+    return _PREFETCH_POOL
 
 
 _SEG_CACHE = _SegmentCache()
+
+# register()-time warm-start: how many unconsumed files per partition to
+# queue for background loading before the first poll arrives. The first
+# pass over a fresh topic otherwise pays EVERY file cold — read-ahead
+# only starts after poll #1 computes its window, and at back-to-back
+# polling it stays one load behind the consumer (the r9 poll-max tail).
+WARM_FILES_PER_PARTITION = 8
 
 
 class PollResult:
@@ -359,19 +393,59 @@ class ConsumerGroup:
         self.catalog.ensure_topic(topic)
         path = self._ledger_path(topic)
         if os.path.exists(path):
-            return self.committed(topic)
+            committed = self.committed(topic)
+            self._warm_start(topic, committed)
+            return committed
         # serialize ledger creation: two consumers registering the same
         # (group, topic) concurrently must initialize it exactly once
         with self.catalog._file_lock(path + ".lock", f"group({self.group})", 30.0):
             if os.path.exists(path):
-                return self.committed(topic)
-            tails = self.catalog.tails(topic)
-            if on_new_group == LATEST:
-                committed = dict(tails)
+                committed = self.committed(topic)
             else:
-                committed = dict.fromkeys(tails, -1)
-            self._write(topic, committed)
-            return committed
+                tails = self.catalog.tails(topic)
+                if on_new_group == LATEST:
+                    committed = dict(tails)
+                else:
+                    committed = dict.fromkeys(tails, -1)
+                self._write(topic, committed)
+        self._warm_start(topic, committed)
+        return committed
+
+    def _warm_start(self, topic: str, committed: dict[int, int]) -> None:
+        """Queue background loads of the first unconsumed files per
+        partition at registration time. Poll-time read-ahead only
+        starts once poll #1 has computed its window, so a fresh
+        consumer's first pass over a topic pays every file cold at
+        back-to-back polling (the r9 poll-max tail); registering is the
+        natural head start — the reference's consumer read queue
+        likewise begins filling on registration, before the first poll
+        arrives (internal/consuming/group_read_queue.go)."""
+        try:
+            from polar_spark.topics import filename_offset_range
+
+            ddir = self.catalog.data_dir(topic)
+            cols = ["topic", "offset", "timestamp", "key", "value"]
+            paths: list[str] = []
+            for q, lo in committed.items():
+                pdir = os.path.join(ddir, f"partition={q}")
+                if not os.path.isdir(pdir):
+                    continue
+                cands: list[tuple[int, str]] = []
+                for fn in os.listdir(pdir):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rng = filename_offset_range(fn)
+                    if rng is None or rng[1] > lo:
+                        cands.append((rng[0] if rng else 0, fn))
+                cands.sort()
+                paths.extend(
+                    os.path.join(pdir, fn)
+                    for _o, fn in cands[:WARM_FILES_PER_PARTITION]
+                )
+            if paths:
+                _SEG_CACHE.prefetch(paths, cols)
+        except Exception:
+            pass  # warming is advisory; polls serve cold files correctly
 
     def committed(self, topic: str) -> dict[int, int]:
         path = self._ledger_path(topic)
@@ -522,7 +596,10 @@ class ConsumerGroup:
                 for q, (_lo, hi) in windows.items():
                     sim[q] = hi
                 ahead: dict[int, tuple[int, int]] = {}
-                rem_ahead = 2 * int(max_records)
+                # 4 windows of slack: at back-to-back polling (~10 ms
+                # inter-poll) a 2-window plan left the warming pool one
+                # load behind the consumer for the whole first pass
+                rem_ahead = 4 * int(max_records)
                 for q in sorted(sim):
                     if rem_ahead <= 0:
                         break
