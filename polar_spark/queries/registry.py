@@ -24,92 +24,48 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-9 rotation: (a) the new r9 query and the three whose
-    # SEMANTICS changed this round, then (b) every query whose
-    # DuckDB oracle text was rewritten by the r9 portable-double-
-    # cast transform (registry.portable_double_casts) — values only
-    # move at decimal ulp-straddle points, but the driver evidence
-    # should re-prove against the NEW oracle text; the full-registry
-    # LOCAL sweeps at sf0.01 AND sf0.1 are the compensating control
-    # for everything past the driver's ~50-query sample.
-    "sketch_hll_m1024_distinct_users",  # new/changed r9 — must re-prove
-    "dedup_simhash_radius3",  # new r9 — Manku block-combination scale path
-    "decayed_event_rate",  # new/changed r9 — must re-prove
-    "kmeans_lloyd_quantized",  # new/changed r9 — must re-prove
-    "q1_pricing_summary",  # new/changed r9 — must re-prove
-    "lm_bigram_nll_score",  # oracle rewritten r9 (portable double casts)
-    "lm_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "dsir_importance_scores",  # oracle rewritten r9 (portable double casts)
-    "dsir_resample_select",  # oracle rewritten r9 (portable double casts)
-    "dsir_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "weighted_sample_per_source",  # oracle rewritten r9 (portable double casts)
-    "drift_psi_length_buckets",  # oracle rewritten r9 (portable double casts)
-    "drift_psi_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "ann_recall_ivf_vs_exact",  # oracle rewritten r9 (portable double casts)
-    "dedup_recall_lsh_vs_exact",  # oracle rewritten r9 (portable double casts)
-    "knn_label_vote",  # oracle rewritten r9 (portable double casts)
-    "lang_id_heuristic",  # oracle rewritten r9 (portable double casts)
-    "pipeline_training_data_prep",  # oracle rewritten r9 (portable double casts)
-    "sketch_kmv_distinct_users",  # oracle rewritten r9 (portable double casts)
-    "sketch_kmv_merged_months",  # oracle rewritten r9 (portable double casts)
-    "text_quality_stats",  # oracle rewritten r9 (portable double casts)
-    "text_repetition_stats",  # oracle rewritten r9 (portable double casts)
-    "text_word_diversity",  # oracle rewritten r9 (portable double casts)
-    "window_sliding_1h_30m",  # oracle rewritten r9 (portable double casts)
-    "window_tumbling_hourly",  # oracle rewritten r9 (portable double casts)
-    "chunk_dup_ratio",  # oracle rewritten r9 (portable double casts)
-    "contamination_ngram_overlap",  # oracle rewritten r9 (portable double casts)
-    "dedup_clusters_cc",  # oracle rewritten r9 (portable double casts)
-    "dedup_incremental_index",  # oracle rewritten r9 (portable double casts)
-    "embedding_coverage_by_source",  # oracle rewritten r9 (portable double casts)
-    "embedding_outlier_centroid",  # oracle rewritten r9 (portable double casts)
-    "gopher_quality_filter",  # oracle rewritten r9 (portable double casts)
-    "knn_ivf_stored_cells",  # oracle rewritten r9 (portable double casts)
-    "mixture_quality_buckets",  # oracle rewritten r9 (portable double casts)
-    "quality_linear_classifier",  # oracle rewritten r9 (portable double casts)
-    "semdedup_embedding_prune",  # oracle rewritten r9 (portable double casts)
-    "sql_recursive_order_chain",  # oracle rewritten r9 (portable double casts)
-    "stats_moments_by_type",  # oracle rewritten r9 (portable double casts)
-    "q3_top_orders_by_revenue",  # oracle rewritten r9 (portable double casts)
-    "q5_nation_revenue",  # oracle rewritten r9 (portable double casts)
-    "rollup_returns",  # oracle rewritten r9 (portable double casts)
-    "cube_order_priority",  # oracle rewritten r9 (portable double casts)
-    "window_running_revenue",  # oracle rewritten r9 (portable double casts)
-    "range_join_value_bands",  # oracle rewritten r9 (portable double casts)
-    "q18_large_volume_customers",  # oracle rewritten r9 (portable double casts)
-    "q7_cross_nation_volume",  # oracle rewritten r9 (portable double casts)
-    "orders_monthly_revenue_growth",  # oracle rewritten r9 (portable double casts)
-    "priority_share_by_month",  # oracle rewritten r9 (portable double casts)
-    "q6_forecast_revenue",  # oracle rewritten r9 (portable double casts)
-    "q8_market_share",  # oracle rewritten r9 (portable double casts)
-    "q9_profit_by_nation",  # oracle rewritten r9 (portable double casts)
-    "q10_returned_items",  # oracle rewritten r9 (portable double casts)
-    "q14_promo_revenue",  # oracle rewritten r9 (portable double casts)
-    "q15_top_supplier",  # oracle rewritten r9 (portable double casts)
-    "q17_small_qty_revenue",  # oracle rewritten r9 (portable double casts)
-    "q19_bracketed_revenue",  # oracle rewritten r9 (portable double casts)
-    "q22_dormant_customers",  # oracle rewritten r9 (portable double casts)
-    "q2_min_cost_supplier",  # oracle rewritten r9 (portable double casts)
-    "q11_important_parts",  # oracle rewritten r9 (portable double casts)
-    "funnel_click_to_purchase",  # oracle rewritten r9 (portable double casts)
-    "tfidf_top_terms_per_source",  # oracle rewritten r9 (portable double casts)
-    "bm25_topk_docs",  # oracle rewritten r9 (portable double casts)
-    "dedup_ngram_jaccard",  # oracle rewritten r9 (portable double casts)
-    "dedup_minhash_verified",  # oracle rewritten r9 (portable double casts)
-    "dedup_keep_list",  # oracle rewritten r9 (portable double casts)
-    "knn_bruteforce_dot",  # oracle rewritten r9 (portable double casts)
-    "knn_ivf_probe",  # oracle rewritten r9 (portable double casts)
-    "dedup_embedding_cosine",  # oracle rewritten r9 (portable double casts)
-    "embedding_lsh_buckets",  # oracle rewritten r9 (portable double casts)
-    "embedding_norm_stats",  # oracle rewritten r9 (portable double casts)
-    "knn_hard_negatives",  # oracle rewritten r9 (portable double casts)
-    "grouping_sets_mix",  # oracle rewritten r9 (portable double casts)
-    "unpivot_nation_metrics",  # oracle rewritten r9 (portable double casts)
-    "sketch_kmv_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "sketch_quantiles_by_type",  # oracle rewritten r9 (portable double casts)
-    "sketch_qs_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "bm25_stream_vs_batch",  # oracle rewritten r9 (portable double casts)
-    "hybrid_rrf_retrieval",  # oracle rewritten r9 (portable double casts)
+    # Round-10 rotation: (a) the two NEW compaction-law queries and the
+    # four consume-flow queries whose serving path changed this round
+    # (dedicated prefetch pool + register warm-start + wider read-ahead),
+    # then (b) the 28 r9-head entries the r9 driver sample's 50-query
+    # window did NOT reach — their oracle texts were rewritten by the r9
+    # portable-cast transform and still lack driver re-proof (they are
+    # green in both judge-verified full-registry local sweeps; this
+    # rotation adds the driver's independent evidence).
+    "sketch_kmv_compacted",  # NEW r10 — epoch-store roll-up, k-selection law
+    "sketch_hll_compacted",  # NEW r10 — roll-up + post-fold overlap, idempotent max
+    "consume_poll_window",  # r10 poll path changed (prefetch pool, warm-start, 4-window read-ahead)
+    "consume_reset_latest",  # r10 poll path changed
+    "ingest_partition_offset",  # r10 register warm-start touches the consume flow
+    "dedup_redelivered_events",  # r10 poll path changed
+    "q9_profit_by_nation",  # oracle rewritten r9; missed by the r9 sample window
+    "q10_returned_items",  # oracle rewritten r9; missed by the r9 sample window
+    "q14_promo_revenue",  # oracle rewritten r9; missed by the r9 sample window
+    "q15_top_supplier",  # oracle rewritten r9; missed by the r9 sample window
+    "q17_small_qty_revenue",  # oracle rewritten r9; missed by the r9 sample window
+    "q19_bracketed_revenue",  # oracle rewritten r9; missed by the r9 sample window
+    "q22_dormant_customers",  # oracle rewritten r9; missed by the r9 sample window
+    "q2_min_cost_supplier",  # oracle rewritten r9; missed by the r9 sample window
+    "q11_important_parts",  # oracle rewritten r9; missed by the r9 sample window
+    "funnel_click_to_purchase",  # oracle rewritten r9; missed by the r9 sample window
+    "tfidf_top_terms_per_source",  # oracle rewritten r9; missed by the r9 sample window
+    "bm25_topk_docs",  # oracle rewritten r9; missed by the r9 sample window
+    "dedup_ngram_jaccard",  # oracle rewritten r9; missed by the r9 sample window
+    "dedup_minhash_verified",  # oracle rewritten r9; missed by the r9 sample window
+    "dedup_keep_list",  # oracle rewritten r9; missed by the r9 sample window
+    "knn_bruteforce_dot",  # oracle rewritten r9; missed by the r9 sample window
+    "knn_ivf_probe",  # oracle rewritten r9; missed by the r9 sample window
+    "dedup_embedding_cosine",  # oracle rewritten r9; missed by the r9 sample window
+    "embedding_lsh_buckets",  # oracle rewritten r9; missed by the r9 sample window
+    "embedding_norm_stats",  # oracle rewritten r9; missed by the r9 sample window
+    "knn_hard_negatives",  # oracle rewritten r9; missed by the r9 sample window
+    "grouping_sets_mix",  # oracle rewritten r9; missed by the r9 sample window
+    "unpivot_nation_metrics",  # oracle rewritten r9; missed by the r9 sample window
+    "sketch_kmv_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
+    "sketch_quantiles_by_type",  # oracle rewritten r9; missed by the r9 sample window
+    "sketch_qs_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
+    "bm25_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
+    "hybrid_rrf_retrieval",  # oracle rewritten r9; missed by the r9 sample window
 )
 
 

@@ -193,6 +193,96 @@ def sketch_hll_stream_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.estimate()
 
 
+@query(
+    "sketch_kmv_compacted",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+      i -> CAST(strpos('0123456789abcdef', substr(md5(user_id::VARCHAR), i, 1)) - 1 AS BIGINT))),
+      (acc, d) -> acc * 16 + d) AS hv
+  FROM events
+), mins AS (
+  SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS h_k
+  FROM mins WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 / (h_k / 1152921504606846976.0) END AS est_distinct
+FROM agg
+""",
+)
+def sketch_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV epoch store COMPACTED mid-lineage (r10: the epoch-store
+    roll-up, streaming/sketches._EpochPartialSink.compact): two epochs
+    land, compact() folds them into one ``ep=base`` partition under the
+    k-smallest-of-union law, a third epoch lands AFTER the fold, and
+    the estimate must still be bit-identical to the one-shot batch
+    sketch — the same DuckDB oracle as the uncompacted law query. This
+    is the longevity path: without the fold, merge-read cost grows with
+    stream AGE (one partition per trigger forever); with it, reads
+    touch O(1 + epochs-since-compact) partitions (reference analog:
+    segment roll + offset compaction,
+    internal/data/segment_writer.go:172-246).
+
+    Scale: the fold is one O(groups · k · epochs)-row job over sketch
+    state — never the raw stream."""
+    from polar_spark.streaming.sketches import StreamingKMV
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "kmvc")
+    sink = StreamingKMV(
+        spark, os.path.join(root, "store"), ["event_type"], "user_id", k=64
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS[:2]):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+        folded, live = sink.compact()
+        assert folded == 2 and live == 1, (folded, live)
+        sink.apply_batch(ev.filter(_SPLITS[2]), 2, root)
+
+    _built_once(root, build)
+    return sink.estimate()
+
+
+@query("sketch_hll_compacted", oracle=_hll_law_oracle())
+def sketch_hll_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register store COMPACTED mid-lineage, with a REPLAYED
+    overlapping epoch landing after the fold: register-wise max is
+    idempotent, so neither the fold (max over partials ≡ max over the
+    fold) nor the post-compact overlap can move any register — the
+    batch sketch's exact-integer DuckDB form stays the oracle. Together
+    with sketch_kmv_compacted this pins both merge-law shapes the
+    roll-up must preserve (k-selection and idempotent max; the additive
+    shape is pinned by the compaction pytest family).
+
+    Scale: the fold is one O(groups · m · epochs)-row job over register
+    state — never the raw stream."""
+    from polar_spark.streaming.sketches import StreamingHLL
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _store_root(spark, sf_dir, "hllc")
+    sink = StreamingHLL(
+        spark, os.path.join(root, "store"), ["event_type"], "user_id"
+    )
+
+    def build() -> None:
+        for epoch, cond in enumerate(_SPLITS):
+            sink.apply_batch(ev.filter(cond), epoch, root)
+        folded, live = sink.compact()
+        assert folded == 3 and live == 1, (folded, live)
+        # at-least-once replay AFTER the fold: overlaps are a no-op
+        sink.apply_batch(ev.filter(_SPLITS[0]), 3, root)
+
+    _built_once(root, build)
+    return sink.estimate()
+
+
 def _lm_law_oracle() -> str:
     from polar_spark.functions.lm import lm_score_oracle_sql
 
