@@ -82,6 +82,44 @@ def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
 
 
 @pytest.mark.parametrize("when", ["before", "after"])
+def test_sigkill_mid_compaction_recovers(tmp_path, when):
+    """Epoch-store compaction SIGKILLed at the commit point (r10): the
+    folding process dies ``before`` the manifest write (new base fully
+    on disk but unreferenced) or ``after`` it (manifest committed, the
+    superseded source partitions not yet GC'd). Either way a fresh
+    process must read the SAME estimate as the one-shot batch sketch —
+    an orphan base is invisible, committed-but-unGC'd sources are
+    excluded — and its own compact() completes the recovery down to a
+    single live partition. The real-kill twin of the hand-simulated
+    crash states in test_compaction.py (laws 5a/5b)."""
+    root = str(tmp_path)
+    child = os.path.join(REPO, "tests", "chaos_compact_child.py")
+
+    def run(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, child, root, *args],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+
+    assert run("prep").returncode == 0
+    crashed = run("compact", when)
+    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
+
+    done = run("finish")
+    assert done.returncode == 0, done.stderr[-2000:]
+    with open(os.path.join(root, "verdict.json")) as f:
+        v = json.load(f)
+    assert v["want"] > 0
+    assert v["diff_before_recovery"] == 0, v  # torn compact never visible
+    assert v["diff_after_recovery"] == 0, v
+    assert v["live_after"] == 1
+    # recovery leaves exactly one base partition on disk, nothing torn
+    assert len(v["dirs_after"]) == 1 and v["dirs_after"][0].startswith(
+        "ep=base"
+    ), v
+
+
+@pytest.mark.parametrize("when", ["before", "after"])
 def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
     """Consumer-side crash (r9 VERDICT ask #2): a consumer PROCESS is
     SIGKILLed between serving a poll and/or committing it — on both
