@@ -19,6 +19,11 @@ Env: SPARK_GRAFT_SF_DIR   base corpus (default /root/testdata/sf0.1)
      POLAR_SCALE_REPORT   JSON report path
                           (default SCALE_CORRECTNESS_r9.json, committed
                           per-round like LOCAL_CORRECTNESS)
+     POLAR_SCALE_TABLES   comma-separated fact tables to replicate
+                          (default events,documents,embeddings — trim
+                          for targeted runs, e.g. the 100x KMV/LM check
+                          only needs events,documents; untrimmed tables
+                          link through from the base)
 """
 
 from __future__ import annotations
@@ -64,10 +69,17 @@ def main(names: list[str]) -> int:
         spark = get_spark(app_name="scale_corpus", shuffle_partitions=32)
         # facts the targets touch grow factor×; everything else links
         # through from the base so the oracle views resolve
-        bench._build_scaled_corpus(
-            spark, dst, factor, tables=("events", "documents", "embeddings")
+        scaled = tuple(
+            os.environ.get(
+                "POLAR_SCALE_TABLES", "events,documents,embeddings"
+            ).split(",")
         )
-        for t in ("orders", "lineitem"):
+        bench._build_scaled_corpus(spark, dst, factor, tables=scaled)
+        link = [
+            t for t in ("events", "documents", "embeddings")
+            if t not in scaled
+        ]
+        for t in ("orders", "lineitem", *link):
             src = os.path.join(base, f"{t}.parquet")
             if os.path.exists(src):
                 os.symlink(src, os.path.join(dst, f"{t}.parquet"))
