@@ -139,6 +139,13 @@ class _SegmentCache:
 
             _prefetch_pool().submit(_bg)
 
+    def clear(self) -> None:
+        """Drop every cached table (bench/test isolation: lets a repeat
+        measurement pass start from the same cold-cache state)."""
+        with self._lock:
+            self._d.clear()
+            self._bytes = 0
+
 
 _PREFETCH_POOL = None
 _PREFETCH_POOL_GUARD = threading.Lock()
