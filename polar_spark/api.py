@@ -303,6 +303,7 @@ class PolarEngine:
         period_seconds: float = 300.0,
         retention_hours: float | None = None,
         compact_min_files: int | None = 16,
+        compact_target_records: int = 1_000_000,
     ):
         """Run the background retention loop for this engine's catalog
         (reference: 5-minute datalog cleaner, internal/data/
@@ -317,9 +318,10 @@ class PolarEngine:
         with self._state_lock:
             cur = self._retention
             if cur is not None:
-                asked = (period_seconds, retention_hours, compact_min_files)
+                asked = (period_seconds, retention_hours, compact_min_files,
+                         compact_target_records)
                 have = (cur.period_seconds, cur.retention_hours,
-                        cur.compact_min_files)
+                        cur.compact_min_files, cur.compact_target_records)
                 if asked != have:
                     raise ValueError(
                         f"retention loop already running with {have}; call "
@@ -331,6 +333,7 @@ class PolarEngine:
                 period_seconds=period_seconds,
                 retention_hours=retention_hours,
                 compact_min_files=compact_min_files,
+                compact_target_records=compact_target_records,
                 gate=self.compaction_gate,
             ).start()
             return self._retention

@@ -579,12 +579,21 @@ class ConsumerGroup:
             # positions collect (the byte cut depends on data) remains.
             if max_records is None:
                 max_records = max_bytes  # a record consumes ≥1 budget byte
+            # clamp each window's start to the log-start ledger (Kafka's
+            # logStartOffset; maintained by vacuum): a position behind a
+            # vacuumed head jumps to the first retained offset in ONE
+            # poll instead of waterfilling through the gap one empty
+            # window at a time — gap/max_records empty polls, O(stream
+            # age) for an earliest reader on a year-aged topic. Stale-low
+            # heads (crash between unlink and ledger write) only cost
+            # extra empty windows; positions still only move forward.
+            heads = self.catalog.heads(topic)
             remaining = int(max_records)
             windows: dict[int, tuple[int, int]] = {}
             for q in sorted(committed):
                 if remaining <= 0:
                     break
-                lo = committed[q]
+                lo = max(committed[q], heads.get(q, 0) - 1)
                 lag = tails.get(q, -1) - lo
                 if lag <= 0:
                     continue

@@ -42,12 +42,21 @@ class RetentionScheduler:
         period_seconds: float = 300.0,
         retention_hours: float | None = None,
         compact_min_files: int | None = None,
+        compact_target_records: int = 1_000_000,
         gate=None,
     ) -> None:
         self.catalog = catalog
         self.period_seconds = period_seconds
         self.retention_hours = retention_hours
         self.compact_min_files = compact_min_files
+        # segment-roll size for sweeper-triggered compactions — the
+        # reference's configurable segment max size
+        # (internal/conf/config.go:320-322). Retention is file-granular
+        # (vacuum drops a file only when its NEWEST record expired), so
+        # this bounds how much not-yet-expired history one rolled
+        # segment can pin: steady-state disk is O(retention window +
+        # one segment per partition), independent of stream age.
+        self.compact_target_records = compact_target_records
         # write side of the engine's compaction gate: vacuum unlinks and
         # compaction's directory swap must not interleave with an
         # in-flight poll's file listing (PolarEngine passes its gate via
@@ -109,7 +118,11 @@ class RetentionScheduler:
                         if n:
                             per_part[dp] = n
                     if per_part and max(per_part.values()) >= self.compact_min_files:
-                        self.catalog.compact(topic, swap_gate=gate)
+                        self.catalog.compact(
+                            topic,
+                            target_records_per_file=self.compact_target_records,
+                            swap_gate=gate,
+                        )
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
         self.removed_files += removed

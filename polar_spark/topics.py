@@ -196,6 +196,40 @@ class TopicCatalog:
             json.dump({str(k): v for k, v in tails.items()}, f)
         os.replace(tmp, self._tails_path(name))
 
+    def _heads_path(self, name: str) -> str:
+        return os.path.join(self.topic_dir(name), "heads.json")
+
+    def heads(self, name: str) -> dict[int, int]:
+        """First RETAINED offset per partition — the Kafka
+        ``logStartOffset`` analog. Absent entries mean 0 (nothing ever
+        expired). Maintained by :meth:`vacuum` after it unlinks expired
+        segments, so a poll can clamp its serve window to the retained
+        log instead of waterfilling through a vacuumed head one empty
+        window at a time (gap/max_records empty polls — O(stream age)
+        for an earliest reader on a year-aged topic)."""
+        try:
+            with open(self._heads_path(name)) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _raise_heads(self, name: str, new: dict[int, int]) -> None:
+        """Monotonic RMW merge (max wins). Crash between unlink and this
+        write leaves heads stale-LOW, which is safe: polls pay a few
+        empty windows, at-least-once is unaffected; the next sweep
+        re-raises. Never lowers — a racing stale writer cannot move the
+        log start backwards."""
+        hp = self._heads_path(name)
+        with self._file_lock(hp + ".lock", f"heads({name})", timeout=30.0):
+            cur = self.heads(name)
+            for q, off in new.items():
+                if off > cur.get(q, 0):
+                    cur[q] = int(off)
+            tmp = hp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({str(k): v for k, v in cur.items()}, f)
+            os.replace(tmp, hp)
+
     def advance_tails(self, name: str, new_tails: dict[int, int]) -> None:
         cur = self.tails(name)
         for p, off in new_tails.items():
@@ -667,6 +701,30 @@ class TopicCatalog:
                         removed += 1
                     except FileNotFoundError:
                         pass  # compacted away since the scan
+            # raise the log start (heads ledger) for every partition the
+            # unlinks touched: first offset still on disk, or tail+1 when
+            # the partition emptied entirely. Runs AFTER the unlinks so a
+            # crash leaves heads stale-low (safe), never ahead of data.
+            touched = {os.path.dirname(p) for p in expired}
+            tails = self.tails(name)
+            new_heads: dict[int, int] = {}
+            for pdir in touched:
+                base = os.path.basename(pdir)
+                if not base.startswith("partition="):
+                    continue
+                q = int(base.split("=", 1)[1])
+                lo = None
+                try:
+                    for fn in os.listdir(pdir):
+                        if fn.endswith(".parquet"):
+                            rng = filename_offset_range(fn)
+                            if rng is not None and (lo is None or rng[0] < lo):
+                                lo = rng[0]
+                except FileNotFoundError:
+                    pass
+                new_heads[q] = lo if lo is not None else tails.get(q, -1) + 1
+            if new_heads:
+                self._raise_heads(name, new_heads)
         return removed
 
 
@@ -979,6 +1037,12 @@ def repartition_topic(
             catalog._save_reservations(name, st)
             meta.num_partitions = new_partitions
             catalog._write_meta(meta)
+            # offsets were rebuilt from zero: the old log-start ledger
+            # would clamp polls past live data — drop it with the gaps
+            try:
+                os.remove(catalog._heads_path(name))
+            except FileNotFoundError:
+                pass
             # group ledgers: reset to earliest for the new layout.
             # Filenames use the percent-encoded <group>__<topic> scheme
             # (consume.ledger_name_enc) so the topic suffix parses

@@ -1,0 +1,183 @@
+"""Longevity: a year of production in miniature.
+
+The reference keeps its store bounded over time by rolling segments at a
+configured max size (internal/conf/config.go:320-322) and deleting whole
+expired segments on the 5-minute cleaner loop
+(internal/data/datalog_cleaner.go:16-41). Our analog: `compact()` rolls
+micro-batch files into offset-sorted segments capped at
+``target_records_per_file``; `vacuum()` drops a file only when its
+NEWEST record is past retention. The law those two must jointly uphold —
+the thing a year of uptime would otherwise find — is that steady-state
+disk is **O(retention window + one rolled segment per partition),
+independent of stream AGE**: a segment stops absorbing new rows once it
+is full (output is offset-sorted and later compactions re-chunk at the
+same cap), so its newest record eventually ages past the window and the
+whole file becomes deletable. If compaction instead merged old rows with
+ever-newer ones without a cap, the newest record would pin the file
+forever and retained data would grow with uptime.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+from polar_spark.produce import Producer
+from polar_spark.retention import RetentionScheduler
+from polar_spark.topics import TopicCatalog
+
+
+def _store_stats(cat: TopicCatalog, topic: str) -> tuple[int, int]:
+    files = 0
+    nbytes = 0
+    for dp, _dn, fns in os.walk(cat.data_dir(topic)):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                files += 1
+                nbytes += os.path.getsize(os.path.join(dp, fn))
+    return files, nbytes
+
+
+def test_longevity_store_size_independent_of_stream_age(spark, tmp_path):
+    """48 logical hours of keyed request-path batches with the retention
+    sweeper (vacuum-then-compact, exactly sweep_once's order) running
+    after every batch: retention window 6 h, segment roll 600 records,
+    4 partitions, 200 records per batch → 9,600 records produced. If
+    retained data grew with age it would approach 9,600; the law bounds
+    it near window (1,200) + pinned segments (≤ 600/partition)."""
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("soak", num_partitions=4)
+    sched = RetentionScheduler(
+        cat,
+        period_seconds=3600.0,  # driven manually via sweep_once
+        retention_hours=6.0,
+        compact_min_files=4,
+        compact_target_records=600,
+    )
+    vals = [f'{{"n": {i}}}' for i in range(200)]
+    now = datetime.now(timezone.utc)
+    base = now - timedelta(hours=48)
+
+    produced = 0
+    steady: list[tuple[int, int, int]] = []  # (retained, files, bytes)
+    for h in range(48):
+        # batch h carries event-time base+(h+1)h; the whole run executes
+        # in wall-seconds, so LOGICAL time must advance via the sweeper's
+        # retention setting: each cycle the cutoff tracks base+(h-4.5)h,
+        # i.e. "now" in the miniature is batch h's timestamp and the
+        # window keeps the last ~6 logical hours — exactly a year-long
+        # deployment's steady state, fast-forwarded
+        import time as _time
+
+        prod.produce_rows(
+            "soak", vals, key=f"k{h % 7}", ts=base + timedelta(hours=h + 1)
+        )
+        produced += len(vals)
+        cutoff_ts = (base + timedelta(hours=h - 4.5)).timestamp()
+        sched.retention_hours = (_time.time() - cutoff_ts) / 3600.0
+        sched.sweep_once()
+        if h >= 16:  # past warm-up: the window is saturated
+            retained = cat.read("soak").count()
+            files, nbytes = _store_stats(cat, "soak")
+            steady.append((retained, files, nbytes))
+
+    # 1) bounded, not O(age): window holds 6 batches (1,200 rows); each
+    # of 4 partitions may pin at most one rolled segment (≤600 rows) plus
+    # sub-file granularity slop. produced=9,600 — an age-proportional
+    # store would blow straight through this bound by mid-run.
+    bound = 1200 + 4 * 600 + 400
+    worst = max(r for r, _f, _b in steady)
+    assert worst <= bound, (worst, bound, steady[-5:])
+
+    # 2) no growth trend across steady state: the max over the last
+    # third exceeds the max over the first third only within one batch
+    # of slop (file-granular expiry wobbles batch-sized, never trends)
+    third = len(steady) // 3
+    early = max(r for r, _f, _b in steady[:third])
+    late = max(r for r, _f, _b in steady[-third:])
+    assert late <= early + 200, (early, late)
+
+    # 3) file count / bytes bounded too (compaction keeps fragmentation
+    # flat; bytes follow rows)
+    assert max(f for _r, f, _b in steady) <= 4 * 4 + 8
+    bytes_early = max(b for _r, _f, b in steady[:third])
+    bytes_late = max(b for _r, _f, b in steady[-third:])
+    assert bytes_late <= bytes_early * 2, (bytes_early, bytes_late)
+
+    # 4) offsets survive a lifetime of sweeps: tails advanced to exactly
+    # the produced count (vacuum/compact never touch ledgers)...
+    tails = cat.tails("soak")
+    assert sum(t + 1 for t in tails.values()) == produced
+
+    # ...and a fresh earliest-consumer drains exactly the retained rows,
+    # each offset once, despite 40+ directory swaps and file deletions
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    g = ConsumerGroup(cat, "soak_reader")
+    g.register("soak", EARLIEST)
+    seen: set[tuple[int, int]] = set()
+    drained = 0
+    while True:
+        res = g.poll("soak", max_records=1000)
+        n = 0
+        for it in res.items():
+            for i in range(len(it["records"])):
+                key = (it["partition"], it["startOffset"] + i)
+                assert key not in seen
+                seen.add(key)
+                n += 1
+        g.commit("soak", res.positions)
+        res.release()
+        if n == 0:
+            break
+        drained += n
+    assert drained == cat.read("soak").count()
+
+
+def test_poll_jumps_vacuumed_head_in_one_poll(spark, tmp_path):
+    """The log-start clamp (Kafka logStartOffset analog): a consumer
+    whose position is behind a vacuumed head reaches the retained data
+    on its FIRST poll — not after gap/max_records empty polls — and the
+    heads ledger is monotone and reset by repartition."""
+    from datetime import datetime, timedelta, timezone
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    now = datetime.now(timezone.utc)
+    # 5,000 old records then 100 fresh ones, all on one key → partition
+    for b in range(10):
+        prod.produce_rows(
+            "t", [f'"old{b}_{i}"' for i in range(500)], key="k1",
+            ts=now - timedelta(hours=30),
+        )
+    prod.produce_rows("t", [f'"new{i}"' for i in range(100)], key="k1", ts=now)
+    assert cat.vacuum("t", retention_hours=6.0) == 10
+    heads = cat.heads("t")
+    q = next(iter(heads))
+    assert heads[q] == 5000  # first retained offset
+
+    g = ConsumerGroup(cat, "g")
+    g.register("t", EARLIEST)
+    res = g.poll("t", max_records=50)  # window ≪ gap: the clamp must jump
+    assert sum(len(it["records"]) for it in res.items()) == 50
+    assert res.positions[q] == 5049  # landed inside the retained log
+    res.release()
+
+    # monotone: a stale writer cannot move the log start backwards
+    cat._raise_heads("t", {q: 10})
+    assert cat.heads("t")[q] == 5000
+
+    # repartition rebuilds offsets from zero → ledger is dropped
+    from polar_spark.topics import repartition_topic
+
+    repartition_topic(cat, "t", 4)
+    assert cat.heads("t") == {}
+    g2 = ConsumerGroup(cat, "g2")
+    g2.register("t", EARLIEST)
+    res2 = g2.poll("t", max_records=200)
+    assert sum(len(it["records"]) for it in res2.items()) == 100
+    res2.release()
