@@ -304,6 +304,7 @@ class PolarEngine:
         retention_hours: float | None = None,
         compact_min_files: int | None = 16,
         compact_target_records: int = 1_000_000,
+        offsets_retention_hours: float | None = None,
     ):
         """Run the background retention loop for this engine's catalog
         (reference: 5-minute datalog cleaner, internal/data/
@@ -319,9 +320,10 @@ class PolarEngine:
             cur = self._retention
             if cur is not None:
                 asked = (period_seconds, retention_hours, compact_min_files,
-                         compact_target_records)
+                         compact_target_records, offsets_retention_hours)
                 have = (cur.period_seconds, cur.retention_hours,
-                        cur.compact_min_files, cur.compact_target_records)
+                        cur.compact_min_files, cur.compact_target_records,
+                        cur.offsets_retention_hours)
                 if asked != have:
                     raise ValueError(
                         f"retention loop already running with {have}; call "
@@ -334,6 +336,7 @@ class PolarEngine:
                 retention_hours=retention_hours,
                 compact_min_files=compact_min_files,
                 compact_target_records=compact_target_records,
+                offsets_retention_hours=offsets_retention_hours,
                 gate=self.compaction_gate,
             ).start()
             return self._retention

@@ -43,6 +43,7 @@ class RetentionScheduler:
         retention_hours: float | None = None,
         compact_min_files: int | None = None,
         compact_target_records: int = 1_000_000,
+        offsets_retention_hours: float | None = None,
         gate=None,
     ) -> None:
         self.catalog = catalog
@@ -57,6 +58,15 @@ class RetentionScheduler:
         # segment can pin: steady-state disk is O(retention window +
         # one segment per partition), independent of stream age.
         self.compact_target_records = compact_target_records
+        # Kafka's offsets.retention.minutes analog: group offset ledgers
+        # whose last commit is older than this are deleted, so a year of
+        # ephemeral (UUID-named) groups cannot grow the groups/ dir
+        # without bound. None (default) keeps ledgers forever — the
+        # current "re-registered group resumes" contract is unchanged
+        # unless the operator opts in. An expired group that returns
+        # must re-register and restarts from its reset policy, exactly
+        # Kafka's post-expiry semantics.
+        self.offsets_retention_hours = offsets_retention_hours
         # write side of the engine's compaction gate: vacuum unlinks and
         # compaction's directory swap must not interleave with an
         # in-flight poll's file listing (PolarEngine passes its gate via
@@ -125,8 +135,48 @@ class RetentionScheduler:
                         )
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
+        if self.offsets_retention_hours is not None:
+            removed += self._sweep_group_offsets()
         self.removed_files += removed
         self.cycles += 1
+        return removed
+
+    def _sweep_group_offsets(self) -> int:
+        """Delete group offset ledgers idle past offsets_retention_hours.
+
+        A ledger's mtime is its last commit/register (every write is an
+        atomic replace). Deletion happens under the SAME flock commit()
+        takes, with the mtime re-checked inside, so a just-now commit is
+        never lost: either it lands first (mtime fresh → skipped) or it
+        waits on the flock, revalidates the lock inode (_file_lock), and
+        recreates the ledger via its own register path. The lock file is
+        removed too — safe since _file_lock revalidates inodes — so the
+        GC leaves NOTHING behind per expired group."""
+        import contextlib
+        import time as _time
+
+        gdir = os.path.join(self.catalog.root, "groups")
+        cutoff = _time.time() - self.offsets_retention_hours * 3600.0
+        removed = 0
+        try:
+            entries = [fn for fn in os.listdir(gdir) if fn.endswith(".json")]
+        except FileNotFoundError:
+            return 0
+        for fn in entries:
+            p = os.path.join(gdir, fn)
+            try:
+                if os.path.getmtime(p) >= cutoff:
+                    continue
+                with self.catalog._file_lock(
+                    p + ".lock", f"offsets-gc({fn})", timeout=5.0
+                ):
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+                        with contextlib.suppress(OSError):
+                            os.remove(p + ".lock")
+            except (FileNotFoundError, TimeoutError):
+                continue  # committed/vanished meanwhile — next sweep
         return removed
 
     def _run(self) -> None:

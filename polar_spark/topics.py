@@ -255,20 +255,41 @@ class TopicCatalog:
         import fcntl
 
         deadline = time.time() + timeout
-        fd = os.open(path, os.O_CREAT | os.O_WRONLY)
+        fd = -1
         acquired = False
         try:
             while True:
+                fd = os.open(path, os.O_CREAT | os.O_WRONLY)
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    acquired = True
-                    break
                 except OSError:
+                    os.close(fd)
+                    fd = -1
                     if time.time() > deadline:
                         raise TimeoutError(
                             f"{what} lock {path!r} not released"
                         ) from None
                     time.sleep(0.05)
+                    continue
+                # revalidate: a GC (e.g. the offsets-retention sweep) may
+                # have unlinked the lock file while we waited on its old
+                # inode — holding a lock on an unlinked inode excludes
+                # nobody who opens the path fresh. Only an flock on the
+                # inode the PATH currently names counts; otherwise retry.
+                try:
+                    if os.stat(path).st_ino == os.fstat(fd).st_ino:
+                        acquired = True
+                        break
+                except FileNotFoundError:
+                    pass
+                with contextlib.suppress(OSError):
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+                fd = -1
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"{what} lock {path!r} kept vanishing"
+                    ) from None
             with contextlib.suppress(OSError):
                 os.ftruncate(fd, 0)
                 os.write(fd, f"{os.getpid()}:{time.time_ns()}".encode())
@@ -277,7 +298,8 @@ class TopicCatalog:
             if acquired:
                 with contextlib.suppress(OSError):
                     fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
+            if fd >= 0:
+                os.close(fd)
 
     def produce_lock(self, name: str, timeout: float = 30.0):
         """Exclusive produce-coordination lock for one topic.

@@ -181,3 +181,60 @@ def test_poll_jumps_vacuumed_head_in_one_poll(spark, tmp_path):
     res2 = g2.poll("t", max_records=200)
     assert sum(len(it["records"]) for it in res2.items()) == 100
     res2.release()
+
+
+def test_offsets_retention_gc_expired_group_ledgers(spark, tmp_path):
+    """Kafka offsets.retention analog: ledgers of long-idle groups are
+    deleted by the sweeper (opt-in), active groups survive, and an
+    expired group that returns must re-register and restarts from its
+    reset policy. The GC runs under the same flock commit() takes and
+    removes the lock file too (safe: _file_lock revalidates inodes)."""
+    import os
+    import time
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    prod.produce_rows("t", [f'"v{i}"' for i in range(50)], key="k")
+
+    stale = ConsumerGroup(cat, "ephemeral_job_42")
+    stale.register("t", EARLIEST)
+    live = ConsumerGroup(cat, "dashboard")
+    live.register("t", EARLIEST)
+
+    gdir = os.path.join(str(tmp_path), "groups")
+    n_json = lambda: sum(1 for f in os.listdir(gdir) if f.endswith(".json"))
+    assert n_json() == 2
+    # age the stale group's ledger a simulated week; keep the live fresh
+    old = time.time() - 8 * 24 * 3600
+    os.utime(stale._ledger_path("t"), (old, old))
+
+    sched = RetentionScheduler(
+        cat, period_seconds=3600.0, offsets_retention_hours=7 * 24.0
+    )
+    assert sched.sweep_once() == 1
+    assert n_json() == 1
+    assert not os.path.exists(stale._ledger_path("t") + ".lock")
+
+    # the live group is untouched and keeps committing
+    res = live.poll("t", max_records=10)
+    live.commit("t", res.positions)
+    res.release()
+
+    # the expired group is gone: commit/poll demand re-registration...
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not registered"):
+        stale.poll("t", max_records=10)
+    # ...and re-registering restarts from the reset policy (earliest)
+    stale.register("t", EARLIEST)
+    res = stale.poll("t", max_records=50)
+    assert sum(len(it["records"]) for it in res.items()) == 50
+    res.release()
+
+    # default (None) keeps ledgers forever — the r7 resume contract
+    os.utime(live._ledger_path("t"), (old, old))
+    assert RetentionScheduler(cat, period_seconds=3600.0).sweep_once() == 0
+    assert n_json() == 2
