@@ -238,3 +238,60 @@ def test_offsets_retention_gc_expired_group_ledgers(spark, tmp_path):
     os.utime(live._ledger_path("t"), (old, old))
     assert RetentionScheduler(cat, period_seconds=3600.0).sweep_once() == 0
     assert n_json() == 2
+
+
+def test_stale_low_heads_after_vacuum_crash_still_drains(spark, tmp_path):
+    """Crash-state law: vacuum dying BETWEEN its unlinks and the heads
+    write leaves the ledger stale-low. Polls must then fall back to
+    waterfilling empty windows through the gap — slower, never wrong:
+    the consumer still drains exactly the retained multiset, and the
+    next completed vacuum re-raises the ledger."""
+    from datetime import datetime, timedelta, timezone
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    now = datetime.now(timezone.utc)
+    for b in range(4):
+        prod.produce_rows(
+            "t", [f'"old{b}_{i}"' for i in range(250)], key="k1",
+            ts=now - timedelta(hours=30),
+        )
+    prod.produce_rows("t", [f'"new{i}"' for i in range(80)], key="k1", ts=now)
+
+    # simulate the torn vacuum: unlink expired files by hand, write no heads
+    from polar_spark.topics import filename_offset_range
+
+    removed = 0
+    for dp, _dn, fns in os.walk(cat.data_dir("t")):
+        for fn in fns:
+            rng = filename_offset_range(fn)
+            if fn.endswith(".parquet") and rng and rng[1] < 1000:
+                os.remove(os.path.join(dp, fn))
+                removed += 1
+    assert removed == 4 and cat.heads("t") == {}
+
+    g = ConsumerGroup(cat, "g")
+    g.register("t", EARLIEST)
+    drained, polls = 0, 0
+    while True:
+        res = g.poll("t", max_records=100)
+        n = sum(len(it["records"]) for it in res.items())
+        g.commit("t", res.positions)
+        res.release()
+        polls += 1
+        assert polls < 50
+        if n == 0 and drained > 0:
+            break
+        drained += n
+    assert drained == 80  # every retained record, none lost, none doubled
+
+    # a completed vacuum afterwards raises the ledger for future readers
+    assert cat.vacuum("t", retention_hours=6.0) == 0  # nothing left to unlink
+    # (no-op unlink → no heads update; produce+expire one more file to
+    # exercise the repair path end-to-end)
+    prod.produce_rows("t", ['"x"'], key="k1", ts=now - timedelta(hours=30))
+    assert cat.vacuum("t", retention_hours=6.0) == 1
+    assert cat.heads("t")[next(iter(cat.heads("t")))] >= 1000
