@@ -38,6 +38,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     "consume_reset_latest",  # r10 poll path changed
     "ingest_partition_offset",  # r10 register warm-start touches the consume flow
     "dedup_redelivered_events",  # r10 poll path changed
+    "consume_log_start_jump",  # NEW r10 — log-start clamp law (heads ledger)
     "q9_profit_by_nation",  # oracle rewritten r9; missed by the r9 sample window
     "q10_returned_items",  # oracle rewritten r9; missed by the r9 sample window
     "q14_promo_revenue",  # oracle rewritten r9; missed by the r9 sample window

@@ -134,6 +134,46 @@ def consume_seek_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "consume_log_start_jump",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, ts, {_PART_DUCK} AS partition,
+    ROW_NUMBER() OVER (PARTITION BY {_PART_DUCK} ORDER BY ts, event_id) - 1 AS offset
+  FROM events
+), heads AS (
+  SELECT partition, MIN("offset") AS head FROM t
+  WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY partition
+)
+SELECT t.event_id, t.partition, t."offset"
+FROM t JOIN heads USING (partition)
+WHERE t."offset" >= heads.head AND t."offset" < heads.head + 50
+""",
+)
+def consume_log_start_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-start clamp law (r10; Kafka logStartOffset analog, engine
+    implementation TopicCatalog.heads + the poll waterfill clamp,
+    pytest-driven against real vacuumed topics in test_longevity.py):
+    after retention expired every record before T, a fresh earliest
+    consumer's FIRST poll with a 50-record-per-partition budget serves
+    offsets [head, head+50) where head is the partition's first retained
+    offset — one poll, not gap/max_records empty windows. Offsets are
+    ts-ordered per partition, so the declarative head is the min offset
+    with ts >= T."""
+    df = _with_partition_offset(spark, sf_dir)
+    whead = Window.partitionBy("partition")
+    head = F.min(
+        F.when(
+            F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), F.col("offset")
+        )
+    ).over(whead)
+    return (
+        df.withColumn("_h", head)
+        .filter((F.col("offset") >= F.col("_h")) & (F.col("offset") < F.col("_h") + 50))
+        .select("event_id", "partition", "offset")
+    )
+
+
+@query(
     "json_payload_extract",
     oracle="""
 SELECT event_type,
