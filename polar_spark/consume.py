@@ -24,6 +24,7 @@ arrival order within a partition.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -401,6 +402,12 @@ class ConsumerGroup:
         path = self._ledger_path(topic)
         if os.path.exists(path):
             committed = self.committed(topic)
+            # registration is a liveness signal: the offsets-retention
+            # GC expires ledgers by mtime (last commit OR register), so
+            # a returning group that registers and then polls without
+            # committing for a while must not be reaped mid-session
+            with contextlib.suppress(OSError):
+                os.utime(path, None)
             self._warm_start(topic, committed)
             return committed
         # serialize ledger creation: two consumers registering the same
@@ -608,7 +615,14 @@ class ConsumerGroup:
                 # windows are deterministic, including the jump to the
                 # next lagging partition when one drains, so their files
                 # can warm in the background off the latency path
-                sim = dict(committed)
+                # seed from CLAMPED positions: a partition this poll's
+                # budget skipped would otherwise simulate ahead-windows
+                # over a vacuumed gap — warming nothing while the real
+                # next-poll windows go unwarmed
+                sim = {
+                    q: max(off, heads.get(q, 0) - 1)
+                    for q, off in committed.items()
+                }
                 for q, (_lo, hi) in windows.items():
                     sim[q] = hi
                 ahead: dict[int, tuple[int, int]] = {}

@@ -136,7 +136,10 @@ class RetentionScheduler:
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
         if self.offsets_retention_hours is not None:
-            removed += self._sweep_group_offsets()
+            try:
+                removed += self._sweep_group_offsets()
+            except Exception:  # noqa: BLE001 — sweep_once never raises
+                pass
         self.removed_files += removed
         self.cycles += 1
         return removed
@@ -144,12 +147,15 @@ class RetentionScheduler:
     def _sweep_group_offsets(self) -> int:
         """Delete group offset ledgers idle past offsets_retention_hours.
 
-        A ledger's mtime is its last commit/register (every write is an
-        atomic replace). Deletion happens under the SAME flock commit()
-        takes, with the mtime re-checked inside, so a just-now commit is
-        never lost: either it lands first (mtime fresh → skipped) or it
-        waits on the flock, revalidates the lock inode (_file_lock), and
-        recreates the ledger via its own register path. The lock file is
+        A ledger's mtime is its last commit OR register (commit's atomic
+        replace refreshes it; register() utimes an existing ledger so a
+        returning group is live from the moment it re-attaches). Deletion
+        happens under the SAME flock commit() takes, with the mtime
+        re-checked inside, so a just-now commit is never lost: either it
+        lands first (mtime fresh → skipped) or it waits on the flock,
+        revalidates the lock inode (_file_lock), and then fails with
+        "not registered" — the group re-registers and restarts from its
+        reset policy, Kafka's post-expiry semantics. The lock file is
         removed too — safe since _file_lock revalidates inodes — so the
         GC leaves NOTHING behind per expired group."""
         import contextlib
@@ -175,8 +181,12 @@ class RetentionScheduler:
                         removed += 1
                         with contextlib.suppress(OSError):
                             os.remove(p + ".lock")
-            except (FileNotFoundError, TimeoutError):
-                continue  # committed/vanished meanwhile — next sweep
+            except (OSError, TimeoutError):
+                # committed/vanished meanwhile, or a transient FS error
+                # (permissions, NFS hiccup): skip — next sweep retries.
+                # OSError covers FileNotFoundError/PermissionError; the
+                # daemon loop must survive any single entry.
+                continue
         return removed
 
     def _run(self) -> None:

@@ -727,27 +727,80 @@ class TopicCatalog:
             # unlinks touched: first offset still on disk, or tail+1 when
             # the partition emptied entirely. Runs AFTER the unlinks so a
             # crash leaves heads stale-low (safe), never ahead of data.
+            # Under the produce lock: repartition_topic holds it across
+            # its swap + heads reset, so a slow vacuum cannot resurrect
+            # an old-layout head over the rebuilt zero-based offsets.
             touched = {os.path.dirname(p) for p in expired}
-            tails = self.tails(name)
-            new_heads: dict[int, int] = {}
-            for pdir in touched:
-                base = os.path.basename(pdir)
-                if not base.startswith("partition="):
-                    continue
-                q = int(base.split("=", 1)[1])
-                lo = None
-                try:
-                    for fn in os.listdir(pdir):
-                        if fn.endswith(".parquet"):
+            with self.produce_lock(name):
+                tails = self.tails(name)
+                new_heads: dict[int, int] = {}
+                for pdir in touched:
+                    base = os.path.basename(pdir)
+                    if not base.startswith("partition="):
+                        continue
+                    q = int(base.split("=", 1)[1])
+                    lo = None
+                    saw_file = False
+                    unknown = False
+                    try:
+                        for fn in os.listdir(pdir):
+                            if not fn.endswith(".parquet"):
+                                continue
+                            saw_file = True
                             rng = filename_offset_range(fn)
-                            if rng is not None and (lo is None or rng[0] < lo):
-                                lo = rng[0]
-                except FileNotFoundError:
-                    pass
-                new_heads[q] = lo if lo is not None else tails.get(q, -1) + 1
-            if new_heads:
-                self._raise_heads(name, new_heads)
+                            fmin = (
+                                rng[0]
+                                if rng is not None
+                                # unstamped name (offset stats were absent
+                                # at validation): read the footer min
+                                else self._file_min_offset(
+                                    os.path.join(pdir, fn)
+                                )
+                            )
+                            if fmin is None:
+                                # offset range unknowable without a data
+                                # read: leave this partition's head alone —
+                                # stale-low is safe, a raised-past-live-data
+                                # head would silently skip retained records
+                                unknown = True
+                                break
+                            if lo is None or fmin < lo:
+                                lo = fmin
+                    except FileNotFoundError:
+                        # dir swapped by a concurrent compact mid-listing:
+                        # skip — the next sweep recomputes over the new dir
+                        # (head=tail+1 here would clamp past live data)
+                        continue
+                    if unknown:
+                        continue
+                    # saw_file implies lo is set here (every stamped or
+                    # footer-read file yielded a min, else `unknown`)
+                    new_heads[q] = lo if saw_file else tails.get(q, -1) + 1
+                if new_heads:
+                    self._raise_heads(name, new_heads)
         return removed
+
+    @staticmethod
+    def _file_min_offset(path: str) -> int | None:
+        """Min ``offset`` across a parquet file's row-group statistics
+        (None when stats are unavailable). Footer-only read."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("offset")
+            if idx < 0:
+                return None
+            best = None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                if best is None or stats.min < best:
+                    best = stats.min
+            return int(best) if best is not None else None
+        except Exception:  # noqa: BLE001 — advisory; caller skips
+            return None
 
 
     def compact(

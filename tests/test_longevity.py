@@ -295,3 +295,112 @@ def test_stale_low_heads_after_vacuum_crash_still_drains(spark, tmp_path):
     prod.produce_rows("t", ['"x"'], key="k1", ts=now - timedelta(hours=30))
     assert cat.vacuum("t", retention_hours=6.0) == 1
     assert cat.heads("t")[next(iter(cat.heads("t")))] >= 1000
+
+
+def test_heads_with_unstamped_file_uses_footer_min(spark, tmp_path):
+    """An unstamped segment (foreign writer / pre-stamp crash) holding
+    the LOWEST retained offsets must anchor the head via its footer min
+    — a name-only scan would raise the head past live records and the
+    monotone ledger would make the skip permanent."""
+    from datetime import datetime, timedelta, timezone
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    now = datetime.now(timezone.utc)
+    prod.produce_rows("t", [f'"old{i}"' for i in range(100)], key="k1",
+                      ts=now - timedelta(hours=30))
+    prod.produce_rows("t", [f'"mid{i}"' for i in range(100)], key="k1", ts=now)
+    prod.produce_rows("t", [f'"new{i}"' for i in range(100)], key="k1", ts=now)
+
+    # strip the offset stamp from the MIDDLE file (offsets 100-199)
+    stripped = 0
+    for dp, _dn, fns in os.walk(cat.data_dir("t")):
+        for fn in fns:
+            from polar_spark.topics import filename_offset_range
+
+            rng = filename_offset_range(fn)
+            if rng and rng[0] == 100:
+                os.rename(os.path.join(dp, fn),
+                          os.path.join(dp, fn.split("-", 3)[3]))
+                stripped += 1
+    assert stripped == 1
+    assert cat.vacuum("t", retention_hours=6.0) == 1  # only the old file
+    q = next(iter(cat.heads("t")))
+    assert cat.heads("t")[q] == 100  # footer min of the unstamped file
+
+    g = ConsumerGroup(cat, "g")
+    g.register("t", EARLIEST)
+    drained = 0
+    while True:
+        res = g.poll("t", max_records=100)
+        n = sum(len(it["records"]) for it in res.items())
+        g.commit("t", res.positions)
+        res.release()
+        if n == 0:
+            break
+        drained += n
+    assert drained == 200  # mid + new, nothing skipped
+
+
+def test_register_refreshes_ledger_mtime_against_gc(spark, tmp_path):
+    """A returning group's register() is a liveness signal: it must
+    refresh the ledger mtime so the offsets GC cannot reap an actively
+    re-attached (but not-yet-committing) group mid-session."""
+    import time
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    prod.produce_rows("t", ['"x"'] * 20, key="k")
+    g = ConsumerGroup(cat, "weekly_job")
+    g.register("t", EARLIEST)
+    old = time.time() - 8 * 24 * 3600
+    os.utime(g._ledger_path("t"), (old, old))
+
+    # the group returns: registers (no commit yet), then the GC sweeps
+    g2 = ConsumerGroup(cat, "weekly_job")
+    g2.register("t", EARLIEST)
+    sched = RetentionScheduler(
+        cat, period_seconds=3600.0, offsets_retention_hours=7 * 24.0
+    )
+    assert sched.sweep_once() == 0  # mtime refreshed → not expired
+    res = g2.poll("t", max_records=50)  # still registered, still serving
+    assert sum(len(it["records"]) for it in res.items()) == 20
+    res.release()
+
+
+def test_offsets_gc_survives_filesystem_errors(spark, tmp_path, monkeypatch):
+    """sweep_once's 'never raises' contract extends to the offsets GC:
+    a PermissionError from the unlink must not kill the daemon loop."""
+    import time
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    prod.produce_rows("t", ['"x"'] * 5, key="k")
+    g = ConsumerGroup(cat, "stuck")
+    g.register("t", EARLIEST)
+    old = time.time() - 8 * 24 * 3600
+    os.utime(g._ledger_path("t"), (old, old))
+
+    real_remove = os.remove
+
+    def deny_json(path, *a, **kw):
+        if path.endswith(".json") and "groups" in path:
+            raise PermissionError(path)
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(os, "remove", deny_json)
+    sched = RetentionScheduler(
+        cat, period_seconds=3600.0, offsets_retention_hours=7 * 24.0
+    )
+    assert sched.sweep_once() == 0  # swallowed, loop alive
+    monkeypatch.undo()
+    assert sched.sweep_once() == 1  # next sweep succeeds
