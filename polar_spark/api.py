@@ -338,6 +338,7 @@ class PolarEngine:
                 compact_target_records=compact_target_records,
                 offsets_retention_hours=offsets_retention_hours,
                 gate=self.compaction_gate,
+                metrics=self.metrics,
             ).start()
             return self._retention
 

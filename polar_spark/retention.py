@@ -45,6 +45,7 @@ class RetentionScheduler:
         compact_target_records: int = 1_000_000,
         offsets_retention_hours: float | None = None,
         gate=None,
+        metrics=None,
     ) -> None:
         self.catalog = catalog
         self.period_seconds = period_seconds
@@ -67,6 +68,10 @@ class RetentionScheduler:
         # must re-register and restarts from its reset policy, exactly
         # Kafka's post-expiry semantics.
         self.offsets_retention_hours = offsets_retention_hours
+        # optional polar_spark.metrics.Metrics: a production cleaner must
+        # be observable (the reference scrapes its broker loops through
+        # the same /metrics endpoint this feeds)
+        self.metrics = metrics
         # write side of the engine's compaction gate: vacuum unlinks and
         # compaction's directory swap must not interleave with an
         # in-flight poll's file listing (PolarEngine passes its gate via
@@ -108,6 +113,7 @@ class RetentionScheduler:
         is skipped this cycle, like the reference's per-segment error
         handling keeps its cleaner loop alive."""
         removed = 0
+        compactions = 0
         gate = self.gate.write if self.gate is not None else None
         for topic in self.catalog.list_topics():
             try:
@@ -133,15 +139,33 @@ class RetentionScheduler:
                             target_records_per_file=self.compact_target_records,
                             swap_gate=gate,
                         )
+                        compactions += 1
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
+        expired_ledgers = 0
         if self.offsets_retention_hours is not None:
             try:
-                removed += self._sweep_group_offsets()
+                expired_ledgers = self._sweep_group_offsets()
+                removed += expired_ledgers
             except Exception:  # noqa: BLE001 — sweep_once never raises
                 pass
         self.removed_files += removed
         self.cycles += 1
+        if self.metrics is not None:
+            self.metrics.inc("polar_retention_sweeps_total")
+            if removed - expired_ledgers:
+                self.metrics.inc(
+                    "polar_retention_files_removed_total",
+                    v=removed - expired_ledgers,
+                )
+            if compactions:
+                self.metrics.inc(
+                    "polar_retention_compactions_total", v=compactions
+                )
+            if expired_ledgers:
+                self.metrics.inc(
+                    "polar_offsets_ledgers_expired_total", v=expired_ledgers
+                )
         return removed
 
     def _sweep_group_offsets(self) -> int:

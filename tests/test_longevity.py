@@ -404,3 +404,45 @@ def test_offsets_gc_survives_filesystem_errors(spark, tmp_path, monkeypatch):
     assert sched.sweep_once() == 0  # swallowed, loop alive
     monkeypatch.undo()
     assert sched.sweep_once() == 1  # next sweep succeeds
+
+
+def test_retention_metrics_observable(spark, tmp_path):
+    """The cleaner loop is scrapeable: sweeps, files removed, sweeper
+    compactions and expired offset ledgers land in the engine's Metrics
+    registry (served at GET /metrics — reference exposes its broker
+    loops the same way, internal/metrics/metrics.go:13-71)."""
+    import time
+
+    from datetime import datetime, timedelta, timezone
+
+    from polar_spark.api import PolarEngine
+
+    eng = PolarEngine(spark, str(tmp_path), num_partitions=2)
+    now = datetime.now(timezone.utc)
+    old_ts = now - timedelta(hours=30)
+    eng.producer.produce_rows("t", ['"x"'] * 50, key="k", ts=old_ts)
+    eng.producer.produce_rows("t", ['"y"'] * 50, key="k", ts=now)
+    eng.register("c1", "dead_group", ["t"], on_new_group="startFromEarliest")
+    eng.goodbye("c1")
+    from polar_spark.consume import ledger_name_enc
+
+    gdir = os.path.join(str(tmp_path), "groups")
+    aged = time.time() - 8 * 24 * 3600
+    for fn in os.listdir(gdir):
+        if fn.startswith(ledger_name_enc("dead_group")) and fn.endswith(".json"):
+            os.utime(os.path.join(gdir, fn), (aged, aged))
+
+    sched = eng.start_retention(
+        period_seconds=3600.0,
+        retention_hours=6.0,
+        compact_min_files=None,
+        offsets_retention_hours=7 * 24.0,
+    )
+    sched.sweep_once()
+    eng.stop_retention()
+
+    assert eng.metrics.get("polar_retention_sweeps_total") >= 1
+    assert eng.metrics.get("polar_retention_files_removed_total") >= 1
+    assert eng.metrics.get("polar_offsets_ledgers_expired_total") == 1
+    text = eng.metrics.render()
+    assert "polar_retention_sweeps_total" in text
