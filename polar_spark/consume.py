@@ -400,21 +400,22 @@ class ConsumerGroup:
         tails (read only what arrives after registration)."""
         self.catalog.ensure_topic(topic)
         path = self._ledger_path(topic)
-        if os.path.exists(path):
-            committed = self.committed(topic)
-            # registration is a liveness signal: the offsets-retention
-            # GC expires ledgers by mtime (last commit OR register), so
-            # a returning group that registers and then polls without
-            # committing for a while must not be reaped mid-session
-            with contextlib.suppress(OSError):
-                os.utime(path, None)
-            self._warm_start(topic, committed)
-            return committed
-        # serialize ledger creation: two consumers registering the same
-        # (group, topic) concurrently must initialize it exactly once
+        # one flock block for both branches — the same lock commit() and
+        # the offsets-retention GC take. Serializes ledger creation (two
+        # consumers registering the same (group, topic) initialize it
+        # exactly once) AND makes re-registration atomic vs the GC: the
+        # liveness utime happens where the GC's second mtime check can
+        # see it, and a ledger the GC unlinked while we waited simply
+        # falls through to fresh creation under the reset policy.
         with self.catalog._file_lock(path + ".lock", f"group({self.group})", 30.0):
             if os.path.exists(path):
                 committed = self.committed(topic)
+                # registration is a liveness signal: the offsets GC
+                # expires ledgers by mtime (last commit OR register), so
+                # a returning group that registers and then polls without
+                # committing for a while must not be reaped mid-session
+                with contextlib.suppress(OSError):
+                    os.utime(path, None)
             else:
                 tails = self.catalog.tails(topic)
                 if on_new_group == LATEST:
@@ -595,12 +596,16 @@ class ConsumerGroup:
             # heads (crash between unlink and ledger write) only cost
             # extra empty windows; positions still only move forward.
             heads = self.catalog.heads(topic)
+            clamped = {
+                q: max(off, heads.get(q, 0) - 1)
+                for q, off in committed.items()
+            }
             remaining = int(max_records)
             windows: dict[int, tuple[int, int]] = {}
-            for q in sorted(committed):
+            for q in sorted(clamped):
                 if remaining <= 0:
                     break
-                lo = max(committed[q], heads.get(q, 0) - 1)
+                lo = clamped[q]
                 lag = tails.get(q, -1) - lo
                 if lag <= 0:
                     continue
@@ -615,14 +620,12 @@ class ConsumerGroup:
                 # windows are deterministic, including the jump to the
                 # next lagging partition when one drains, so their files
                 # can warm in the background off the latency path
-                # seed from CLAMPED positions: a partition this poll's
-                # budget skipped would otherwise simulate ahead-windows
-                # over a vacuumed gap — warming nothing while the real
-                # next-poll windows go unwarmed
-                sim = {
-                    q: max(off, heads.get(q, 0) - 1)
-                    for q, off in committed.items()
-                }
+                # seed from the same CLAMPED positions the waterfill
+                # used: a partition this poll's budget skipped would
+                # otherwise simulate ahead-windows over a vacuumed gap —
+                # warming nothing while the real next-poll windows go
+                # unwarmed
+                sim = dict(clamped)
                 for q, (_lo, hi) in windows.items():
                     sim[q] = hi
                 ahead: dict[int, tuple[int, int]] = {}

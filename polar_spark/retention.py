@@ -70,8 +70,20 @@ class RetentionScheduler:
         self.offsets_retention_hours = offsets_retention_hours
         # optional polar_spark.metrics.Metrics: a production cleaner must
         # be observable (the reference scrapes its broker loops through
-        # the same /metrics endpoint this feeds)
+        # the same /metrics endpoint this feeds). Counters pre-register
+        # at 0 (Prometheus convention) so a healthy deployment that has
+        # not removed anything yet still exports every series — absent-
+        # metric alerts must distinguish "nothing expired" from "never
+        # wired".
         self.metrics = metrics
+        if metrics is not None:
+            for name in (
+                "polar_retention_sweeps_total",
+                "polar_retention_files_removed_total",
+                "polar_retention_compactions_total",
+                "polar_offsets_ledgers_expired_total",
+            ):
+                metrics.inc(name, v=0.0)
         # write side of the engine's compaction gate: vacuum unlinks and
         # compaction's directory swap must not interleave with an
         # in-flight poll's file listing (PolarEngine passes its gate via
@@ -205,11 +217,35 @@ class RetentionScheduler:
                         removed += 1
                         with contextlib.suppress(OSError):
                             os.remove(p + ".lock")
-            except (OSError, TimeoutError):
+            except OSError:
                 # committed/vanished meanwhile, or a transient FS error
-                # (permissions, NFS hiccup): skip — next sweep retries.
-                # OSError covers FileNotFoundError/PermissionError; the
-                # daemon loop must survive any single entry.
+                # (permissions, NFS hiccup) — OSError also covers the
+                # TimeoutError a held flock raises: skip, next sweep
+                # retries. The daemon loop must survive any single entry.
+                continue
+        # orphan lock files: a straggler commit()/register() that was
+        # waiting on a GC'd ledger's lock recreates the lock file via its
+        # own O_CREAT open, then fails with "not registered" and never
+        # cleans it up — without this pass a year of racing ephemeral
+        # groups re-grows groups/ with 0-byte locks. Only locks whose
+        # .json sibling is ABSENT and whose own mtime is past the cutoff
+        # are touched (a held flock rewrites pid:ts into the file, so an
+        # in-flight creation's lock is always fresh).
+        try:
+            locks = [fn for fn in os.listdir(gdir) if fn.endswith(".json.lock")]
+        except FileNotFoundError:
+            return removed
+        for fn in locks:
+            lp = os.path.join(gdir, fn)
+            try:
+                if os.path.exists(lp[: -len(".lock")]):
+                    continue
+                if os.path.getmtime(lp) >= cutoff:
+                    continue
+                with self.catalog._file_lock(lp, f"lock-gc({fn})", timeout=5.0):
+                    if not os.path.exists(lp[: -len(".lock")]):
+                        os.remove(lp)
+            except OSError:
                 continue
         return removed
 

@@ -635,36 +635,47 @@ class TopicCatalog:
 
     # -- retention (reference datalog_cleaner.go:16-41) --------------------
     @staticmethod
-    def _file_max_record_time(path: str) -> float | None:
-        """Max ``timestamp`` across a parquet file's row-group statistics,
-        as epoch seconds (None if stats are unavailable). Footer-only
-        read — no data pages touched."""
+    def _footer_column_minmax(path: str, column: str):
+        """(min, max) of ``column`` across a parquet file's row-group
+        statistics, or None when ANY group lacks usable stats (a partial
+        answer would silently mis-age/mis-anchor the file). Footer-only
+        read — no data pages touched. Shared by retention aging
+        (timestamp max) and the log-start anchor (offset min)."""
         try:
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
-            idx = md.schema.to_arrow_schema().get_field_index("timestamp")
+            idx = md.schema.to_arrow_schema().get_field_index(column)
             if idx < 0:
                 return None
-            best = None
+            mn = mx = None
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(idx).statistics
                 if stats is None or not stats.has_min_max:
                     return None
-                mx = stats.max  # datetime for timestamp logical type
-                if not hasattr(mx, "timestamp"):
-                    return None
-                if mx.tzinfo is None:
-                    # stored tz-naive UTC (session convention); a bare
-                    # .timestamp() would interpret it in LOCAL time
-                    import datetime as _dt
-
-                    mx = mx.replace(tzinfo=_dt.timezone.utc)
-                ts = mx.timestamp()
-                best = ts if best is None else max(best, ts)
-            return best
+                mn = stats.min if mn is None or stats.min < mn else mn
+                mx = stats.max if mx is None or stats.max > mx else mx
+            return None if mn is None else (mn, mx)
         except Exception:  # noqa: BLE001 — stats are an optimization, not truth
             return None
+
+    @staticmethod
+    def _file_max_record_time(path: str) -> float | None:
+        """Max ``timestamp`` across a parquet file's row-group statistics,
+        as epoch seconds (None if stats are unavailable)."""
+        mm = TopicCatalog._footer_column_minmax(path, "timestamp")
+        if mm is None:
+            return None
+        mx = mm[1]  # datetime for timestamp logical type
+        if not hasattr(mx, "timestamp"):
+            return None
+        if mx.tzinfo is None:
+            # stored tz-naive UTC (session convention); a bare
+            # .timestamp() would interpret it in LOCAL time
+            import datetime as _dt
+
+            mx = mx.replace(tzinfo=_dt.timezone.utc)
+        return mx.timestamp()
 
     def vacuum(self, name: str, retention_hours: float | None = None,
                unlink_gate=None) -> int:
@@ -731,6 +742,22 @@ class TopicCatalog:
             # its swap + heads reset, so a slow vacuum cannot resurrect
             # an old-layout head over the rebuilt zero-based offsets.
             touched = {os.path.dirname(p) for p in expired}
+            # footer mins for unstamped files are computed OUTSIDE the
+            # produce lock (published files are immutable; the lock's
+            # contract is ledger RMWs + publish only — O(unstamped
+            # files) ParquetFile opens must not stall producers)
+            pre_min: dict[str, int | None] = {}
+            for pdir in touched:
+                try:
+                    for fn in os.listdir(pdir):
+                        if (
+                            fn.endswith(".parquet")
+                            and filename_offset_range(fn) is None
+                        ):
+                            fp = os.path.join(pdir, fn)
+                            pre_min[fp] = self._file_min_offset(fp)
+                except FileNotFoundError:
+                    continue  # concurrent compact swap; re-listed below
             with self.produce_lock(name):
                 tails = self.tails(name)
                 new_heads: dict[int, int] = {}
@@ -751,9 +778,11 @@ class TopicCatalog:
                             fmin = (
                                 rng[0]
                                 if rng is not None
-                                # unstamped name (offset stats were absent
-                                # at validation): read the footer min
-                                else self._file_min_offset(
+                                # unstamped name: precomputed footer min
+                                # (an unstamped file that landed between
+                                # the scans resolves None → skip, which
+                                # is the safe stale-low side)
+                                else pre_min.get(
                                     os.path.join(pdir, fn)
                                 )
                             )
@@ -784,23 +813,8 @@ class TopicCatalog:
     def _file_min_offset(path: str) -> int | None:
         """Min ``offset`` across a parquet file's row-group statistics
         (None when stats are unavailable). Footer-only read."""
-        try:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(path).metadata
-            idx = md.schema.to_arrow_schema().get_field_index("offset")
-            if idx < 0:
-                return None
-            best = None
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(idx).statistics
-                if stats is None or not stats.has_min_max:
-                    return None
-                if best is None or stats.min < best:
-                    best = stats.min
-            return int(best) if best is not None else None
-        except Exception:  # noqa: BLE001 — advisory; caller skips
-            return None
+        mm = TopicCatalog._footer_column_minmax(path, "offset")
+        return None if mm is None else int(mm[0])
 
 
     def compact(

@@ -446,3 +446,42 @@ def test_retention_metrics_observable(spark, tmp_path):
     assert eng.metrics.get("polar_offsets_ledgers_expired_total") == 1
     text = eng.metrics.render()
     assert "polar_retention_sweeps_total" in text
+
+
+def test_offsets_gc_reaps_orphan_lock_files(spark, tmp_path):
+    """A straggler that waited on a GC'd ledger's lock recreates the
+    0-byte lock file via its own O_CREAT open; the sweep's orphan pass
+    must reap it (aged, sibling absent) while leaving fresh locks and
+    locks with live ledgers alone."""
+    import time
+
+    from polar_spark.consume import EARLIEST, ConsumerGroup
+
+    cat = TopicCatalog(spark, str(tmp_path))
+    prod = Producer(cat)
+    cat.ensure_topic("t", num_partitions=2)
+    prod.produce_rows("t", ['"x"'] * 5, key="k")
+    g = ConsumerGroup(cat, "live")
+    g.register("t", EARLIEST)
+
+    gdir = os.path.join(str(tmp_path), "groups")
+    old = time.time() - 8 * 24 * 3600
+    # orphan lock (straggler residue): aged, no .json sibling
+    orphan = os.path.join(gdir, "ghost__t.json.lock")
+    open(orphan, "w").close()
+    os.utime(orphan, (old, old))
+    # fresh orphan (in-flight creation): must survive
+    fresh = os.path.join(gdir, "newborn__t.json.lock")
+    open(fresh, "w").close()
+
+    sched = RetentionScheduler(
+        cat, period_seconds=3600.0, offsets_retention_hours=7 * 24.0
+    )
+    sched.sweep_once()
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)
+    # the live group's ledger AND lock survive
+    assert os.path.exists(g._ledger_path("t"))
+    res = g.poll("t", max_records=10)
+    assert sum(len(it["records"]) for it in res.items()) == 5
+    res.release()
