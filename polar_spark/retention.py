@@ -82,6 +82,7 @@ class RetentionScheduler:
                 "polar_retention_files_removed_total",
                 "polar_retention_compactions_total",
                 "polar_offsets_ledgers_expired_total",
+                "polar_offsets_lock_orphans_reaped_total",
             ):
                 metrics.inc(name, v=0.0)
         # write side of the engine's compaction gate: vacuum unlinks and
@@ -154,29 +155,25 @@ class RetentionScheduler:
                         compactions += 1
             except Exception:  # noqa: BLE001 — keep the loop alive
                 continue
-        expired_ledgers = 0
+        segment_files = removed
         if self.offsets_retention_hours is not None:
             try:
-                expired_ledgers = self._sweep_group_offsets()
-                removed += expired_ledgers
+                # increments its own two counters (expired ledgers /
+                # reaped orphan locks) so the series stay distinct
+                removed += self._sweep_group_offsets()
             except Exception:  # noqa: BLE001 — sweep_once never raises
                 pass
         self.removed_files += removed
         self.cycles += 1
         if self.metrics is not None:
             self.metrics.inc("polar_retention_sweeps_total")
-            if removed - expired_ledgers:
+            if segment_files:
                 self.metrics.inc(
-                    "polar_retention_files_removed_total",
-                    v=removed - expired_ledgers,
+                    "polar_retention_files_removed_total", v=segment_files
                 )
             if compactions:
                 self.metrics.inc(
                     "polar_retention_compactions_total", v=compactions
-                )
-            if expired_ledgers:
-                self.metrics.inc(
-                    "polar_offsets_ledgers_expired_total", v=expired_ledgers
                 )
         return removed
 
@@ -215,6 +212,10 @@ class RetentionScheduler:
                     if os.path.getmtime(p) < cutoff:
                         os.remove(p)
                         removed += 1
+                        if self.metrics is not None:
+                            self.metrics.inc(
+                                "polar_offsets_ledgers_expired_total"
+                            )
                         with contextlib.suppress(OSError):
                             os.remove(p + ".lock")
             except OSError:
@@ -245,6 +246,14 @@ class RetentionScheduler:
                 with self.catalog._file_lock(lp, f"lock-gc({fn})", timeout=5.0):
                     if not os.path.exists(lp[: -len(".lock")]):
                         os.remove(lp)
+                        # orphan reaps are accounted: the sweep's return,
+                        # removed_files, and their own counter all move —
+                        # an operator can alert on a misfiring lock GC
+                        removed += 1
+                        if self.metrics is not None:
+                            self.metrics.inc(
+                                "polar_offsets_lock_orphans_reaped_total"
+                            )
             except OSError:
                 continue
         return removed
