@@ -445,17 +445,24 @@ class ConsumerGroup:
                 pdir = os.path.join(ddir, f"partition={q}")
                 if not os.path.isdir(pdir):
                     continue
-                cands: list[tuple[int, str]] = []
+                cands: list[tuple[int, int, str]] = []
                 for fn in os.listdir(pdir):
                     if not fn.endswith(".parquet"):
                         continue
                     rng = filename_offset_range(fn)
                     if rng is None or rng[1] > lo:
-                        cands.append((rng[0] if rng else 0, fn))
+                        # stamped-unconsumed files first (by offset);
+                        # unstamped ones (range unknown, MAY be fully
+                        # consumed) only fill leftover slots — they must
+                        # not crowd genuinely-unconsumed files out of
+                        # the warm budget
+                        cands.append(
+                            (0, rng[0], fn) if rng else (1, 0, fn)
+                        )
                 cands.sort()
                 paths.extend(
                     os.path.join(pdir, fn)
-                    for _o, fn in cands[:WARM_FILES_PER_PARTITION]
+                    for _t, _o, fn in cands[:WARM_FILES_PER_PARTITION]
                 )
             if paths:
                 _SEG_CACHE.prefetch(paths, cols)

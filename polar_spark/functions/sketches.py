@@ -588,7 +588,17 @@ def _hll_params(m: int) -> tuple[int, int, int, int]:
     m=32, where the HLL paper (Flajolet et al. 2007, Fig. 3) pins
     alpha_16 = 0.673 and alpha_32 = 0.697 rather than the asymptotic
     formula (which gives 0.6757/0.6978, a ~0.3-0.4% systematic bias at
-    the smallest register counts; ADVICE r9)."""
+    the smallest register counts; ADVICE r9).
+
+    DOCUMENTED DEVIATION: the same paper figure also pins alpha_64 =
+    0.709, while m=64 here stays on its r8 formula-derived rational
+    (0.70937) — a deliberate choice, not an oversight. The +0.05%
+    scale difference is ~260× below m=64's ±13% standard error, both
+    engine twins embed the SAME constant (cross-engine agreement is
+    unaffected), and repinning it would move every committed m=64 law
+    hash (merge/idempotency/stream-vs-batch golden values pinned since
+    r8). Production sizes (m ≥ 128) use the asymptotic formula exactly
+    as the paper prescribes."""
     if m < 16 or (m & (m - 1)) or m > (1 << 20):
         raise ValueError(f"HLL m must be a power of two in [16, 2^20]: {m}")
     w_bits = 60 - (m.bit_length() - 1)

@@ -226,7 +226,14 @@ class _EpochPartialSink:
                     "folded": sorted(e.name for e in srcs),
                 }
             )
-            self._gc_folded()
+            # DEFERRED GC (review r10): the just-superseded sources stay
+            # on disk until the NEXT compact's entry _gc_folded. Reads
+            # exclude them via the manifest the moment it commits, and a
+            # reader still holding a pre-commit listing keeps resolving
+            # its paths for a full compaction cycle — closing the
+            # action-time window where an immediate GC yanked files out
+            # from under an in-flight scan. Disk cost: one superseded
+            # generation, bounded by epochs-since-previous-compact.
             return (len(srcs), len(self._live_partition_dirs()))
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -243,17 +250,32 @@ class _EpochPartialSink:
         stale: the first write of the NEW lineage overwrites it, so a
         retyped lineage never serves the old key/value types past its
         first batch (reconciles ADVICE r4's stale-type hole with the
-        schema-stability contract in tests/test_streaming.py)."""
-        for e in self._partition_dirs():
-            shutil.rmtree(e.path, ignore_errors=True)
-        # the compaction manifest indexes the purged lineage's dirs —
-        # a stale one would hide the NEW lineage's base after its first
-        # compact (gen collision) or resurrect nothing; reset it
-        if os.path.exists(self._manifest_path()):
-            os.remove(self._manifest_path())
-        if os.path.exists(self._schema_path()):
-            with open(self._stale_marker_path(), "w"):
-                pass
+        schema-stability contract in tests/test_streaming.py).
+
+        Serialized against compact() by the same _compact.lock flock: a
+        purge landing MID-fold would otherwise let the compaction commit
+        a base holding the purged lineage's state, with a folded list
+        that swallows the new lineage's first partial (same sink-key
+        hash) — permanently losing its committed batch and resurrecting
+        dead state. Under the lock, a purge runs entirely before or
+        entirely after any compaction."""
+        lock = os.path.join(self.store_path, "_compact.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            for e in self._partition_dirs():
+                shutil.rmtree(e.path, ignore_errors=True)
+            # the compaction manifest indexes the purged lineage's dirs —
+            # a stale one would hide the NEW lineage's base after its
+            # first compact (gen collision) or resurrect nothing; reset
+            if os.path.exists(self._manifest_path()):
+                os.remove(self._manifest_path())
+            if os.path.exists(self._schema_path()):
+                with open(self._stale_marker_path(), "w"):
+                    pass
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def apply_batch(self, batch_df: DataFrame, epoch: int, sink_id: str) -> bool:
         """Apply one micro-batch idempotently; False = already applied
@@ -330,18 +352,36 @@ class _EpochPartialSink:
         with at least one COMPLETED epoch re-raises (swallowing it would
         silently serve wrong estimates); only a cold/partial store with
         no completed write anywhere reads as empty."""
-        parts = self._live_partition_dirs()
-        if not parts:
-            return None
-        try:
-            return self.spark.read.parquet(*[e.path for e in parts])
-        except Exception:
-            complete = any(
-                os.path.exists(os.path.join(e.path, "_SUCCESS")) for e in parts
-            )
-            if complete:
-                raise
-            return None
+        for _ in range(4):
+            parts = self._live_partition_dirs()
+            if not parts:
+                return None
+            paths = [e.path for e in parts]
+            try:
+                return self.spark.read.parquet(*paths)
+            except Exception:
+                # a concurrent compact() may have GC'd our listed source
+                # dirs between the listing and the read — its manifest
+                # commit happened FIRST, so a fresh listing serves the
+                # new base. Judging completeness from the STALE paths
+                # here would misread a fully-compacted store as cold and
+                # silently serve an EMPTY estimate; only give up when
+                # re-listing shows nothing actually changed.
+                fresh = [e.path for e in self._live_partition_dirs()]
+                if fresh != paths:
+                    continue  # retry over the post-compaction listing
+                complete = any(
+                    os.path.exists(os.path.join(p, "_SUCCESS"))
+                    for p in paths
+                )
+                if complete:
+                    raise
+                return None
+        # still racing after retries: fail loud, never serve empty
+        raise RuntimeError(
+            f"store {self.store_path!r} kept changing under read "
+            "(compaction churn?)"
+        )
 
 
 class StreamingCountMin(_EpochPartialSink):

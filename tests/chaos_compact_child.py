@@ -93,6 +93,10 @@ def main() -> None:
     folded, live = sink.compact()
     got2 = sink.estimate()
     diff1 = got2.exceptAll(want).count() + want.exceptAll(got2).count()
+    # GC is deferred one generation: the recovery compact's own sources
+    # persist until the NEXT compact's entry GC — run that GC-only pass
+    # so dirs_after reflects the fully-converged store
+    sink.compact()
     names = sorted(e.name for e in sink._partition_dirs())
     with open(os.path.join(root, "verdict.json"), "w") as f:
         json.dump(

@@ -113,7 +113,8 @@ def test_sigkill_mid_compaction_recovers(tmp_path, when):
     assert v["diff_before_recovery"] == 0, v  # torn compact never visible
     assert v["diff_after_recovery"] == 0, v
     assert v["live_after"] == 1
-    # recovery leaves exactly one base partition on disk, nothing torn
+    # after the deferred-GC pass (one extra compact in the child),
+    # exactly one base partition remains on disk, nothing torn
     assert len(v["dirs_after"]) == 1 and v["dirs_after"][0].startswith(
         "ep=base"
     ), v

@@ -216,6 +216,10 @@ def test_compact_crash_before_manifest_is_invisible(spark, sf_dir, tmp_path):
 
     folded, live = sink.compact()  # recovery: GC orphan, fold for real
     assert folded == 3 and live == 1
+    assert "ep=base00000007" not in _all_names(sink)  # orphan GC'd
+    # deferred GC: the fold's own sources persist one generation; the
+    # next compact's entry GC converges the disk to just the base
+    assert sink.compact() == (0, 1)
     assert _all_names(sink) == ["ep=base00000001"]
     assert _rows(read()) == before
 
@@ -233,19 +237,10 @@ def test_compact_crash_after_manifest_excludes_folded(spark, sf_dir, tmp_path):
     before = _rows(read())
     srcs = _all_names(sink)
 
-    # real fold + manifest commit, then resurrect the folded dirs from
-    # a copy (compact GC'd them) — disk now looks exactly like a
-    # post-commit pre-GC crash
-    backup = str(tmp_path / "backup")
-    shutil.copytree(sink.store_path, backup)
+    # real fold + manifest commit: with GC deferred one generation this
+    # IS the post-commit pre-GC crash state — the folded sources remain
+    # on disk with the manifest excluding them
     sink.compact()
-    for n in srcs:
-        shutil.copytree(os.path.join(backup, n), os.path.join(sink.store_path, n))
-    # the GC already ran inside compact(): restore the manifest to its
-    # commit-point state (folded list still pending) to match the disk
-    sink._write_manifest(
-        {"gen": 1, "base": "ep=base00000001", "folded": sorted(srcs)}
-    )
 
     assert set(srcs) <= set(_all_names(sink))  # sources present on disk
     assert _live_names(sink) == ["ep=base00000001"]  # but not readable
@@ -301,7 +296,7 @@ def test_compact_purged_on_lineage_reset(spark, sf_dir, tmp_path):
     for ep in range(3):
         sink.apply_batch(batches[ep], ep, cp)
     sink.compact()
-    assert _all_names(sink) == ["ep=base00000001"]
+    assert _live_names(sink) == ["ep=base00000001"]
 
     # new lineage reprocesses only batch 0
     assert sink.apply_batch(batches[0], 0, cp) is True
@@ -315,9 +310,11 @@ def test_compact_purged_on_lineage_reset(spark, sf_dir, tmp_path):
     twin.apply_batch(tb[0], 0, os.path.join(twin_root, "cp"))
     assert _rows(read()) == _rows(tread())
 
-    # and the new lineage can itself compact from gen 1 again
+    # and the new lineage can itself compact from gen 1 again (a second
+    # GC-only pass converges the disk under deferred GC)
     sink.apply_batch(batches[1], 1, cp)
     assert sink.compact() == (2, 1)
+    assert sink.compact() == (0, 1)
     assert _all_names(sink) == ["ep=base00000001"]
 
 
@@ -364,3 +361,72 @@ def test_soak_100_epochs_merge_cost_flat(spark, sf_dir, tmp_path):
     twin = StreamingDrift(spark, os.path.join(str(tmp_path), "soak_twin"))
     twin.apply_batch(d, 0, str(tmp_path / "soak_twin_cp"))
     assert _rows(sink.psi()) == _rows(twin.psi())
+
+
+def test_read_racing_gc_retries_never_serves_empty(spark, sf_dir, tmp_path):
+    """Law 8 (review r10): compaction GC is DEFERRED one generation — a
+    reader holding a pre-commit listing keeps resolving its paths for a
+    full compaction cycle — and a listing stale by MORE than one cycle
+    makes _stored() re-list and serve the current base, never misread
+    the store as cold and silently return an empty estimate."""
+    sink, batches, est = _mk_kmv(spark, sf_dir, str(tmp_path))
+    for i, b in enumerate(batches[:3]):
+        sink.apply_batch(b, i, str(tmp_path / "cp"))
+    before = _rows(est())
+
+    stale = [e.path for e in sink._live_partition_dirs()]
+    assert len(stale) == 3
+    sink.compact()  # gen 1
+    # deferred GC: the superseded sources are still on disk, so a
+    # reader holding `stale` keeps reading them correctly
+    assert all(os.path.isdir(p) for p in stale)
+    assert len(sink._live_partition_dirs()) == 1
+
+    sink.apply_batch(batches[3], 3, str(tmp_path / "cp"))
+    after4 = _rows(est())
+    sink.compact()  # gen 2: entry GC removes gen 1's folded sources
+    assert not any(os.path.isdir(p) for p in stale)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(*stale).collect()  # a 2-cycle-stale read fails...
+    fresh = [e.path for e in sink._live_partition_dirs()]
+    assert fresh != stale  # ...which is _stored()'s re-list condition
+    assert _rows(est()) == after4  # and the served estimate is intact
+
+
+def test_purge_serialized_against_compact(spark, sf_dir, tmp_path):
+    """Law 9 (review r10): a lineage-reset purge takes the compaction
+    lock, so it cannot land mid-fold (where the committed base would
+    resurrect purged state and the folded list would swallow the new
+    lineage's first partial). With the lock held by a fake compactor,
+    the purge blocks; after release it completes and the new lineage's
+    batch survives a subsequent compact."""
+    import fcntl
+    import threading
+    import time
+
+    sink, batches, est = _mk_kmv(spark, sf_dir, str(tmp_path))
+    for i, b in enumerate(batches[:2]):
+        sink.apply_batch(b, i, str(tmp_path / "cp"))
+
+    lock = os.path.join(sink.store_path, "_compact.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    done = threading.Event()
+    t = threading.Thread(target=lambda: (sink._purge(), done.set()))
+    t.start()
+    time.sleep(0.5)
+    assert not done.is_set()  # purge waits behind the compaction lock
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    t.join(timeout=30)
+    assert done.is_set()
+    assert sink._partition_dirs() == []
+
+    # new lineage after the purge: applies, compacts, reads correctly
+    sink.apply_batch(batches[0], 0, str(tmp_path / "cp2"))
+    sink.apply_batch(batches[1], 1, str(tmp_path / "cp2"))
+    fresh = _rows(est())
+    sink.compact()
+    assert _rows(est()) == fresh

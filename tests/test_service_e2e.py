@@ -451,10 +451,18 @@ def test_two_engine_processes_contend_exactly_once(tmp_path):
     child = _os.path.join(repo, "tests", "engine_contention_child.py")
     root = str(tmp_path)
 
-    def spawn(role: str, tag: str) -> _sp.Popen:
-        return _sp.Popen(
-            [_sys.executable, child, root, role, tag],
-            stdout=_sp.DEVNULL, stderr=_sp.PIPE, text=True, cwd=repo,
+    def spawn(role: str, tag: str) -> tuple[_sp.Popen, object]:
+        # stderr to a FILE, not a pipe: a Spark child can emit >64KB of
+        # log noise over its 240s run; with an undrained PIPE it blocks
+        # on the full pipe buffer and the test dies as a spurious
+        # 420s "timeout" unrelated to the contracts under test
+        err = open(_os.path.join(root, f"{tag}.stderr"), "w+")
+        return (
+            _sp.Popen(
+                [_sys.executable, child, root, role, tag],
+                stdout=_sp.DEVNULL, stderr=err, text=True, cwd=repo,
+            ),
+            err,
         )
 
     procs = [
@@ -464,15 +472,18 @@ def test_two_engine_processes_contend_exactly_once(tmp_path):
         spawn("consumer", "cY"),
     ]
     fails = []
-    for p in procs:
+    for p, err in procs:
         try:
             p.wait(420)
         except _sp.TimeoutExpired:
             p.kill()
             fails.append((p.args, "timeout"))
+            err.close()
             continue
         if p.returncode != 0:
-            fails.append((p.args, p.returncode, p.stderr.read()[-1500:]))
+            err.seek(0)
+            fails.append((p.args, p.returncode, err.read()[-1500:]))
+        err.close()
     assert not fails, fails
 
     from collections import Counter

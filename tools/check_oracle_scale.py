@@ -70,16 +70,23 @@ def main(names: list[str]) -> int:
         # facts the targets touch grow factor×; everything else links
         # through from the base so the oracle views resolve
         scaled = tuple(
-            os.environ.get(
+            t.strip()
+            for t in os.environ.get(
                 "POLAR_SCALE_TABLES", "events,documents,embeddings"
             ).split(",")
+            if t.strip()
         )
         bench._build_scaled_corpus(spark, dst, factor, tables=scaled)
+        # link through every base table the build did NOT scale —
+        # including orders/lineitem when a caller scales one of them
+        # (a scaled table in the link list would hit FileExistsError;
+        # an unstripped name would silently link an UNSCALED copy)
         link = [
-            t for t in ("events", "documents", "embeddings")
+            t
+            for t in ("events", "documents", "embeddings", "orders", "lineitem")
             if t not in scaled
         ]
-        for t in ("orders", "lineitem", *link):
+        for t in link:
             src = os.path.join(base, f"{t}.parquet")
             if os.path.exists(src):
                 os.symlink(src, os.path.join(dst, f"{t}.parquet"))
