@@ -220,6 +220,7 @@ def _build_scaled_corpus(
         "orders", "lineitem", "events", "documents", "embeddings"
     ),
     doc_salt_every: int = 4,
+    emb_mode: str = "shift",
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -321,14 +322,32 @@ def _build_scaled_corpus(
 
     if "embeddings" in tables:
         emb = load_table(spark, SF_DIR, "embeddings").select("*", rep)
+        if emb_mode == "signs":
+            # DIRECTION-spread replicas for angular (LSH / semdedup)
+            # sweeps: the default shift derivation moves every replica
+            # the same way, so at high factors all vectors crowd one
+            # orthant and sign-LSH buckets collapse — the bench would
+            # measure a degenerate hot bucket, not scaling. Here each
+            # replica PAIR (2t, 2t+1) shares a Murmur3-keyed coordinate
+            # sign-flip pattern (norms preserved, directions spread
+            # near-uniformly across orthants), and the odd twin adds one
+            # quantization-step epsilon — so every even/odd pair is a
+            # planted cosine≈1 near-dup (true-pair count grows linearly
+            # with the corpus) while cross-pattern pairs stay
+            # near-orthogonal. τ=0.95 semdedup over this corpus has
+            # linear true output by construction.
+            deriv = F.expr(
+                "transform(embedding, (x, i) -> CAST("
+                " if(pmod(hash(_rep div 2, i), 2) = 0, x, -x)"
+                " + pmod(_rep, 2) * 0.0001 AS FLOAT))"
+            )
+        else:
+            deriv = F.expr(
+                "transform(embedding, x -> CAST(x + _rep * 0.0137 AS FLOAT))"
+            )
         (
             emb.withColumn("vec_id", F.col("vec_id") * factor + F.col("_rep"))
-            .withColumn(
-                "embedding",
-                F.expr(
-                    "transform(embedding, x -> CAST(x + _rep * 0.0137 AS FLOAT))"
-                ),
-            )
+            .withColumn("embedding", deriv)
             .drop("_rep")
             .write.mode("overwrite")
             .parquet(os.path.join(dst, "embeddings.parquet"))

