@@ -32,6 +32,8 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # portable-cast transform and still lack driver re-proof (they are
     # green in both judge-verified full-registry local sweeps; this
     # rotation adds the driver's independent evidence).
+    "semdedup_lsh_prune",  # NEW r10 — banded sign-LSH semantic dedup
+    "semdedup_recall_lsh_vs_exact",  # NEW r10 — LSH pair-recall vs exact ground truth
     "sketch_kmv_compacted",  # NEW r10 — epoch-store roll-up, k-selection law
     "sketch_hll_compacted",  # NEW r10 — roll-up + post-fold overlap, idempotent max
     "consume_poll_window",  # r10 poll path changed (prefetch pool, warm-start, 4-window read-ahead)
