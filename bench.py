@@ -109,6 +109,10 @@ HEADLINE = [
     # and the web-scale simhash operating point (d=3, 20-table scheme)
     "sketch_hll_m1024_distinct_users",
     "dedup_simhash_radius3",
+    # r10: semantic dedup over banded sign-LSH cells — the variant whose
+    # cell count grows with the corpus (the k-means-cell form above is
+    # Σ|cell|²-quadratic at a fixed codebook; see DECADES_r10_semdedup)
+    "semdedup_lsh_prune",
 ]
 
 
