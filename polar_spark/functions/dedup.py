@@ -988,46 +988,80 @@ def connected_components(
     # nested tree alone OOMs the driver. Checkpointing materializes each
     # round's labels AND truncates the lineage, the standard treatment
     # for iterative graph algorithms.
+    #
+    # Superseded generations are FREED as the loop advances: a
+    # localCheckpoint's blocks live in the block manager until the
+    # ContextCleaner happens to GC the Python handle, so an N-round run
+    # otherwise holds N label generations simultaneously — a storage
+    # leak that surfaced as a broadcast-build OOM on the 100× decade
+    # corpus after enough rounds (and on a real cluster would bleed
+    # executor storage for the life of the job). Each round unpersists
+    # the PREVIOUS generation right after the convergence check — the
+    # only consumer of both generations — and the edge checkpoint is
+    # dropped on every exit path.
     edges = note_materialization(
         edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct(),
         "connected_components.edges",
     ).localCheckpoint()
-    labels = note_materialization(
-        edges.select("u").distinct().withColumn("comp", F.col("u")),
-        "connected_components.labels0",
-    ).localCheckpoint()
-    for _ in range(max_iterations):
-        prop = edges.join(labels, "u").select(
-            F.col("v").alias("u"), F.col("comp")
-        )
-        stepped = (
-            labels.union(prop).groupBy("u").agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping (path halving): follow each label one hop
-        # through the label table itself, so chains collapse in
-        # O(log diameter) rounds instead of O(diameter)
-        hop = stepped.select(
-            F.col("u").alias("comp"), F.col("comp").alias("_jump")
-        )
-        new_labels = note_materialization(
-            stepped.join(hop, "comp", "left")
-            .select("u", F.coalesce(F.col("_jump"), F.col("comp")).alias("comp")),
-            "connected_components.round",
+    try:
+        labels = note_materialization(
+            edges.select("u").distinct().withColumn("comp", F.col("u")),
+            "connected_components.labels0",
         ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "_old"), "u")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
+        for _ in range(max_iterations):
+            prop = edges.join(labels, "u").select(
+                F.col("v").alias("u"), F.col("comp")
+            )
+            stepped = (
+                labels.union(prop).groupBy("u").agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping (path halving): follow each label one hop
+            # through the label table itself, so chains collapse in
+            # O(log diameter) rounds instead of O(diameter)
+            hop = stepped.select(
+                F.col("u").alias("comp"), F.col("comp").alias("_jump")
+            )
+            new_labels = note_materialization(
+                stepped.join(hop, "comp", "left")
+                .select("u", F.coalesce(F.col("_jump"), F.col("comp")).alias("comp")),
+                "connected_components.round",
+            ).localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "_old"), "u")
+                .filter(F.col("comp") != F.col("_old"))
+                .count()
+            )
+            _free_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} rounds "
+            "(unexpectedly deep cluster graph — raise max_iterations)"
         )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components: no fixpoint in {max_iterations} rounds "
-        "(unexpectedly deep cluster graph — raise max_iterations)"
-    )
+    finally:
+        _free_local_checkpoint(edges)
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed DataFrame's blocks NOW.
+
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` holding
+    the materialized RDD; unpersisting that RDD drops its blocks from
+    the block manager immediately instead of waiting for the
+    ContextCleaner to GC the handle. The DataFrame becomes
+    unrecomputable afterwards (a local checkpoint HAS no lineage), so
+    only superseded generations may be freed. Reaches through the
+    JVM-side query-execution accessor; if that private shape ever
+    changes, freeing degrades to the old GC-eventually behavior."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; blocks fall back to GC-time release
 
 
 def _compact_parquet_dir(

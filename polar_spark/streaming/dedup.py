@@ -127,9 +127,17 @@ class StreamingNearDup:
             pairs = self.index.query_and_update(
                 batch_df, id_col=id_col, text_col=text_col, tag=tag
             )
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(self.pairs_path, f"ep={tag}")
-            )
+            try:
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(self.pairs_path, f"ep={tag}")
+                )
+            finally:
+                # the batch checkpoint is fully consumed by this write;
+                # free its blocks now instead of leaking one generation
+                # per trigger for the life of the stream
+                from polar_spark.functions.dedup import _free_local_checkpoint
+
+                _free_local_checkpoint(pairs)
         self._epochs.record(key, epoch, force=reset)
         return True
 
@@ -312,6 +320,7 @@ class StreamingSemDedup:
                 {"vec_id": b["vec_id"].to_numpy(), "keep": keep_flags}
             )
 
+        verdict = None
         try:
             # ONE materialization of the cogrouped greedy verdict
             # (localCheckpoint severs it from the store's file listing
@@ -341,6 +350,12 @@ class StreamingSemDedup:
             )
         finally:
             batch.unpersist()
+            # both writes above are the verdict checkpoint's only
+            # consumers — free its blocks per trigger, not at GC time
+            if verdict is not None:
+                from polar_spark.functions.dedup import _free_local_checkpoint
+
+                _free_local_checkpoint(verdict)
         self._epochs.record(key, epoch, force=reset)
         return True
 

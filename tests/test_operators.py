@@ -637,6 +637,30 @@ def test_connected_components_multi_hop(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
 
 
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """The iteration loop must not accumulate one localCheckpoint
+    generation per round: a 64-vertex chain needs several pointer-
+    jumping rounds, and at the end only the RETURNED generation may
+    survive in the block manager (superseded labels and the edge
+    checkpoint are freed eagerly — the storage leak that broke the
+    100x decade corpus)."""
+    from polar_spark.functions.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    labels = connected_components(pairs)
+    got = {r["u"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(65)}  # one chain, min label 0
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"leaked {after - before} checkpoint generations "
+        "(expected only the returned labels)"
+    )
+
+
 def test_connected_components_string_ids_and_type_guard(spark):
     from polar_spark.functions.dedup import connected_components
 
