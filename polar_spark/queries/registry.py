@@ -34,6 +34,7 @@ SAMPLE_HEAD: tuple[str, ...] = (
     # rotation adds the driver's independent evidence).
     "semdedup_lsh_prune",  # NEW r10 — banded sign-LSH semantic dedup
     "semdedup_recall_lsh_vs_exact",  # NEW r10 — LSH pair-recall vs exact ground truth
+    "semdedup_lsh_incremental",  # NEW r10 — streaming banded dedup, recursive-greedy oracle
     "sketch_kmv_compacted",  # NEW r10 — epoch-store roll-up, k-selection law
     "sketch_hll_compacted",  # NEW r10 — roll-up + post-fold overlap, idempotent max
     "consume_poll_window",  # r10 poll path changed (prefetch pool, warm-start, 4-window read-ahead)

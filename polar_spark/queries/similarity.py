@@ -696,6 +696,85 @@ def semdedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semdedup_lsh_incremental",
+    oracle=_SEMLSH_CTE.replace("WITH c AS", "WITH RECURSIVE c AS", 1)
+    + """
+, vp AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN nn a ON a.vec_id = cand.id_a JOIN nn b ON b.vec_id = cand.id_b
+  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) > 0
+    AND 10000 * (CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS HUGEINT)
+         * CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT))
+        >= 1600 * (CAST(a.n2 AS HUGEINT) * b.n2)
+), dids AS (
+  SELECT DISTINCT id FROM (SELECT id_a AS id FROM vp UNION SELECT id_b FROM vp)
+), ordered AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM dids
+), greedy(rn, kept_ids) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.rn,
+    CASE WHEN EXISTS (SELECT 1 FROM vp p
+                      WHERE p.id_b = o.id AND list_contains(g.kept_ids, p.id_a))
+         THEN g.kept_ids
+         ELSE list_append(g.kept_ids, CAST(o.id AS BIGINT)) END
+  FROM greedy g JOIN ordered o ON o.rn = g.rn + 1
+)
+SELECT id AS vec_id FROM dids
+WHERE NOT list_contains((SELECT kept_ids FROM greedy ORDER BY rn DESC LIMIT 1), id)
+""",
+)
+def semdedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup over banded sign-LSH buckets
+    (streaming/dedup.StreamingSemDedupLSH): embeddings arrive in two
+    id-ordered micro-batches; each batch's candidates come from a
+    banded bucket join against the KEPT store (per-trigger pair work
+    O(batch·bands + true dups) — the corpus-proportional fix for the
+    IVF-cell form's O(batch·corpus/nlist) cogroup), verified with the
+    exact integer threshold, survivors append. Returns the dropped
+    vec_ids.
+
+    This is the first ORACLE-CHECKED greedy-prefix dedup in the
+    registry: the greedy scan was classed "no ANSI-SQL form" for the
+    IVF variant (`semdedup_incremental`), but the law IS expressible by
+    id-stratified recursion — the DuckDB oracle rebuilds the banded
+    candidate pairs, then folds ids in ascending order through a
+    recursive CTE carrying the kept set (drop v iff a verified partner
+    a < v is itself kept). Stream ≡ batch-greedy equivalence (what
+    makes one oracle serve both) is the pytest-pinned law in
+    tests/test_streaming.py."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    tag = _hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"polar_semlsh_inc_{tag}")
+    sd = StreamingSemDedupLSH(
+        spark, os.path.join(root, "idx"), os.path.join(root, "drops"),
+        dims=64, bands=_SEMLSH_BANDS, planes_per_band=_SEMLSH_R,
+        tau_sq_pct=1600,
+    )
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        # per-(sf, session) build exactly once (same discipline as
+        # semdedup_incremental: a same-session re-invocation must not
+        # re-apply epoch 0 against a store holding epoch 1's keeps)
+        mid = qv.agg(F.max("vec_id")).first()[0] // 2
+        sd.apply_batch(qv.filter(F.col("vec_id") <= mid), 0, root)
+        sd.apply_batch(qv.filter(F.col("vec_id") > mid), 1, root)
+        with open(done, "w"):
+            pass
+    out = sd.dropped().orderBy("vec_id")
+    qv.unpersist()
+    return out
+
+
+@query(
     "embedding_norm_stats",
     oracle=f"""
 WITH q AS (

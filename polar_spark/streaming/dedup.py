@@ -386,3 +386,282 @@ class StreamingSemDedup:
 
     def dropped(self) -> DataFrame:
         return self.spark.read.parquet(self.drops_path).drop("ep")
+
+
+class StreamingSemDedupLSH:
+    """At-ingest semantic dedup over banded sign-LSH buckets — the
+    corpus-proportional variant of :class:`StreamingSemDedup`.
+
+    Why: the IVF-cell form compares each batch vector against its
+    cells' FULL stored inverted lists in a cogrouped pandas greedy —
+    with a fixed codebook, cells grow with the kept corpus, so the
+    per-trigger pairwise work is O(batch · corpus / nlist): linear in
+    stream AGE. Here candidates come from a banded bucket equi-join
+    (functions/similarity.lsh_band_buckets): per-trigger pair work is
+    O(batch · bands + true dups), independent of store size — the
+    store contributes a scan (IO) but no quadratic scoring. The price
+    is LSH recall < 1 at the chosen operating point
+    (functions/similarity.lsh_operating_point sizes it; SemDeDup's
+    published τ = 0.95 sits in the cheap ρ ≈ 0.15 regime).
+
+    Dedup law — the same greedy-prefix as the cell form: processing
+    vectors in id order, drop v iff cos(v, u) ≥ τ for some ALREADY-KEPT
+    u (stored, or earlier in the batch and itself kept), restricted to
+    pairs the bands surface. Since the store holds ONLY kept vectors,
+    any stored partner drops v outright; batch-internal resolution runs
+    a driver-side greedy over the VERIFIED in-batch pair list (bounded
+    by the batch's true near-dup count — verification happens before
+    the collect, so spurious bucket collisions never reach the driver).
+
+    Exactly-once: identical ``ep=<tag>`` discipline to the other sinks
+    in this module (stable per-epoch partitions a replay overwrites;
+    the replayed epoch's store partitions are excluded from its own
+    read; EpochLedger gates re-application)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        drops_path: str,
+        dims: int,
+        bands: int = 8,
+        planes_per_band: int = 8,
+        tau_sq_pct: int = 9025,  # τ²·10⁴; 9025 ⇔ cosine ≥ 0.95
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.vectors_path = os.path.join(index_path, "vectors")
+        self.bands_path = os.path.join(index_path, "bands")
+        self.drops_path = drops_path
+        self.dims = dims
+        self.bands = bands
+        self.planes_per_band = planes_per_band
+        self.tau_sq_pct = tau_sq_pct
+        self._epochs = EpochLedger(index_path)
+
+    def _stored(self, path: str, exclude_tag: str) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        if not os.path.isdir(path) or not any(
+            e.name.startswith("ep=") for e in os.scandir(path)
+        ):
+            return None
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            # same contract as StreamingSemDedup._stored: only a
+            # cold/partial store may read as empty
+            complete = any(
+                os.path.exists(os.path.join(ep.path, "_SUCCESS"))
+                for ep in os.scandir(path)
+                if ep.is_dir() and ep.name.startswith("ep=")
+            )
+            if complete:
+                raise
+            return None
+        return df.filter(F.col("ep") != exclude_tag)
+
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        sink_id: str,
+        id_col: str = "vec_id",
+        vec_col: str = "v",
+    ) -> bool:
+        """Apply one micro-batch idempotently; False = already applied."""
+        from pyspark.sql import functions as F
+
+        from polar_spark.functions.similarity import (
+            dot,
+            lsh_band_buckets,
+            sq_norm,
+        )
+
+        key = _sink_instance_key(sink_id)
+        last = self._epochs.last(key)
+        reset = epoch == 0 and last > 0
+        if last >= epoch and not reset:
+            return False
+        if batch_df.isEmpty():
+            self._epochs.record(key, epoch, force=reset)
+            return True
+        tag = epoch_tag(key, epoch)
+
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+            )
+            .withColumn("n2", sq_norm(F.col("v")))
+            .persist()
+        )
+        keys = batch.select(
+            "vec_id",
+            F.posexplode(
+                lsh_band_buckets("v", self.dims, self.bands, self.planes_per_band)
+            ).alias("band", "bucket"),
+        ).persist()
+        d = F.col("d").cast("decimal(38,0)")
+        over_tau = (F.col("d") > 0) & (
+            d * d * F.lit(10000)
+            >= F.col("na2").cast("decimal(38,0)")
+            * F.col("nb2")
+            * F.lit(int(self.tau_sq_pct))
+        )
+        try:
+            # ---- external dups: batch vs the stored KEPT corpus.
+            # Batch keys broadcast; the stored key scan is IO-linear in
+            # the store but contributes no pairwise scoring beyond the
+            # bucket-verified candidates.
+            ext_ids: set[int] = set()
+            sk = self._stored(self.bands_path, exclude_tag=tag)
+            if sk is not None:
+                sv = self._stored(self.vectors_path, exclude_tag=tag)
+                cand = (
+                    sk.join(
+                        F.broadcast(
+                            keys.select(
+                                F.col("vec_id").alias("bid"), "band", "bucket"
+                            )
+                        ),
+                        ["band", "bucket"],
+                    )
+                    .select(F.col("vec_id").alias("sid"), "bid")
+                    .distinct()
+                )
+                ver = (
+                    cand.join(
+                        sv.select(
+                            F.col("vec_id").alias("sid"),
+                            F.col("v").alias("sva"),
+                            F.col("n2").alias("na2"),
+                        ),
+                        "sid",
+                    )
+                    .join(
+                        batch.select(
+                            F.col("vec_id").alias("bid"),
+                            F.col("v").alias("bvb"),
+                            F.col("n2").alias("nb2"),
+                        ),
+                        "bid",
+                    )
+                    .withColumn("d", dot(F.col("sva"), F.col("bvb")))
+                    .filter(over_tau)
+                )
+                ext_ids = {
+                    r["bid"] for r in ver.select("bid").distinct().collect()
+                }
+
+            # ---- batch-internal pairs: bucket self-join, exact verify,
+            # then a driver-side greedy over the (small) TRUE pair list
+            ka = keys.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+            kb = keys.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+            icand = (
+                ka.join(kb, ["band", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            iver = (
+                icand.join(
+                    batch.select(
+                        F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"),
+                        F.col("n2").alias("na2"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    batch.select(
+                        F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"),
+                        F.col("n2").alias("nb2"),
+                    ),
+                    "id_b",
+                )
+                .withColumn("d", dot(F.col("va"), F.col("vb")))
+                .filter(over_tau)
+            )
+            ipairs = [
+                (r["id_a"], r["id_b"])
+                for r in iver.select("id_a", "id_b").collect()
+            ]
+
+            # greedy in id order: b drops iff a verified partner a < b
+            # is itself kept (ext-dropped ids never justify a drop)
+            partners: dict[int, list[int]] = {}
+            for a, b in ipairs:
+                partners.setdefault(b, []).append(a)
+            dropped = set(ext_ids)
+            for b in sorted(partners):
+                if b in dropped:
+                    continue
+                if any(a not in dropped for a in partners[b]):
+                    dropped.add(b)
+
+            drops_df = self.spark.createDataFrame(
+                [(int(i),) for i in sorted(dropped)], "vec_id long"
+            )
+            drops_df.write.mode("overwrite").parquet(
+                os.path.join(self.drops_path, f"ep={tag}")
+            )
+            keeps = batch.join(drops_df, "vec_id", "left_anti")
+            keeps.select("vec_id", "v", "n2").write.mode("overwrite").parquet(
+                os.path.join(self.vectors_path, f"ep={tag}")
+            )
+            keys.join(drops_df, "vec_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.bands_path, f"ep={tag}"))
+        finally:
+            keys.unpersist()
+            batch.unpersist()
+        self._epochs.record(key, epoch, force=reset)
+        return True
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "v",
+        checkpoint_dir: str | None = None,
+        trigger_seconds: float | None = None,
+    ):
+        from polar_spark.streaming.ingest import start_epoch_sink
+
+        def _apply(batch_df: DataFrame, epoch: int, cp: str) -> None:
+            self.apply_batch(batch_df, epoch, cp, id_col=id_col, vec_col=vec_col)
+
+        return start_epoch_sink(
+            stream_df,
+            _apply,
+            os.path.join(self.index_path, "_checkpoint"),
+            checkpoint_dir=checkpoint_dir,
+            trigger_seconds=trigger_seconds,
+        )
+
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Re-roll per-epoch small files (bands clustered by band, the
+        candidate join's scan side; vectors by vec_id). Same caller
+        contract as :meth:`NearDupIndex.compact`: serialize against
+        apply_batch and never run while a failed micro-batch awaits
+        retry."""
+        from polar_spark.functions.dedup import _compact_parquet_dir
+
+        return {
+            "bands": _compact_parquet_dir(
+                self.spark, self.bands_path, "band", "bucket",
+                out_subdir="ep=compacted",
+            ),
+            "vectors": _compact_parquet_dir(
+                self.spark, self.vectors_path, "vec_id", "vec_id",
+                out_subdir="ep=compacted",
+            ),
+        }
+
+    def kept(self) -> DataFrame:
+        """The deduplicated corpus (all kept vectors)."""
+        return self.spark.read.parquet(self.vectors_path).drop("ep")
+
+    def dropped(self) -> DataFrame:
+        return self.spark.read.parquet(self.drops_path).drop("ep")

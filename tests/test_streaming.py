@@ -693,6 +693,131 @@ def test_streaming_semdedup_matches_greedy_reference(spark, sf_dir, tmp_path):
     qv.unpersist()
 
 
+def test_streaming_semdedup_lsh_matches_banded_greedy_reference(
+    spark, sf_dir, tmp_path
+):
+    """Embeddings streamed in two micro-batches through
+    StreamingSemDedupLSH must reproduce the banded greedy-prefix law
+    exactly (python reference: greedy in id order, restricted to pairs
+    sharing at least one band bucket, same integer threshold test), a
+    same-epoch replay must not change the store, and the store must
+    hold exactly the kept corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import hyperplane_weights, quantize
+    from polar_spark.sources.tables import load_table
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    TAU, BANDS, R = 1600, 16, 4  # the τ=0.4 gate operating point
+
+    sd = StreamingSemDedupLSH(
+        spark, str(tmp_path / "idx"), str(tmp_path / "drops"),
+        dims=64, bands=BANDS, planes_per_band=R, tau_sq_pct=TAU,
+    )
+    src = str(tmp_path / "src")
+    mid = qv.agg(F.max("vec_id")).first()[0] // 2
+    qv.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+    qv.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, v array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sd.start(stream)
+    assert q.awaitTermination(300)
+
+    got_drops = sorted(r["vec_id"] for r in sd.dropped().collect())
+    got_kept = sorted(r["vec_id"] for r in sd.kept().collect())
+
+    # python reference: same md5 hyperplane family, same band split,
+    # same exact integer threshold — greedy over id order with the
+    # banded candidate restriction
+    W = np.array(hyperplane_weights(64, BANDS * R), dtype=np.int64)
+    rows = sorted(qv.collect(), key=lambda r: r["vec_id"])
+    kept_ref: list = []  # (buckets tuple, int vector, n2)
+    ref_drops = []
+    for r in rows:
+        v = np.array(r["v"], dtype=np.int64)
+        proj = W @ v
+        bits = ["1" if x >= 0 else "0" for x in proj]
+        bks = tuple(
+            "".join(bits[t * R : (t + 1) * R]) for t in range(BANDS)
+        )
+        n2 = int(v @ v)
+        dup = False
+        for ubks, u, nu in kept_ref:
+            if any(a == b for a, b in zip(ubks, bks)):
+                d = int(u @ v)
+                if d > 0 and 10000 * d * d >= TAU * nu * n2:
+                    dup = True
+                    break
+        if dup:
+            ref_drops.append(r["vec_id"])
+        else:
+            kept_ref.append((bks, v, n2))
+    ref_kept = sorted(set(r["vec_id"] for r in rows) - set(ref_drops))
+
+    assert got_drops == sorted(ref_drops) and len(got_drops) > 0
+    assert got_kept == ref_kept
+
+    # replay idempotency
+    n_store = sd.kept().count()
+    cp = str(tmp_path / "idx" / "_checkpoint")
+    assert sd.apply_batch(qv.filter(F.col("vec_id") > mid), 1, cp) is False
+    assert sd.kept().count() == n_store
+
+    # compact folds the per-epoch files; kept/dropped are unchanged and
+    # a post-compact epoch still dedups against the folded store
+    sd.compact()
+    assert sorted(r["vec_id"] for r in sd.kept().collect()) == got_kept
+    k0 = got_kept[0]
+    probe = qv.filter(F.col("vec_id") == k0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    assert sd.apply_batch(probe, 2, cp) is True
+    assert (k0 + 1_000_000) in {
+        r["vec_id"] for r in sd.dropped().collect()
+    }, "an exact copy of a kept vector must drop against the compacted store"
+    qv.unpersist()
+
+
+def test_streaming_semdedup_lsh_greedy_chain_law(spark, tmp_path):
+    """The greedy-prefix chain case: a~b and b~c over τ but a~c under τ
+    ⇒ only b drops (a pair-based rule would also drop c); and a later
+    epoch's copy of a KEPT vector drops against the store while a copy
+    similar only to the DROPPED one still drops via its kept partner."""
+    import math
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    def vec(theta_deg: float) -> list[int]:
+        t = math.radians(theta_deg)
+        v = [math.cos(t), math.sin(t)] + [0.0] * 62
+        return [int(math.floor(x * 10000)) for x in v]
+
+    rows1 = [(0, vec(0.0)), (1, vec(15.0)), (2, vec(30.0))]
+    sd = StreamingSemDedupLSH(
+        spark, str(tmp_path / "idx"), str(tmp_path / "drops"),
+        dims=64, bands=16, planes_per_band=4, tau_sq_pct=9025,
+    )
+    cp = str(tmp_path / "cp")
+    b1 = spark.createDataFrame(rows1, "vec_id long, v array<bigint>")
+    assert sd.apply_batch(b1, 0, cp) is True
+    assert sorted(r["vec_id"] for r in sd.dropped().collect()) == [1]
+    assert sorted(r["vec_id"] for r in sd.kept().collect()) == [0, 2]
+
+    # epoch 2: id 10 ≈ kept 2 → drops; id 11 ≈ dropped 1, but 1's kept
+    # partner 0 is within τ of it too (15°) → drops via the store
+    rows2 = [(10, vec(30.5)), (11, vec(14.5))]
+    b2 = spark.createDataFrame(rows2, "vec_id long, v array<bigint>")
+    assert sd.apply_batch(b2, 1, cp) is True
+    assert sorted(r["vec_id"] for r in sd.dropped().collect()) == [1, 10, 11]
+    assert sorted(r["vec_id"] for r in sd.kept().collect()) == [0, 2]
+
+
 def test_stream_static_broadcast_join_enrichment(spark, sf_dir, tmp_path):
     """Stream-static join: a micro-batched event stream enriched against
     a static dimension (the Structured Streaming surface the curation
