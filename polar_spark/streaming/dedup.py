@@ -515,8 +515,15 @@ class StreamingSemDedupLSH:
             # bucket-verified candidates.
             ext_ids: set[int] = set()
             sk = self._stored(self.bands_path, exclude_tag=tag)
-            if sk is not None:
-                sv = self._stored(self.vectors_path, exclude_tag=tag)
+            # vectors are written BEFORE bands each epoch, so a bands
+            # store implies its vectors exist; the guard covers manual
+            # store surgery rather than any reachable crash state
+            sv = (
+                self._stored(self.vectors_path, exclude_tag=tag)
+                if sk is not None
+                else None
+            )
+            if sk is not None and sv is not None:
                 cand = (
                     sk.join(
                         F.broadcast(
