@@ -72,8 +72,8 @@ def main() -> None:
             ).select(
                 "id_a", "id_b", F_round("jaccard")
             )
-        else:  # semdedup: quantized embedding corpus; twin is built by
-            # a CLEAN stream in the run phase (crash-equivalence)
+        else:  # semdedup / semlsh: quantized embedding corpus; twin is
+            # built by a CLEAN stream in the run phase (crash-equivalence)
             from polar_spark.functions.similarity import quantize
 
             e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
@@ -126,6 +126,37 @@ def main() -> None:
         q.awaitTermination(300)
         got = s.pairs().select("id_a", "id_b", F_round("jaccard"))
         want = spark.read.parquet(os.path.join(root, "want"))
+    elif sink == "semlsh":
+        from pyspark.sql import functions as F
+
+        from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+        def mk(prefix: str) -> "StreamingSemDedupLSH":
+            return StreamingSemDedupLSH(
+                spark,
+                os.path.join(root, f"{prefix}idx"),
+                os.path.join(root, f"{prefix}drops"),
+                dims=64, bands=16, planes_per_band=4, tau_sq_pct=1600,
+            )
+
+        s = mk("")
+        q = s.start(stream, checkpoint_dir=os.path.join(root, "cp"))
+        q.awaitTermination(300)
+        got = s.kept().select("vec_id").withColumn(
+            "keep", F.lit(1)
+        ).unionByName(
+            s.dropped().select("vec_id").withColumn("keep", F.lit(0))
+        )
+        # twin: a CLEAN stream over the SAME file sequence in this
+        # (restarted) process — fresh stores, fresh checkpoint
+        tw = mk("tw_")
+        qt = tw.start(stream, checkpoint_dir=os.path.join(root, "cp_tw"))
+        qt.awaitTermination(300)
+        want = tw.kept().select("vec_id").withColumn(
+            "keep", F.lit(1)
+        ).unionByName(
+            tw.dropped().select("vec_id").withColumn("keep", F.lit(0))
+        )
     else:
         from pyspark.sql import functions as F
 

@@ -54,6 +54,8 @@ def _run(root: str, *args: str) -> subprocess.CompletedProcess:
         ("neardup", "after"),
         ("semdedup", "before"),
         ("semdedup", "after"),
+        ("semlsh", "before"),
+        ("semlsh", "after"),
     ],
 )
 def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
