@@ -699,7 +699,11 @@ def semdedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_lsh_incremental",
     oracle=_SEMLSH_CTE.replace("WITH c AS", "WITH RECURSIVE c AS", 1)
     + """
-, vp AS (
+, vp AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the recursive CTE below references
+  -- vp once per iteration, and without the hint DuckDB re-inlines the
+  -- whole banded pipeline (projections, bucket join, verify) into
+  -- every one of the ~|dids| iterations — minutes instead of seconds
   SELECT cand.id_a, cand.id_b
   FROM cand JOIN nn a ON a.vec_id = cand.id_a JOIN nn b ON b.vec_id = cand.id_b
   WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) > 0
