@@ -1,0 +1,162 @@
+"""Per-trigger cost vs store size: IVF-cell streaming semdedup vs the
+banded-LSH sink.
+
+The claim under test (streaming/dedup.py): StreamingSemDedup's cogroup
+scores each batch against its cells' FULL stored inverted lists, so
+per-trigger pairwise work grows linearly with the KEPT corpus — with a
+fixed codebook that is linear in stream AGE; StreamingSemDedupLSH's
+banded bucket join keeps per-trigger pair work O(batch·bands + true
+dups), with the store contributing an IO-linear key scan but no
+pairwise scoring growth.
+
+Method: for each store size (signs-derivation corpora at 20×/200×/
+1000× → ~40k/400k/2M vectors), SEED both sinks' stores directly in
+their own on-disk layout (one narrow assignment/bucket pass — never a
+quadratic bulk apply), then time ONE fixed-size probe batch of fresh
+ids through apply_batch. Wall time per probe is the figure of merit:
+the cell sink should grow ~linearly with the store, the LSH sink stay
+near-flat. A small-scale caveat measured honestly on the way: at 40k
+vectors the cell sink is FASTER (one numpy matmul against 2.5k-vector
+cells beats the LSH sink's multi-job fixed overhead) — the crossover
+is a store-size question, which is exactly what this tool measures.
+
+Usage: python tools/measure_semlsh_trigger.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       POLAR_TRIGGER_REPORT (default STREAM_TRIGGER_r10.json)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTORS = [20, 200, 1000]
+PROBE = 4000
+TAU = 9025  # τ = 0.95
+
+
+def main() -> None:
+    import bench
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import (
+        ivf_cell,
+        lsh_band_buckets,
+        lsh_operating_point,
+        quantize,
+        sq_norm,
+    )
+    from polar_spark.session import get_spark
+    from polar_spark.sources.tables import load_table
+    from polar_spark.streaming.dedup import (
+        StreamingSemDedup,
+        StreamingSemDedupLSH,
+    )
+
+    spark = get_spark()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    report = os.environ.get(
+        "POLAR_TRIGGER_REPORT", os.path.join(REPO, "STREAM_TRIGGER_r10.json")
+    )
+    out: dict = {"tau": 0.95, "probe_batch": PROBE, "points": []}
+
+    for factor in FACTORS:
+        corpus = tempfile.mkdtemp(prefix=f"semlsh_c{factor}_")
+        work = tempfile.mkdtemp(prefix=f"semlsh_w{factor}_")
+        try:
+            bench._build_scaled_corpus(
+                spark, corpus, factor=factor, tables=("embeddings",),
+                emb_mode="signs",
+            )
+            qv = (
+                load_table(spark, corpus, "embeddings")
+                .select("vec_id", quantize("embedding").alias("v"))
+                .persist()
+            )
+            hi = qv.agg(F.max("vec_id")).first()[0] + 1
+            seed = qv.filter(F.col("vec_id") < hi - PROBE)
+            probe = qv.filter(F.col("vec_id") >= hi - PROBE)
+            n_seed = seed.count()
+            bands, r = lsh_operating_point(n_seed, 0.95, 0.95)
+
+            cents = [
+                (rr["vec_id"], rr["v"])
+                for rr in qv.orderBy("vec_id").limit(16).collect()
+            ]
+            cell_sink = StreamingSemDedup(
+                spark, os.path.join(work, "cidx"),
+                os.path.join(work, "cdrops"), cents, tau_sq_pct=TAU,
+            )
+            lsh_sink = StreamingSemDedupLSH(
+                spark, os.path.join(work, "lidx"),
+                os.path.join(work, "ldrops"), dims=64,
+                bands=bands, planes_per_band=r, tau_sq_pct=TAU,
+            )
+            # seed both stores in their own layout: one narrow
+            # assignment / bucket pass, no pairwise work
+            seed.withColumn("cell", ivf_cell("v", cents)).select(
+                "vec_id", "v", "cell"
+            ).write.partitionBy("cell").mode("overwrite").parquet(
+                os.path.join(cell_sink.vectors_path, "ep=seed")
+            )
+            seed.withColumn("n2", sq_norm(F.col("v"))).select(
+                "vec_id", "v", "n2"
+            ).write.mode("overwrite").parquet(
+                os.path.join(lsh_sink.vectors_path, "ep=seed")
+            )
+            seed.select(
+                "vec_id",
+                F.posexplode(
+                    lsh_band_buckets("v", 64, bands, r)
+                ).alias("band", "bucket"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(lsh_sink.bands_path, "ep=seed")
+            )
+
+            t0 = time.perf_counter()
+            cell_sink.apply_batch(probe, 1, f"probe_cell_{factor}")
+            t_cell = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            lsh_sink.apply_batch(probe, 1, f"probe_lsh_{factor}")
+            t_lsh = time.perf_counter() - t0
+            cd = cell_sink.dropped().count()
+            ld = lsh_sink.dropped().count()
+            pt = {
+                "factor": factor, "store_n": n_seed,
+                "cell_probe_s": round(t_cell, 3),
+                "lsh_probe_s": round(t_lsh, 3),
+                "lsh_bands": bands, "lsh_planes_per_band": r,
+                "cell_probe_drops": cd, "lsh_probe_drops": ld,
+            }
+            out["points"].append(pt)
+            print(json.dumps(pt), flush=True)
+            qv.unpersist()
+        finally:
+            shutil.rmtree(corpus, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
+
+    p = out["points"]
+    if len(p) >= 2:
+        out["cell_growth_per_decade"] = round(
+            (p[-1]["cell_probe_s"] / p[0]["cell_probe_s"])
+            ** (1 / (len(p) - 1)),
+            2,
+        )
+        out["lsh_growth_per_decade"] = round(
+            (p[-1]["lsh_probe_s"] / p[0]["lsh_probe_s"])
+            ** (1 / (len(p) - 1)),
+            2,
+        )
+    with open(report, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
