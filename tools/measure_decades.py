@@ -68,6 +68,19 @@ def main() -> None:
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--table=")),
         "events",
     )
+    # --tables=a,b: replicate SEVERAL fact tables per decade (queries
+    # that join two scaled facts, e.g. hybrid retrieval over documents
+    # AND embeddings); the scan control still probes --table
+    tables = tuple(
+        next(
+            (
+                a.split("=", 1)[1].split(",")
+                for a in sys.argv[1:]
+                if a.startswith("--tables=")
+            ),
+            [table],
+        )
+    )
     # --salt=N: documents-derivation salt density (1 = every word —
     # the simhash-calibrated, output-linear variant; default 4 = the
     # minhash-calibrated one). See bench._build_scaled_corpus.
@@ -100,7 +113,7 @@ def main() -> None:
         dst = tempfile.mkdtemp(prefix=f"decade_{factor}x_")
         try:
             bench._build_scaled_corpus(
-                spark, dst, factor=factor, tables=(table,),
+                spark, dst, factor=factor, tables=tables,
                 doc_salt_every=salt,
             )
             spark.catalog.clearCache()
