@@ -1037,6 +1037,7 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 return labels
+        _free_local_checkpoint(labels)  # error path: nothing is returned
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iterations} rounds "
             "(unexpectedly deep cluster graph — raise max_iterations)"

@@ -481,6 +481,10 @@ def lsh_band_buckets(
     weights keep every bucket id engine-reproducible (the DuckDB oracle
     rebuilds the same planes from the same md5 construction)."""
     r = int(planes_per_band)
+    if bands < 1 or r < 1:
+        raise ValueError(
+            f"bands and planes_per_band must be >= 1, got ({bands}, {r})"
+        )
     W = np.array(
         hyperplane_weights(dims, bands * r), dtype=np.int64
     )  # (bands·r, d)
