@@ -818,6 +818,66 @@ def test_streaming_semdedup_lsh_greedy_chain_law(spark, tmp_path):
     assert sorted(r["vec_id"] for r in sd.kept().collect()) == [0, 2]
 
 
+def test_streaming_semdedup_lsh_soak_compact_bounds_store(
+    spark, sf_dir, tmp_path
+):
+    """Soak the LSH sink over 20 micro-epochs with a mid-life and
+    end-of-life compact(): the store must collapse to one file set per
+    side, post-compact results must be identical to a single-process
+    clean run over the same id order, and a post-compact epoch must
+    still dedup against the folded store (the NearDupIndex compaction
+    law, ported to the embedding sink)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import quantize
+    from polar_spark.sources.tables import load_table
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v")).persist()
+    hi = qv.agg(F.max("vec_id")).first()[0] + 1
+    step = (hi + 19) // 20
+
+    def run(prefix: str, compact_at: tuple[int, ...]) -> "StreamingSemDedupLSH":
+        sd = StreamingSemDedupLSH(
+            spark, str(tmp_path / f"{prefix}idx"),
+            str(tmp_path / f"{prefix}drops"),
+            dims=64, bands=16, planes_per_band=4, tau_sq_pct=1600,
+        )
+        for ep in range(20):
+            b = qv.filter(
+                (F.col("vec_id") >= ep * step)
+                & (F.col("vec_id") < (ep + 1) * step)
+            )
+            sd.apply_batch(b, ep, f"{prefix}soak")
+            if ep in compact_at:
+                sd.compact()
+        return sd
+
+    soaked = run("s_", (9, 19))
+    clean = run("c_", ())
+
+    def files(p: str) -> int:
+        return sum(
+            1 for dp, _d, fns in _os.walk(p)
+            for f in fns if f.endswith(".parquet")
+        )
+
+    # folded: one file set per store side vs one per surviving epoch
+    assert files(soaked.bands_path) < files(clean.bands_path)
+    assert files(soaked.vectors_path) <= 4
+
+    got = sorted(r["vec_id"] for r in soaked.dropped().collect())
+    want = sorted(r["vec_id"] for r in clean.dropped().collect())
+    assert got == want and len(got) > 0
+    assert sorted(r["vec_id"] for r in soaked.kept().collect()) == sorted(
+        r["vec_id"] for r in clean.kept().collect()
+    )
+    qv.unpersist()
+
+
 def test_stream_static_broadcast_join_enrichment(spark, sf_dir, tmp_path):
     """Stream-static join: a micro-batched event stream enriched against
     a static dimension (the Structured Streaming surface the curation
