@@ -573,6 +573,14 @@ def semdedup_lsh_drop_ids(
     ``verified_near_dups``): banded bucket join on ids only →
     ``distinct`` candidate pairs → re-join the quantized vectors for
     exact verification — vectors never ride through the band shuffle.
+    They DO ride through the verification shuffle (two 512-byte
+    payloads per candidate pair) — fine to tens of millions of
+    candidates, and the measured point where it stops being fine on one
+    host is recorded in DECADES_r10_semdedup.json (the 4M-vector
+    attempt). Past that, use the stored-index physical plan the ANN
+    path already implements (sources/ivf_index): materialize vectors
+    partitioned by (band, bucket) at ingest and verify pairs
+    partition-locally, so query-time shuffles carry ids only.
 
     Returns distinct ids to DROP (higher id of every verified pair —
     the same keep-lowest policy as :func:`semdedup_drop_ids`)."""
