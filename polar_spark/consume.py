@@ -72,7 +72,14 @@ class _SegmentCache:
         self._bytes = 0
         self._cap = cap_bytes
         self._lock = threading.Lock()
-        self._inflight: set[str] = set()
+        # path -> [started: bool, done: Event]. A serving read JOINS a
+        # STARTED background load instead of duplicating the parse (the
+        # first poll after register races the warm-start prefetch over
+        # exactly these files), but STEALS a merely-queued one — waiting
+        # on the queue would put the serving path behind its own
+        # read-ahead backlog, the exact coupling the dedicated pool
+        # exists to prevent
+        self._inflight: dict[str, list] = {}
 
     def get(self, path: str):
         with self._lock:
@@ -96,10 +103,33 @@ class _SegmentCache:
 
     def load(self, path: str, cols: list[str]):
         """Cached whole-file read; returns the table or None when the
-        file is too big for the cache (caller uses the row-group path)."""
+        file is too big for the cache (caller uses the row-group path).
+
+        If a background prefetch of the same path is in flight, wait
+        for it (bounded) instead of re-reading — without this, the
+        first poll after register paid a DUPLICATE parse of every file
+        its own warm-start was already loading."""
         t = self.get(path)
         if t is not None:
             return t
+        ev = None
+        with self._lock:
+            inf = self._inflight.get(path)
+            if inf is not None:
+                if inf[0]:
+                    ev = inf[1]  # started: join it
+                else:
+                    del self._inflight[path]  # queued: steal it
+        if ev is not None:
+            ev.wait(timeout=5.0)
+            t = self.get(path)
+            if t is not None:
+                return t
+            # prefetch failed, timed out, or skipped an oversize file:
+            # fall through to the direct read (which re-checks size)
+        return self._read_direct(path, cols)
+
+    def _read_direct(self, path: str, cols: list[str]):
         try:
             if os.path.getsize(path) > SEG_CACHE_FILE_MAX_BYTES:
                 return None
@@ -126,17 +156,25 @@ class _SegmentCache:
         with self._lock:
             for p in paths:
                 if p not in self._d and p not in self._inflight:
-                    self._inflight.add(p)
+                    self._inflight[p] = [False, threading.Event()]
                     todo.append(p)
         for p in todo:
             def _bg(path=p):
+                with self._lock:
+                    inf = self._inflight.get(path)
+                    if inf is None:
+                        return  # a serving read stole this queued load
+                    inf[0] = True
                 try:
-                    self.load(path, cols)
+                    # _read_direct, NOT load: load would join the very
+                    # inflight event this task is responsible for
+                    self._read_direct(path, cols)
                 except Exception:
                     pass  # next poll falls back to a direct read
                 finally:
                     with self._lock:
-                        self._inflight.discard(path)
+                        self._inflight.pop(path, None)
+                    inf[1].set()
 
             _prefetch_pool().submit(_bg)
 
