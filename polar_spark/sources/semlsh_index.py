@@ -1,0 +1,190 @@
+"""Materialized banded sign-LSH vector store: partition-local semantic
+dedup verification with ZERO vector payloads in the query-time shuffle.
+
+Closes the one measured scale wall of the banded-LSH SemDeDup family
+(DECADES_r10_semdedup.json ``note_2000x``): the query-time form
+(functions/similarity.semdedup_lsh_drop_ids) re-joins both quantized
+vector payloads onto every candidate pair, so at ~4M vectors the
+~60M-pair verify join shuffles ~60-70 GB of vectors and exhausts a
+single host's spill disk. The fix is the same physical trade the
+ANN path already makes (sources/ivf_index): pay a narrow, shuffle-free
+layout write ONCE at ingest, then let every query verify candidates
+where the vectors already live.
+
+Layout — one bucketed catalog table (the operators/bucketing machinery):
+
+- ingest explodes each vector into ``bands`` rows ``(band, bpre,
+  bucket, id, v, n2)`` — a narrow map (one shared int64 matmul per
+  Arrow batch, ``lsh_band_buckets``), NO shuffle;
+- ``bpre`` is the bucket's leading ``prefix_bits`` bits as an int: the
+  grouping key ``(band, bpre)`` gives bands·2^prefix_bits groups, so
+  group granularity is tunable independently of the (corpus-dependent)
+  full bucket population;
+- ``bucketBy(num_buckets, "band", "bpre")`` + ``sortBy`` makes the scan
+  report hash partitioning on the grouping key, so the verify's
+  ``groupBy("band","bpre").applyInPandas`` needs NO Exchange
+  (plan-asserted in tests/test_semlsh_index.py) — each read task opens
+  its bucket files, sorts locally, and verifies its groups in place.
+
+Verification inside a group is numpy over sub-buckets: rows are
+grouped by full ``bucket``, each sub-bucket's pairwise int64 dot matrix
+is computed in id-sorted row chunks (chunk size scales inversely with
+the sub-bucket so the matrix stays ~32 MB even under a dup-storm
+bucket), and the exact integer threshold test — the SAME
+``d·d·10⁴ ≥ n2_a·n2_b·τ²pct`` decimal test the shuffle path applies —
+is decided by a float64 pre-classifier with a 1e-9 relative guard band
+plus exact Python-int arbitration of the (rare) borderline pairs, so
+the drop set is BIT-IDENTICAL to ``semdedup_lsh_drop_ids`` (pytest
+law). The only query-time exchange is the final ids-only ``distinct``.
+
+A pair colliding in k>1 bands is verified k times (once per band
+partition) instead of deduplicated first — that duplication factor is
+small by construction (a random pair collides in ≤ bands/n expected
+bands at the operating point) and is the price of never moving a
+vector at query time.
+
+100 TB shape: store size is n·bands rows written once, linear scans
+thereafter; query-time shuffle volume is O(drop ids). On a cluster the
+bucket files spread across executors and every verify task is local to
+its bucket — the exact "data lives where the work happens" placement
+the reference gets from pinning a key's token range to one broker
+(internal/types/token.go ring placement; design provenance only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polar_spark.functions.similarity import lsh_band_buckets, sq_norm
+
+# target element count of one pairwise dot-matrix chunk (int64 cells);
+# 4M cells = 32 MB — bounds verify memory even for a dup-storm bucket
+_CHUNK_CELLS = 4_000_000
+
+
+def semlsh_store_df(
+    df: DataFrame,
+    dims: int,
+    bands: int,
+    planes_per_band: int,
+    prefix_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The exploded store rows ``(band, bpre, bucket, id, v, n2)`` —
+    a narrow map over ``df`` (no shuffle). ``df[vec_col]`` must already
+    be quantized int64 (the functions.similarity contract)."""
+    k = min(int(prefix_bits), int(planes_per_band))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sq_norm(F.col(vec_col)).alias("n2"),
+        F.posexplode(
+            lsh_band_buckets(vec_col, dims, bands, planes_per_band)
+        ).alias("band", "bucket"),
+    )
+    # leading k bucket bits as an int: '1'/'0' strings → binary parse
+    return t.select(
+        "band",
+        F.conv(F.substring("bucket", 1, k), 2, 10).cast("int").alias("bpre"),
+        "bucket",
+        "id",
+        "v",
+        "n2",
+    )
+
+
+def write_semlsh_index(
+    df: DataFrame,
+    table: str,
+    dims: int,
+    bands: int,
+    planes_per_band: int,
+    path: str | None = None,
+    prefix_bits: int = 10,
+    num_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> None:
+    """Ingest: explode to band rows (narrow) and persist as a bucketed
+    catalog table on ``(band, bpre)``. ``bucketBy`` writes without a
+    shuffle — each input task emits one file per (band,bpre) hash
+    bucket it touches — and the bucketed read is what lets every
+    subsequent verify run Exchange-free."""
+    rows = semlsh_store_df(
+        df, dims, bands, planes_per_band, prefix_bits, id_col, vec_col
+    )
+    w = (
+        rows.write.mode("overwrite")
+        .bucketBy(num_buckets, "band", "bpre")
+        .sortBy("band", "bpre")
+    )
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def _verify_group_fn(tau_sq_pct: int):
+    """Per-(band,bpre)-group verifier: numpy pairwise dots per full
+    bucket, exact integer threshold, emits drop ids (higher id of every
+    verified pair — the keep-lowest policy of semdedup_lsh_drop_ids)."""
+    tau = int(tau_sq_pct)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        drops: set[int] = set()
+        for _, g in pdf.groupby("bucket", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("id")
+            ids = g["id"].to_numpy()
+            V = np.stack(g["v"].to_numpy()).astype(np.int64, copy=False)
+            n2 = g["n2"].to_numpy().astype(np.float64)
+            n2i = g["n2"].tolist()
+            chunk = max(1, _CHUNK_CELLS // m)
+            for s in range(0, m, chunk):
+                e = min(s + chunk, m)
+                D = V[s:e] @ V.T  # exact int64 (quantize contract)
+                Df = D.astype(np.float64)
+                lhs = Df * Df * 10000.0
+                rhs = (n2[s:e, None] * n2[None, :]) * float(tau)
+                # strict upper triangle relative to the full matrix:
+                # row i (global s+li) vs columns j > s+li, d > 0 only
+                cols = np.arange(m)[None, :]
+                rows_g = np.arange(s, e)[:, None]
+                upper = (cols > rows_g) & (D > 0)
+                clear_pass = upper & (lhs > rhs * (1.0 + 1e-9))
+                border = (
+                    upper & (lhs >= rhs * (1.0 - 1e-9)) & ~clear_pass
+                )
+                for j in np.unique(np.nonzero(clear_pass)[1]):
+                    drops.add(int(ids[j]))
+                if border.any():
+                    bi, bj = np.nonzero(border)
+                    for li, j in zip(bi.tolist(), bj.tolist()):
+                        i = s + li
+                        d = int(D[li, j])
+                        if d * d * 10000 >= int(n2i[i]) * int(n2i[j]) * tau:
+                            drops.add(int(ids[j]))
+        return pd.DataFrame({"drop_id": sorted(drops)}, dtype="int64")
+
+    return verify
+
+
+def semdedup_lsh_drop_ids_stored(
+    spark: SparkSession,
+    table: str,
+    tau_sq_pct: int = 9025,
+) -> DataFrame:
+    """Distinct ids to DROP, verified partition-locally over the stored
+    index — bit-identical to ``semdedup_lsh_drop_ids`` on the same
+    corpus/bands/planes (tests/test_semlsh_index.py law), with the only
+    query-time Exchange being the final ids-only ``distinct``."""
+    store = spark.table(table)
+    verified = store.groupBy("band", "bpre").applyInPandas(
+        _verify_group_fn(tau_sq_pct), schema="drop_id long"
+    )
+    return verified.distinct()

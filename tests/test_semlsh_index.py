@@ -1,0 +1,160 @@
+"""Stored banded-LSH index (sources/semlsh_index): the partition-local
+verify law — stored-index drops ≡ query-time shuffle drops, bit for bit
+— plus the plan guarantee (no Exchange before the grouped verify) and
+the dup-storm memory bound (chunked pairwise matrices)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from polar_spark.functions.similarity import (
+    quantize,
+    semdedup_lsh_drop_ids,
+)
+from polar_spark.sources import semlsh_index as SL
+from polar_spark.sources.semlsh_index import (
+    semdedup_lsh_drop_ids_stored,
+    write_semlsh_index,
+)
+from polar_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def qv(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("v")
+    )
+
+
+def _drops(df):
+    return sorted(r["drop_id"] for r in df.collect())
+
+
+def _with_table(spark, tmp_path, name, qv, bands, r, **kw):
+    write_semlsh_index(
+        qv, name, dims=64, bands=bands, planes_per_band=r,
+        path=str(tmp_path / name), **kw,
+    )
+    return name
+
+
+def test_stored_verify_law_bit_identical(spark, tmp_path, qv):
+    """The headline law: stored-index partition-local verify produces
+    the EXACT drop set of the vector-shuffling query-time form, at the
+    registry's (16 bands × 4 planes, τ² = 0.16) operating point."""
+    t = _with_table(spark, tmp_path, "semlsh_law", qv, 16, 4)
+    try:
+        stored = _drops(semdedup_lsh_drop_ids_stored(spark, t, 1600))
+        shuffled = _drops(
+            semdedup_lsh_drop_ids(
+                qv, 64, bands=16, planes_per_band=4, tau_sq_pct=1600
+            )
+        )
+        assert stored == shuffled
+        assert len(stored) > 0  # non-vacuous at this τ on this corpus
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stored_verify_plan_no_vector_shuffle(spark, tmp_path, qv):
+    """Physical-plan guarantee: the bucketed scan satisfies the grouped
+    verify's clustering, so NO Exchange feeds FlatMapGroupsInPandas —
+    the only Exchange in the whole plan is the final ids-only distinct
+    (vectors never cross a shuffle at query time)."""
+    t = _with_table(spark, tmp_path, "semlsh_plan", qv, 8, 6)
+    try:
+        df = semdedup_lsh_drop_ids_stored(spark, t, 1600)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Bucketed: true" in plan
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        ]
+        assert len(exchanges) == 1, plan
+        assert "drop_id" in exchanges[0]  # ids-only
+        # and the verify subtree is scan → sort → group (no exchange
+        # between the FileScan and the pandas group map)
+        verify_at = plan.index("FlatMapGroupsInPandas")
+        assert "Exchange" not in plan[verify_at:]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dup_storm_bucket_chunked(spark, tmp_path, monkeypatch):
+    """Adversarial dup storm: one bucket holds the entire corpus (all
+    vectors identical up to one quantum). With _CHUNK_CELLS forced tiny
+    the pairwise matrix is built in many row chunks — the drop set must
+    still be every id but the minimum, identical to the shuffle path."""
+    monkeypatch.setattr(SL, "_CHUNK_CELLS", 64)
+    n = 40
+    base = [100 + (i % 7) for i in range(64)]
+    rows = [
+        (i, [x + (1 if i % 2 else 0) for x in base]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<bigint>")
+    write_semlsh_index(
+        df, "semlsh_storm", dims=64, bands=4, planes_per_band=4,
+        path=str(tmp_path / "storm"),
+    )
+    try:
+        stored = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_storm", 9025)
+        )
+        shuffled = _drops(
+            semdedup_lsh_drop_ids(
+                df, 64, bands=4, planes_per_band=4, tau_sq_pct=9025
+            )
+        )
+        assert stored == shuffled == list(range(1, n))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_storm")
+
+
+def test_exact_tie_arbitration(spark, tmp_path):
+    """Borderline pairs take the exact integer path: identical vectors
+    at τ² = 1.0 sit EXACTLY on the threshold (d²·10⁴ == n2²·10⁴) —
+    float scoring alone cannot decide ≥ here; the law still holds."""
+    v = [int(x) for x in range(1, 65)]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, [-x for x in v])],
+        "vec_id long, v array<bigint>",
+    )
+    write_semlsh_index(
+        df, "semlsh_tie", dims=64, bands=3, planes_per_band=3,
+        path=str(tmp_path / "tie"),
+    )
+    try:
+        stored = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_tie", 10000)
+        )
+        shuffled = _drops(
+            semdedup_lsh_drop_ids(
+                df, 64, bands=3, planes_per_band=3, tau_sq_pct=10000
+            )
+        )
+        assert stored == shuffled == [1]  # tie included (>=), opposite kept
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_tie")
+
+
+def test_store_rows_shape(spark, tmp_path, qv):
+    """Store contract: n·bands rows, bpre = leading prefix-bit int of
+    the bucket, n2 matches the quantized self-dot."""
+    t = _with_table(
+        spark, tmp_path, "semlsh_shape", qv, 8, 6, prefix_bits=3
+    )
+    try:
+        store = spark.table(t)
+        n = qv.count()
+        assert store.count() == n * 8
+        bad = store.filter(
+            F.conv(F.substring("bucket", 1, 3), 2, 10).cast("int")
+            != F.col("bpre")
+        ).count()
+        assert bad == 0
+        assert store.filter(~F.col("bpre").between(0, 7)).count() == 0
+        one = store.limit(1).collect()[0]
+        assert one["n2"] == sum(x * x for x in one["v"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
