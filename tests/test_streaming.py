@@ -1510,3 +1510,96 @@ def test_streaming_zordered_layout_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(z_box_buckets(*box)) > 0
+
+
+def test_streaming_semdedup_lsh_dup_storm_bounded_greedy(spark, tmp_path):
+    """Adversarial dup storm: EVERY row of the micro-batch is one
+    near-dup cluster, so the verified-pair list is quadratic in the
+    batch. With greedy_pair_cap forced far below the pair count the
+    sink must (a) never materialize more than ~cap pairs driver-side
+    (the chunked path) and (b) produce drops identical to the unbounded
+    greedy — all ids but the cluster minimum."""
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    n = 120  # 7140 mutual pairs
+    base = [100 + (i % 7) for i in range(64)]
+    rows = [
+        (i, [x + (1 if i % 2 else 0) for x in base]) for i in range(n)
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, v array<bigint>")
+
+    def run(prefix: str, cap: int) -> list[int]:
+        sd = StreamingSemDedupLSH(
+            spark, str(tmp_path / f"{prefix}_idx"),
+            str(tmp_path / f"{prefix}_drops"),
+            dims=64, bands=4, planes_per_band=4, tau_sq_pct=9025,
+            greedy_pair_cap=cap,
+        )
+        assert sd.apply_batch(batch, 0, f"storm_{prefix}") is True
+        return sorted(r["vec_id"] for r in sd.dropped().collect())
+
+    bounded = run("capped", cap=500)  # ~15 id-ordered ranges
+    unbounded = run("uncapped", cap=2_000_000)
+    assert bounded == unbounded == list(range(1, n))
+
+
+def test_streaming_semdedup_lsh_chain_law_survives_cap(spark, tmp_path):
+    """The chunked greedy must preserve CHAIN semantics across range
+    boundaries: a~b and b~c over τ, a~c under τ ⇒ only b drops. With
+    cap=1 the (b,c) pair lands in a later range where b is already
+    resolved-DROPPED — the server-side anti-join must discard it so c
+    survives (a naive 'any resolved partner' rule would drop c)."""
+    import math
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    def vec(theta_deg: float) -> list[int]:
+        t = math.radians(theta_deg)
+        v = [math.cos(t), math.sin(t)] + [0.0] * 62
+        return [int(math.floor(x * 10000)) for x in v]
+
+    rows = [(0, vec(0.0)), (1, vec(15.0)), (2, vec(30.0))]
+    sd = StreamingSemDedupLSH(
+        spark, str(tmp_path / "chain_idx"), str(tmp_path / "chain_drops"),
+        dims=64, bands=16, planes_per_band=4, tau_sq_pct=9025,
+        greedy_pair_cap=1,
+    )
+    b = spark.createDataFrame(rows, "vec_id long, v array<bigint>")
+    assert sd.apply_batch(b, 0, "storm_chain") is True
+    assert sorted(r["vec_id"] for r in sd.dropped().collect()) == [1]
+    assert sorted(r["vec_id"] for r in sd.kept().collect()) == [0, 2]
+
+
+def test_bounded_greedy_matches_unbounded_on_random_pairs(spark):
+    """_greedy_drops law on an arbitrary pair graph: chunked (tiny cap)
+    ≡ unbounded, including pre-dropped seeds that must never justify a
+    drop."""
+    import random
+
+    from polar_spark.streaming.dedup import _greedy_drops
+
+    rng = random.Random(11)
+    ids = list(range(60))
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(400)
+            for a, b in [sorted(rng.sample(ids, 2))]
+        }
+    )
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    pre = {3, 17, 41}
+    unbounded = _greedy_drops(spark, pdf, pre, cap=10_000)
+    chunked = _greedy_drops(spark, pdf, pre, cap=37)
+    assert chunked == unbounded
+    # reference loop
+    dropped = set(pre)
+    partners: dict[int, list[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(b, []).append(a)
+    for b in sorted(partners):
+        if b in dropped:
+            continue
+        if any(a not in dropped for a in partners[b]):
+            dropped.add(b)
+    assert unbounded == dropped
