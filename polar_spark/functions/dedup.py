@@ -21,6 +21,7 @@ cross-check the expressions in tests.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1057,12 +1058,27 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     only superseded generations may be freed. Reaches through the
     JVM-side query-execution accessor; if that private shape ever
     changes, freeing degrades to the old GC-eventually behavior."""
+    global _FREE_CKPT_WARNED
     try:
         node = df._jdf.queryExecution().analyzed()
         if node.getClass().getSimpleName() == "LogicalRDD":
             node.rdd().unpersist(False)
+        elif not _FREE_CKPT_WARNED:
+            # log ONCE so a Spark-version shape change (silently
+            # reverting eager freeing to GC-time release — the 100×-CC
+            # storage behavior) is observable in production runs
+            _FREE_CKPT_WARNED = True
+            logging.getLogger(__name__).debug(
+                "local-checkpoint eager free disabled: analyzed plan is "
+                "%s, not LogicalRDD (Spark internals changed?); blocks "
+                "release at GC time instead",
+                node.getClass().getSimpleName(),
+            )
     except Exception:
         pass  # cleanup is best-effort; blocks fall back to GC-time release
+
+
+_FREE_CKPT_WARNED = False
 
 
 def _compact_parquet_dir(

@@ -676,35 +676,35 @@ def semdedup_recall_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator against exhaustive exact ground truth at the
     same τ — the embedding twin of `dedup_recall_lsh_vs_exact`.
 
-    Ground truth is the full all-pairs threshold sweep, built as an
-    equi-join on a constant key (never a CartesianProduct plan) and
-    repartitioned before the verification dot so the pair scan spreads
-    across executors — an EVAL-scale tool by construction (the thing
-    LSH exists to avoid at corpus scale)."""
+    Ground truth is the full all-pairs threshold sweep, built as a
+    SALTED equi-join (never a CartesianProduct plan): side A keys each
+    row by ``id_a % 32``, side B replicates each row to all 32 salts,
+    so pair GENERATION itself spreads across 32 tasks instead of one
+    constant-key task materializing every pair (ADVICE r10) — an
+    EVAL-scale tool by construction (the thing LSH exists to avoid at
+    corpus scale)."""
     from polar_spark.functions.similarity import lsh_band_buckets
 
+    _SALT = 32
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.select("vec_id", quantize("embedding").alias("v"))
-    feat = (
-        qv.withColumn("n2", sq_norm(F.col("v"))).withColumn("one", F.lit(0))
-    )
+    feat = qv.withColumn("n2", sq_norm(F.col("v")))
     fa = feat.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("n2").alias("na2"),
-        "one",
+        (F.col("vec_id") % _SALT).alias("s"),
     )
     fb = feat.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("n2").alias("nb2"),
-        "one",
+        F.explode(F.array([F.lit(i) for i in range(_SALT)])).alias("s"),
     )
     d = F.col("d").cast("decimal(38,0)")
     exact = (
-        fa.join(fb, "one")
+        fa.join(fb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .repartition(32, "id_a")
         .withColumn("d", dot(F.col("va"), F.col("vb")))
         .filter(
             (F.col("d") > 0)

@@ -808,13 +808,15 @@ def test_lsh_band_buckets_consistent_with_single_table(spark):
         lsh_bucket("v", dims=64, planes=8).alias("single"),
         lsh_band_buckets("v", dims=64, bands=1, planes_per_band=8).alias("banded"),
         lsh_band_buckets("v", dims=64, bands=4, planes_per_band=4).alias("b4"),
+        lsh_band_buckets("v", dims=64, bands=1, planes_per_band=16).alias("b16"),
     ).collect()
     for r in got:
         assert r["banded"] == [r["single"]]
         assert len(r["b4"]) == 4 and all(len(b) == 4 for b in r["b4"])
-        # band t of the 4x4 split covers planes [4t, 4t+4) of the same
-        # 16-plane family -- independent of how bands slice it
-        assert "".join(r["b4"])[:8] != ""  # shape only; family parity below
+        # family parity: band t of the 4x4 split covers planes
+        # [4t, 4t+4) of ONE shared 16-plane md5 family, so the four
+        # band strings concatenate to the unsplit 16-plane bit-string
+        assert "".join(r["b4"]) == r["b16"][0]
 
 
 def test_semdedup_lsh_drops_planted_near_dup(spark):
