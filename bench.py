@@ -113,7 +113,42 @@ HEADLINE = [
     # cell count grows with the corpus (the k-means-cell form above is
     # Σ|cell|²-quadratic at a fixed codebook; see DECADES_r10_semdedup)
     "semdedup_lsh_prune",
+    # r11: the same dedup over the MATERIALIZED (band, bucket) store —
+    # partition-local verify, no vector payload in any query-time
+    # shuffle (sources/semlsh_index; DECADES_r11_semlsh_stored)
+    "semdedup_lsh_stored",
 ]
+
+
+# In-suite scan-control anchor (VERDICT r10 watch #1 / ask #2): a fixed
+# bare scan timed at suite start, pre-ingest, and suite end. NOMINAL is
+# this host's healthy-state best-of-3 (calibrated r11, quiet host); the
+# recorded ratios let the official artifact carry its own noise
+# attribution — scan ratios inflating WITH the suite ⇒ host character
+# (the r10 signature: controls at 1.46-1.61×), suite inflating alone ⇒
+# a real regression to profile.
+SCAN_CONTROL_NOMINAL_SEC = 0.24
+
+
+def _scan_control(spark, extra: dict, phase: str) -> None:
+    from pyspark.sql import functions as F
+
+    from polar_spark.sources.tables import load_table
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        load_table(spark, SF_DIR, "lineitem").agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+        ).count()
+        load_table(spark, SF_DIR, "embeddings").selectExpr(
+            "sum(size(embedding)) as s"
+        ).count()
+        best = min(best, time.perf_counter() - t0)
+    extra[f"scan_control_{phase}_sec"] = round(best, 3)
+    extra[f"scan_control_{phase}_ratio"] = round(
+        best / SCAN_CONTROL_NOMINAL_SEC, 2
+    )
 
 
 def _warmup(spark) -> None:
@@ -805,11 +840,13 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     _warmup(spark)
+    _scan_control(spark, extra, "suite_start")
 
     # analytic queries first: a clean JVM heap, a warm worker pool, and
     # no persisted ingest corpus competing for memory (VERDICT r2 #1)
     timings.update(_bench_queries(spark))
     _memory_stats(spark, extra, "suite")
+    _scan_control(spark, extra, "suite_end")
 
     _bench_skew_dedup(spark, extra)
 
@@ -837,6 +874,7 @@ def main() -> None:
     spark.catalog.clearCache()
     gc.collect()
 
+    _scan_control(spark, extra, "pre_ingest")
     _bench_ingest_consume(spark, timings, extra)
     _memory_stats(spark, extra, "ingest")
 

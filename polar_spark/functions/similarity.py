@@ -24,6 +24,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -198,6 +199,116 @@ def ivf_probe_cells(
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return probes(c)
+
+
+def build_super_codebook(
+    centroids: list[tuple[int, list[int]]],
+    n_super: int | None = None,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray], np.ndarray]:
+    """Group an IVF codebook's centroids into ~√nlist SUPER-cells for
+    two-level assignment (``ivf_cell_twolevel``).
+
+    Flat nearest-centroid assignment is O(n·nlist) — quadratic once
+    nlist is grown as √n with the corpus, which is why faiss routes
+    assignment through an index over the centroids themselves. This is
+    the Spark-shaped version of that index: a driver-side exact Lloyd's
+    over the nlist centroid rows (tiny by construction) produces integer
+    super-centroids, each centroid's membership, and per-super-cell
+    radii ``r_S = max_{c∈S} ‖c − sc_S‖`` — everything
+    ``ivf_cell_twolevel`` needs for triangle-inequality-exact pruning.
+
+    Returns ``(cids, C, S, members, radii)``: centroid ids and matrix
+    (cid order), super-centroid int64 matrix, per-super-cell member
+    index arrays (ascending cid), and float radii (safely rounded UP)."""
+    cids, C = _centroid_arrays(centroids)
+    nlist = len(cids)
+    m = int(n_super) if n_super else max(1, math.isqrt(nlist))
+    m = min(m, nlist)
+    S = C[:m].astype(np.float64)  # deterministic init: first m centroids
+    for _ in range(iters):
+        d2 = ((C[:, None, :].astype(np.float64) - S[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newS = np.stack(
+            [C[a == j].mean(0) if (a == j).any() else S[j] for j in range(m)]
+        )
+        if np.array_equal(newS, S):
+            break
+        S = newS
+    S = np.floor(S).astype(np.int64)
+    d2 = _d2_matrix(C, S)  # exact int assignment to integer super-centroids
+    a = d2.argmin(1)
+    members = [np.nonzero(a == j)[0] for j in range(m)]
+    radii = np.array(
+        [
+            (math.sqrt(float(d2[members[j], j].max())) * (1 + 1e-12) + 1e-9)
+            if members[j].size
+            else 0.0
+            for j in range(m)
+        ]
+    )
+    return cids, C, S, members, radii
+
+
+def ivf_cell_twolevel(
+    vec_col: str | Column,
+    centroids: list[tuple[int, list[int]]],
+    n_super: int | None = None,
+) -> Column:
+    """EXACT nearest-centroid cell id via two-level (super-cell routed)
+    assignment — bit-identical to :func:`ivf_cell` including ties
+    (lowest cid), at O(n·(√nlist + examined members)) instead of
+    O(n·nlist).
+
+    Per Arrow batch: one (batch × √nlist) matmul scores the
+    super-centroids; each row's NEAREST super-cell is scored exactly
+    against its members to seed an upper bound u; then only super-cells
+    whose triangle-inequality lower bound ``(d(v, sc_S) − r_S)²`` is
+    ≤ u are scored (sound: for any member c, ‖v−c‖ ≥ ‖v−sc_S‖ − r_S, so
+    every centroid at the true minimum — including lowest-cid ties —
+    survives the prune; float bounds carry a downward safety margin and
+    all real scoring stays exact int64)."""
+    cids, C, S, members, radii = build_super_codebook(centroids, n_super)
+    m = len(members)
+
+    @pandas_udf(LongType())
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = _mat(v)
+        n = len(V)
+        D2S = _d2_matrix(V, S)
+        dS = np.sqrt(D2S.astype(np.float64)) * (1 - 1e-12)
+        bound = np.maximum(dS - radii[None, :], 0.0)
+        bound = bound * bound - 1.0  # sound int-valued lower bound
+        near = np.argmin(D2S, axis=1)
+        best_d2 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        best_cid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+
+        def score(rows: np.ndarray, j: int) -> None:
+            idx = members[j]
+            if idx.size == 0 or rows.size == 0:
+                return
+            d2 = _d2_matrix(V[rows], C[idx])
+            k = d2.argmin(1)  # first min = lowest cid (idx is cid-ordered)
+            dmin = d2[np.arange(rows.size), k]
+            cand = cids[idx][k]
+            better = (dmin < best_d2[rows]) | (
+                (dmin == best_d2[rows]) & (cand < best_cid[rows])
+            )
+            rws = rows[better]
+            best_d2[rws] = dmin[better]
+            best_cid[rws] = cand[better]
+
+        for j in range(m):
+            score(np.nonzero(near == j)[0], j)
+        ubound = best_d2.astype(np.float64)
+        for j in range(m):
+            score(np.nonzero((near != j) & (bound[:, j] <= ubound))[0], j)
+        return pd.Series(best_cid)
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return cell(c)
 
 
 def ivf_topk(

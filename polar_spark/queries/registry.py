@@ -24,52 +24,68 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-10 rotation: (a) the two NEW compaction-law queries and the
-    # four consume-flow queries whose serving path changed this round
-    # (dedicated prefetch pool + register warm-start + wider read-ahead),
-    # then (b) the 28 r9-head entries the r9 driver sample's 50-query
-    # window did NOT reach — their oracle texts were rewritten by the r9
-    # portable-cast transform and still lack driver re-proof (they are
-    # green in both judge-verified full-registry local sweeps; this
-    # rotation adds the driver's independent evidence).
-    "semdedup_lsh_prune",  # NEW r10 — banded sign-LSH semantic dedup
-    "semdedup_recall_lsh_vs_exact",  # NEW r10 — LSH pair-recall vs exact ground truth
-    "semdedup_lsh_incremental",  # NEW r10 — streaming banded dedup, recursive-greedy oracle
-    "sketch_kmv_compacted",  # NEW r10 — epoch-store roll-up, k-selection law
-    "sketch_hll_compacted",  # NEW r10 — roll-up + post-fold overlap, idempotent max
-    "consume_poll_window",  # r10 poll path changed (prefetch pool, warm-start, 4-window read-ahead)
-    "consume_reset_latest",  # r10 poll path changed
-    "ingest_partition_offset",  # r10 register warm-start touches the consume flow
-    "dedup_redelivered_events",  # r10 poll path changed
-    "consume_log_start_jump",  # NEW r10 — log-start clamp law (heads ledger)
-    "q9_profit_by_nation",  # oracle rewritten r9; missed by the r9 sample window
-    "q10_returned_items",  # oracle rewritten r9; missed by the r9 sample window
-    "q14_promo_revenue",  # oracle rewritten r9; missed by the r9 sample window
-    "q15_top_supplier",  # oracle rewritten r9; missed by the r9 sample window
-    "q17_small_qty_revenue",  # oracle rewritten r9; missed by the r9 sample window
-    "q19_bracketed_revenue",  # oracle rewritten r9; missed by the r9 sample window
-    "q22_dormant_customers",  # oracle rewritten r9; missed by the r9 sample window
-    "q2_min_cost_supplier",  # oracle rewritten r9; missed by the r9 sample window
-    "q11_important_parts",  # oracle rewritten r9; missed by the r9 sample window
-    "funnel_click_to_purchase",  # oracle rewritten r9; missed by the r9 sample window
-    "tfidf_top_terms_per_source",  # oracle rewritten r9; missed by the r9 sample window
-    "bm25_topk_docs",  # oracle rewritten r9; missed by the r9 sample window
-    "dedup_ngram_jaccard",  # oracle rewritten r9; missed by the r9 sample window
-    "dedup_minhash_verified",  # oracle rewritten r9; missed by the r9 sample window
-    "dedup_keep_list",  # oracle rewritten r9; missed by the r9 sample window
-    "knn_bruteforce_dot",  # oracle rewritten r9; missed by the r9 sample window
-    "knn_ivf_probe",  # oracle rewritten r9; missed by the r9 sample window
-    "dedup_embedding_cosine",  # oracle rewritten r9; missed by the r9 sample window
-    "embedding_lsh_buckets",  # oracle rewritten r9; missed by the r9 sample window
-    "embedding_norm_stats",  # oracle rewritten r9; missed by the r9 sample window
-    "knn_hard_negatives",  # oracle rewritten r9; missed by the r9 sample window
-    "grouping_sets_mix",  # oracle rewritten r9; missed by the r9 sample window
-    "unpivot_nation_metrics",  # oracle rewritten r9; missed by the r9 sample window
-    "sketch_kmv_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
-    "sketch_quantiles_by_type",  # oracle rewritten r9; missed by the r9 sample window
-    "sketch_qs_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
-    "bm25_stream_vs_batch",  # oracle rewritten r9; missed by the r9 sample window
-    "hybrid_rrf_retrieval",  # oracle rewritten r9; missed by the r9 sample window
+    # Round-11 rotation (VERDICT r10 ask #5): (a) the queries this
+    # round's changes touch — the NEW stored-index semdedup, the salted
+    # recall ground truth, the LSH sink whose greedy is now
+    # driver-bounded, and the consume flow behind the segment-cache
+    # steal-tombstone fix; then (b) the ~44 OLDEST-driver-evidence
+    # entries (last sampled r4-r7 — stateful trio, curation family,
+    # multimodal, breadth queries) so cumulative driver evidence
+    # refreshes oldest-first.
+    "semdedup_lsh_stored",  # NEW r11 — partition-local stored-index verify
+    "semdedup_recall_lsh_vs_exact",  # r11: salted pair generation
+    "semdedup_lsh_incremental",  # r11: sink greedy now driver-bounded
+    "consume_poll_window",  # r11: steal-tombstone in the segment cache
+    "consume_log_start_jump",  # r11: consume flow re-proof
+    # oldest driver evidence (r4)
+    "quantiles_order_prices",
+    "quota_downsample_per_source",
+    "retention_cohort_daily",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "split_train_eval_deterministic",
+    "sql_correlated_scalar_subquery",
+    "sql_not_in_null_aware",
+    "stateful_dedup_builtin",
+    "stateful_dedup_stream",
+    "stream_join_click_purchase",
+    "text_redact_numbers",
+    "window_function_breadth",
+    # oldest driver evidence (r5)
+    "debounce_repeated_events",
+    "event_rate_anomaly",
+    "impute_group_median",
+    "outlier_iqr_by_type",
+    "profile_table_stats",
+    "referential_integrity_audit",
+    "scd2_user_type_intervals",
+    "session_entry_exit_paths",
+    "top_event_transitions",
+    # oldest driver evidence (r6)
+    "binary_frame_roundtrip",
+    "bpe_pair_merge_counts",
+    "consume_seek_timestamp",
+    "customer_rfm_segments",
+    "customer_rfm_segments_approx",
+    "dup_span_detect",
+    "equidepth_hist_doc_lengths",
+    "equidepth_hist_doc_lengths_approx",
+    "knn_ivfpq_recall_law",
+    "knn_pq_recall_law",
+    "multimodal_audio_energy",
+    "ndjson_roundtrip",
+    "pivot_user_cohort_events",
+    "q13_order_count_dist",
+    "q4_priority_late_ship",
+    "sketch_cm_stream_vs_batch",
+    "stateful_offset_assign",
+    # oldest driver evidence (r7)
+    "argmax_top_event",
+    "chunk_documents_sliding",
+    "dedup_exact_canonical",
+    "dedup_minhash_lsh",
+    "distinct_aggregates",
+    "doc_fingerprint_rolling",
 )
 
 

@@ -188,6 +188,45 @@ def knn_ivf_stored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_TWOLEVEL_ORACLE = f"""
+WITH c AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 64),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT a.vec_id, cent.cid,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(range(1, 65), i -> (a.v[i] - cent.cv[i]) * (a.v[i] - cent.cv[i]))), cent.cid) AS r
+    FROM c a CROSS JOIN cent) t WHERE r = 1
+)
+SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY cell
+"""
+
+
+@query("knn_ivf_twolevel_cells", oracle=_IVF_TWOLEVEL_ORACLE)
+def knn_ivf_twolevel_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell population under TWO-LEVEL (super-cell routed) coarse
+    assignment (functions/similarity.ivf_cell_twolevel) at a 64-cell
+    codebook — the faiss assign-via-centroid-index move that keeps
+    per-vector assignment flat when nlist grows as √n with the corpus.
+    The oracle is plain flat nearest-centroid SQL: the two-level route
+    is triangle-inequality EXACT (every centroid at the true minimum,
+    including lowest-cid ties, survives the prune), so the histograms
+    must match bit for bit."""
+    from polar_spark.functions.similarity import ivf_cell_twolevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    cents = [
+        (r["vec_id"], r["v"])
+        for r in qv.filter(F.col("vec_id") < 64).collect()
+    ]
+    return (
+        qv.select(ivf_cell_twolevel("v", cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 @query("knn_ivf_trained")  # no oracle: iterative k-means is not SQL-expressible
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse codebook (deterministic Lloyd's

@@ -55,6 +55,9 @@ def load_codebook(path: str) -> list[tuple[int, list[int]]]:
         return [(int(cid), [int(x) for x in v]) for cid, v in json.load(f)]
 
 
+TWO_LEVEL_NLIST = 64  # past this, route assignment through super-cells
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -63,16 +66,31 @@ def write_ivf_index(
     id_col: str = "vec_id",
     extra_cols: list[str] | None = None,
     mode: str = "overwrite",
+    two_level: bool | None = None,
 ) -> None:
     """Batch ingest: one narrow assignment pass (codebook rides the UDF
     closure — zero shuffle), then a cell-partitioned parquet write.
     ``df[vec_col]`` must already be quantized int64 (the
-    functions.similarity contract)."""
+    functions.similarity contract).
+
+    ``two_level`` routes assignment through ~√nlist super-cells
+    (functions.similarity.ivf_cell_twolevel — EXACT, triangle-inequality
+    pruned), the faiss assign-via-centroid-index move that keeps
+    per-vector assignment cost flat when nlist is grown as √n with the
+    corpus instead of O(nlist)-per-vector quadratic. Default: automatic
+    past TWO_LEVEL_NLIST centroids (results are identical either way —
+    tests/test_operators.py pins the law, DECADES_r11_ivf_assign the
+    cost curve)."""
+    from polar_spark.functions.similarity import ivf_cell_twolevel
+
+    if two_level is None:
+        two_level = len(centroids) >= TWO_LEVEL_NLIST
+    assign = ivf_cell_twolevel if two_level else ivf_cell
     out = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols or []],
         F.col(vec_col),
-        ivf_cell(vec_col, centroids).alias("cell"),
+        assign(vec_col, centroids).alias("cell"),
     )
     out.write.mode(mode).partitionBy("cell").parquet(path)
     _save_codebook(path, centroids)
@@ -114,11 +132,18 @@ def stream_ivf_index(
     """Streaming ingest into the same cell-partitioned layout: the
     parquet sink's checkpoint gives exactly-once file output, and each
     micro-batch pays only its own O(batch) assignment."""
+    from polar_spark.functions.similarity import ivf_cell_twolevel
+
     _save_codebook(path, centroids)
+    assign = (
+        ivf_cell_twolevel
+        if len(centroids) >= TWO_LEVEL_NLIST
+        else ivf_cell
+    )
     out = stream_df.select(
         F.col(id_col),
         F.col(vec_col),
-        ivf_cell(vec_col, centroids).alias("cell"),
+        assign(vec_col, centroids).alias("cell"),
     )
     return _start_cell_stream(out, path, checkpoint_dir, trigger_seconds)
 
@@ -185,11 +210,16 @@ def load_pq_books(path: str) -> list[list[list[int]]]:
 def _ivfpq_cols(vec_col: str, centroids, books) -> list:
     """The IVFADC derived columns (PQ codes + coarse cell) — one narrow
     pass, shared by the batch and streaming writers."""
-    from polar_spark.functions.similarity import pq_encode
+    from polar_spark.functions.similarity import ivf_cell_twolevel, pq_encode
 
+    assign = (
+        ivf_cell_twolevel
+        if len(centroids) >= TWO_LEVEL_NLIST
+        else ivf_cell
+    )
     return [
         pq_encode(vec_col, books).alias("codes"),
-        ivf_cell(vec_col, centroids).alias("cell"),
+        assign(vec_col, centroids).alias("cell"),
     ]
 
 

@@ -1734,3 +1734,72 @@ def test_simhash_block_combination_scheme_output_identical(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(d, "doc_id", "text", max_hamming=3, n_blocks=3)
+
+
+def test_ivf_twolevel_assignment_exact_law(spark, sf_dir):
+    """Two-level (super-cell routed) assignment is EXACT: identical to
+    flat nearest-centroid assignment on every vector, including
+    duplicate-centroid ties (lowest cid wins on both paths)."""
+    from polar_spark.functions.similarity import (
+        ivf_cell,
+        ivf_cell_twolevel,
+        quantize,
+    )
+    from polar_spark.sources.tables import load_table
+
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("v")
+    )
+    cents = [
+        (r["vec_id"], r["v"])
+        for r in qv.filter(F.col("vec_id") < 32).collect()
+    ]
+    both = qv.select(
+        ivf_cell("v", cents).alias("flat"),
+        ivf_cell_twolevel("v", cents, n_super=6).alias("two"),
+    )
+    assert both.filter(F.col("flat") != F.col("two")).count() == 0
+
+    # duplicate-centroid tie: cid 15 duplicates cid 3's vector; every
+    # vector equidistant to both must resolve to cid 3 on both paths
+    dup = [(i, [i * 3 + 1] * 8) for i in range(20)]
+    dup[15] = (15, dup[3][1])
+    rows = [(100 + i, [i * 3 + 1] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<bigint>")
+    got = df.select(
+        "vec_id",
+        ivf_cell("v", dup).alias("flat"),
+        ivf_cell_twolevel("v", dup, n_super=5).alias("two"),
+    ).collect()
+    for r in got:
+        assert r["flat"] == r["two"]
+        if r["vec_id"] == 103:
+            assert r["two"] == 3  # tie → lowest cid
+
+
+def test_write_ivf_index_two_level_same_layout(spark, sf_dir, tmp_path):
+    """write_ivf_index with two_level routing produces the identical
+    cell layout as flat assignment (the auto threshold just swaps the
+    assignment implementation, never the result)."""
+    from polar_spark.functions.similarity import quantize
+    from polar_spark.sources.ivf_index import read_ivf_index, write_ivf_index
+    from polar_spark.sources.tables import load_table
+
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("v")
+    )
+    cents = [
+        (r["vec_id"], r["v"])
+        for r in qv.filter(F.col("vec_id") < 16).collect()
+    ]
+    write_ivf_index(qv, str(tmp_path / "flat"), cents, two_level=False)
+    write_ivf_index(qv, str(tmp_path / "two"), cents, two_level=True)
+    a, _ = read_ivf_index(spark, str(tmp_path / "flat"))
+    b, _ = read_ivf_index(spark, str(tmp_path / "two"))
+    assert (
+        a.select("vec_id", "cell")
+        .exceptAll(b.select("vec_id", "cell"))
+        .count()
+        == 0
+    )
+    assert a.count() == b.count()

@@ -63,14 +63,23 @@ def main() -> None:
     )
     n_base = load_table(spark, sf, "embeddings").count()
 
-    out: dict = {
-        "tau": 0.95,
-        "base_sf_dir": sf,
-        "base_factor": BASE_FACTOR,
-        "corpus": "signs derivation (planted even/odd cos~1 twins; "
-        "true drops = n/2 by construction)",
-        "stored": {},
-    }
+    if os.path.exists(report):  # merge-resume: keep completed factors
+        with open(report) as fh:
+            prior = json.load(fh)
+        out: dict = prior
+        out.setdefault("stored", {})
+        # base record for ratio math
+        base_rec = out["stored"].get(f"{BASE_FACTOR}x")
+    else:
+        base_rec = None
+        out = {
+            "tau": 0.95,
+            "base_sf_dir": sf,
+            "base_factor": BASE_FACTOR,
+            "corpus": "signs derivation (planted even/odd cos~1 twins; "
+            "true drops = n/2 by construction)",
+            "stored": {},
+        }
 
     def scan(d: str) -> int:
         return (
@@ -79,8 +88,10 @@ def main() -> None:
             .count()
         )
 
-    base = None
+    base = base_rec
     for factor in [BASE_FACTOR] + factors:
+        if f"{factor}x" in out["stored"]:
+            continue  # merge-resume: factor already measured
         n = n_base * factor
         bands, r = lsh_operating_point(n, 0.95, 0.95)
         num_buckets = 32 if factor <= 200 else 256
@@ -97,8 +108,14 @@ def main() -> None:
             sq = scan(dst)  # doubles as page-warm
             scan_s = time.perf_counter() - t0
 
-            qv = load_table(spark, dst, "embeddings").select(
-                "vec_id", quantize("embedding").alias("v")
+            # the derived corpus lands as ONE file/row-group (the build
+            # explodes a single-partition source), so without this the
+            # whole explode+write would run in one task — repartition
+            # first so ingest parallelizes like any multi-file corpus
+            qv = (
+                load_table(spark, dst, "embeddings")
+                .repartition(32, "vec_id")
+                .select("vec_id", quantize("embedding").alias("v"))
             )
             t0 = time.perf_counter()
             write_semlsh_index(
