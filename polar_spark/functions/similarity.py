@@ -558,8 +558,11 @@ def lsh_bucket(vec_col: str | Column, dims: int, planes: int = N_PLANES) -> Colu
         if len(v) == 0:
             return pd.Series([], dtype=object)
         proj = _mat(v) @ W.T  # (n, planes)
-        chars = np.where(proj >= 0, "1", "0")
-        return pd.Series(["".join(row) for row in chars])
+        # '1'/'0' bytes → one decode per row (vectorized; ~10× the
+        # per-char "".join this replaced — measured as the ingest
+        # bottleneck of the 2000× stored-index sweep)
+        bits = np.where(proj >= 0, 49, 48).astype(np.uint8)
+        return pd.Series([row.tobytes().decode("ascii") for row in bits])
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return bucket(c)
@@ -605,11 +608,14 @@ def lsh_band_buckets(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         proj = _mat(v) @ W.T  # (n, bands·r)
-        chars = np.where(proj >= 0, "1", "0")
+        # one ascii decode per row, then r-char string slices per band
+        # (vectorized; the per-char joins this replaced dominated the
+        # 2000× stored-index ingest)
+        bits = np.where(proj >= 0, 49, 48).astype(np.uint8)
         return pd.Series(
             [
-                ["".join(row[t * r : (t + 1) * r]) for t in range(bands)]
-                for row in chars
+                [s[t * r : (t + 1) * r] for t in range(bands)]
+                for s in (row.tobytes().decode("ascii") for row in bits)
             ]
         )
 
