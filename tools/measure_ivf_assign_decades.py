@@ -33,7 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DEFAULT_FACTORS = [2, 20, 200]
-FLAT_MAX_FACTOR = 200  # flat at 2000x would be the quadratic itself
+# flat at 2000x IS the quadratic — include it only when explicitly asked
+FLAT_MAX_FACTOR = int(os.environ.get("POLAR_IVF_FLAT_MAX", "200"))
 
 
 def main() -> None:
@@ -56,11 +57,16 @@ def main() -> None:
     )
     n_base = load_table(spark, sf, "embeddings").count()
 
-    out: dict = {
-        "base_sf_dir": sf,
-        "nlist_rule": "isqrt(n)",
-        "points": {},
-    }
+    if os.path.exists(report):  # merge-resume: keep completed factors
+        with open(report) as fh:
+            out: dict = json.load(fh)
+        out.setdefault("points", {})
+    else:
+        out = {
+            "base_sf_dir": sf,
+            "nlist_rule": "isqrt(n)",
+            "points": {},
+        }
 
     def timed(f, runs: int = 2):
         best, val = float("inf"), None
@@ -71,7 +77,14 @@ def main() -> None:
         return best, val
 
     base_flat = base_two = base_scan = None
+    b = out["points"].get("2x")
+    if b:
+        base_two = b["two_us_per_vec"]
+        base_flat = b.get("flat_us_per_vec")
+        base_scan = b["scan_s"]
     for factor in factors:
+        if f"{factor}x" in out["points"]:
+            continue  # merge-resume: factor already measured
         n = n_base * factor
         nlist = max(4, math.isqrt(n))
         dst = tempfile.mkdtemp(prefix=f"ivf_assign_{factor}x_")
