@@ -1083,11 +1083,16 @@ _FREE_CKPT_WARNED = False
 
 def _compact_parquet_dir(
     spark: SparkSession, d: str, partition_col: str, sort_col: str,
-    out_subdir: str | None = None,
+    out_subdir: str | None = None, partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite a parquet dir's accumulated small files into few
     partition-bucketed, sorted ones (same swap discipline as
-    topics.compact: write aside, two renames, drop old)."""
+    topics.compact: write aside, two renames, drop old).
+
+    ``partition_by`` preserves a directory-partitioned layout through
+    the fold (the LSH sink's bands store prunes on band/bpre dirs — a
+    flat rewrite would both lose the pruning and leave the store with
+    two incompatible directory schemas)."""
     import os as _os
     import shutil as _shutil
 
@@ -1107,10 +1112,15 @@ def _compact_parquet_dir(
     if out_subdir is not None and "ep" in df.columns:
         df = df.drop("ep")
     out_path = tmp if out_subdir is None else f"{tmp}/{out_subdir}"
-    (
+    w = (
         df.repartition(F.col(partition_col))
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    (
+        w
         .parquet(out_path)
     )
     _os.rename(d, old)

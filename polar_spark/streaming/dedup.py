@@ -476,11 +476,17 @@ class StreamingSemDedupLSH:
     per-trigger pairwise work is O(batch · corpus / nlist): linear in
     stream AGE. Here candidates come from a banded bucket equi-join
     (functions/similarity.lsh_band_buckets): per-trigger pair work is
-    O(batch · bands + true dups), independent of store size — the
-    store contributes a scan (IO) but no quadratic scoring. The price
-    is LSH recall < 1 at the chosen operating point
-    (functions/similarity.lsh_operating_point sizes it; SemDeDup's
-    published τ = 0.95 sits in the cheap ρ ≈ 0.15 regime).
+    O(batch · bands + true dups), independent of store size — and
+    since r11 the store's IO term is pruned too: kept vectors are
+    stored EXPLODED by (band, bucket-prefix) directory partitions (the
+    sources/semlsh_index layout, vectors co-located with their band
+    rows), so a trigger reads only the (band, bpre) partitions its own
+    batch occupies and verifies store-vs-batch candidates against the
+    broadcast batch in place — no store shuffle, no store-wide scan,
+    no second vectors join. The price is LSH recall < 1 at the chosen
+    operating point (functions/similarity.lsh_operating_point sizes
+    it; SemDeDup's published τ = 0.95 sits in the cheap ρ ≈ 0.15
+    regime) plus bands× store amplification (the stored-index trade).
 
     Dedup law — the same greedy-prefix as the cell form: processing
     vectors in id order, drop v iff cos(v, u) ≥ τ for some ALREADY-KEPT
@@ -506,6 +512,7 @@ class StreamingSemDedupLSH:
         planes_per_band: int = 8,
         tau_sq_pct: int = 9025,  # τ²·10⁴; 9025 ⇔ cosine ≥ 0.95
         greedy_pair_cap: int = GREEDY_PAIR_CAP,
+        prefix_bits: int = 4,  # (band, bpre) pruning granularity
     ):
         self.spark = spark
         self.index_path = index_path
@@ -517,6 +524,7 @@ class StreamingSemDedupLSH:
         self.planes_per_band = planes_per_band
         self.tau_sq_pct = tau_sq_pct
         self.greedy_pair_cap = greedy_pair_cap
+        self.prefix_bits = min(int(prefix_bits), int(planes_per_band))
         self._epochs = EpochLedger(index_path)
 
     def _stored(self, path: str, exclude_tag: str) -> DataFrame | None:
@@ -575,12 +583,22 @@ class StreamingSemDedupLSH:
             .withColumn("n2", sq_norm(F.col("v")))
             .persist()
         )
-        keys = batch.select(
-            "vec_id",
-            F.posexplode(
-                lsh_band_buckets("v", self.dims, self.bands, self.planes_per_band)
-            ).alias("band", "bucket"),
-        ).persist()
+        keys = (
+            batch.select(
+                "vec_id",
+                F.posexplode(
+                    lsh_band_buckets(
+                        "v", self.dims, self.bands, self.planes_per_band
+                    )
+                ).alias("band", "bucket"),
+            )
+            .withColumn(
+                "bpre",
+                F.conv(F.substring("bucket", 1, self.prefix_bits), 2, 10)
+                .cast("int"),
+            )
+            .persist()
+        )
         d = F.col("d").cast("decimal(38,0)")
         over_tau = (F.col("d") > 0) & (
             d * d * F.lit(10000)
@@ -590,49 +608,46 @@ class StreamingSemDedupLSH:
         )
         try:
             # ---- external dups: batch vs the stored KEPT corpus.
-            # Batch keys broadcast; the stored key scan is IO-linear in
-            # the store but contributes no pairwise scoring beyond the
-            # bucket-verified candidates.
+            # The store is EXPLODED by (band, bpre) directory partitions
+            # with vectors co-located (sources/semlsh_index layout), so
+            # this read prunes to the partitions the batch occupies,
+            # verifies against the BROADCAST batch in place, and never
+            # shuffles a stored vector or re-joins a vectors table —
+            # per-trigger store IO is O(batch's bucket neighborhoods),
+            # not O(store).
             ext_ids: set[int] = set()
             sk = self._stored(self.bands_path, exclude_tag=tag)
-            # vectors are written BEFORE bands each epoch, so a bands
-            # store implies its vectors exist; the guard covers manual
-            # store surgery rather than any reachable crash state
-            sv = (
-                self._stored(self.vectors_path, exclude_tag=tag)
-                if sk is not None
-                else None
-            )
-            if sk is not None and sv is not None:
-                cand = (
-                    sk.join(
-                        F.broadcast(
-                            keys.select(
-                                F.col("vec_id").alias("bid"), "band", "bucket"
-                            )
-                        ),
-                        ["band", "bucket"],
-                    )
-                    .select(F.col("vec_id").alias("sid"), "bid")
-                    .distinct()
+            if sk is not None:
+                hit = [
+                    (r["band"], r["bpre"])
+                    for r in keys.select("band", "bpre").distinct().collect()
+                ]
+                by_band: dict[int, list[int]] = {}
+                for b, p in hit:
+                    by_band.setdefault(b, []).append(p)
+                pred = None
+                for b, ps in by_band.items():
+                    c = (F.col("band") == b) & F.col("bpre").isin(ps)
+                    pred = c if pred is None else (pred | c)
+                bk = keys.join(
+                    batch.select(
+                        "vec_id",
+                        F.col("v").alias("bvb"),
+                        F.col("n2").alias("nb2"),
+                    ),
+                    "vec_id",
+                ).select(
+                    F.col("vec_id").alias("bid"),
+                    "band", "bpre", "bucket", "bvb", "nb2",
                 )
                 ver = (
-                    cand.join(
-                        sv.select(
-                            F.col("vec_id").alias("sid"),
-                            F.col("v").alias("sva"),
-                            F.col("n2").alias("na2"),
-                        ),
-                        "sid",
+                    sk.filter(pred)
+                    .select(
+                        "band", "bpre", "bucket",
+                        F.col("v").alias("sva"),
+                        F.col("n2").alias("na2"),
                     )
-                    .join(
-                        batch.select(
-                            F.col("vec_id").alias("bid"),
-                            F.col("v").alias("bvb"),
-                            F.col("n2").alias("nb2"),
-                        ),
-                        "bid",
-                    )
+                    .join(F.broadcast(bk), ["band", "bpre", "bucket"])
                     .withColumn("d", dot(F.col("sva"), F.col("bvb")))
                     .filter(over_tau)
                 )
@@ -691,9 +706,17 @@ class StreamingSemDedupLSH:
             keeps.select("vec_id", "v", "n2").write.mode("overwrite").parquet(
                 os.path.join(self.vectors_path, f"ep={tag}")
             )
-            keys.join(drops_df, "vec_id", "left_anti").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.bands_path, f"ep={tag}"))
+            # kept band rows carry their vectors and land in (band,
+            # bpre) directory partitions — the prunable stored index
+            # the external-dup read above depends on
+            (
+                keys.join(drops_df, "vec_id", "left_anti")
+                .join(batch.select("vec_id", "v", "n2"), "vec_id")
+                .select("band", "bpre", "bucket", "vec_id", "v", "n2")
+                .write.mode("overwrite")
+                .partitionBy("band", "bpre")
+                .parquet(os.path.join(self.bands_path, f"ep={tag}"))
+            )
         finally:
             keys.unpersist()
             batch.unpersist()
@@ -733,6 +756,7 @@ class StreamingSemDedupLSH:
             "bands": _compact_parquet_dir(
                 self.spark, self.bands_path, "band", "bucket",
                 out_subdir="ep=compacted",
+                partition_by=["band", "bpre"],  # keep the prunable dirs
             ),
             "vectors": _compact_parquet_dir(
                 self.spark, self.vectors_path, "vec_id", "vec_id",

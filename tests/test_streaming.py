@@ -1603,3 +1603,40 @@ def test_bounded_greedy_matches_unbounded_on_random_pairs(spark):
         if any(a not in dropped for a in partners[b]):
             dropped.add(b)
     assert unbounded == dropped
+
+
+def test_streaming_semdedup_lsh_store_prunes_partitions(spark, tmp_path):
+    """The r11 prunable store law: kept band rows land in (band, bpre)
+    directory partitions with vectors co-located, and a batch-shaped
+    predicate reaches the scan as PartitionFilters — the external-dup
+    read touches only the batch's bucket neighborhoods, never the
+    whole store."""
+    import re
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    def vec(seed: int) -> list[int]:
+        return [((seed * 7 + j * 13) % 11 - 5) * 1000 for j in range(64)]
+
+    sd = StreamingSemDedupLSH(
+        spark, str(tmp_path / "idx"), str(tmp_path / "drops"),
+        dims=64, bands=8, planes_per_band=8, tau_sq_pct=9025,
+    )
+    b1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, v array<bigint>"
+    )
+    assert sd.apply_batch(b1, 0, "prune_law") is True
+    sk = sd._stored(sd.bands_path, exclude_tag="zzz")
+    assert {"band", "bpre", "bucket", "vec_id", "v", "n2"} <= set(sk.columns)
+    pred = (F.col("band") == 3) & F.col("bpre").isin([0, 1, 2])
+    plan = sk.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "band" in m.group(1) and "bpre" in m.group(1), plan
+    # and a second epoch still drops against the pruned store: an exact
+    # copy of a kept id must be caught as an external dup
+    kept_one = sd.kept().limit(1).collect()[0]
+    b2 = spark.createDataFrame(
+        [(1000, list(kept_one["v"]))], "vec_id long, v array<bigint>"
+    )
+    assert sd.apply_batch(b2, 1, "prune_law") is True
+    assert 1000 in {r["vec_id"] for r in sd.dropped().collect()}

@@ -110,12 +110,21 @@ def main() -> None:
             ).write.mode("overwrite").parquet(
                 os.path.join(lsh_sink.vectors_path, "ep=seed")
             )
-            seed.select(
-                "vec_id",
+            # r11 layout: band rows carry vectors and land in (band,
+            # bpre) directory partitions — the prunable stored index
+            seed.withColumn("n2", sq_norm(F.col("v"))).select(
+                "vec_id", "v", "n2",
                 F.posexplode(
                     lsh_band_buckets("v", 64, bands, r)
                 ).alias("band", "bucket"),
-            ).write.mode("overwrite").parquet(
+            ).withColumn(
+                "bpre",
+                F.conv(
+                    F.substring("bucket", 1, lsh_sink.prefix_bits), 2, 10
+                ).cast("int"),
+            ).select(
+                "band", "bpre", "bucket", "vec_id", "v", "n2"
+            ).write.mode("overwrite").partitionBy("band", "bpre").parquet(
                 os.path.join(lsh_sink.bands_path, "ep=seed")
             )
 
