@@ -121,13 +121,17 @@ HEADLINE = [
 
 
 # In-suite scan-control anchor (VERDICT r10 watch #1 / ask #2): a fixed
-# bare scan timed at suite start, pre-ingest, and suite end. NOMINAL is
-# this host's healthy-state best-of-3 (calibrated r11, quiet host); the
-# recorded ratios let the official artifact carry its own noise
-# attribution — scan ratios inflating WITH the suite ⇒ host character
-# (the r10 signature: controls at 1.46-1.61×), suite inflating alone ⇒
-# a real regression to profile.
-SCAN_CONTROL_NOMINAL_SEC = 0.25
+# bare scan timed at suite start, pre-ingest, and suite end. Ratios are
+# relative to the SAME RUN's suite_start anchor (ADVICE r11: a
+# hardcoded single-host nominal is meaningless on any other machine) —
+# within-run drift is what attributes noise: later anchors inflating
+# vs suite_start ⇒ host character (the r10 signature: controls at
+# 1.46-1.61×), suite inflating with flat anchors ⇒ a real regression to
+# profile. Absolute seconds are kept for cross-run comparison; an
+# optional env nominal adds a cross-host yardstick when calibrated.
+SCAN_CONTROL_NOMINAL_SEC = float(
+    os.environ.get("SPARK_GRAFT_SCAN_NOMINAL_SEC", "0") or 0
+)
 
 
 def _scan_control(spark, extra: dict, phase: str) -> None:
@@ -146,9 +150,13 @@ def _scan_control(spark, extra: dict, phase: str) -> None:
         ).count()
         best = min(best, time.perf_counter() - t0)
     extra[f"scan_control_{phase}_sec"] = round(best, 3)
-    extra[f"scan_control_{phase}_ratio"] = round(
-        best / SCAN_CONTROL_NOMINAL_SEC, 2
-    )
+    base = extra.get("scan_control_suite_start_sec")
+    if base:  # drift vs this run's own first anchor
+        extra[f"scan_control_{phase}_ratio"] = round(best / base, 2)
+    if SCAN_CONTROL_NOMINAL_SEC > 0:  # optional calibrated cross-host ratio
+        extra[f"scan_control_{phase}_vs_nominal"] = round(
+            best / SCAN_CONTROL_NOMINAL_SEC, 2
+        )
 
 
 def _warmup(spark) -> None:
@@ -666,7 +674,7 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         # r11 probes on a quiet host read max 10.8/20.0/23.6 ms across
         # three otherwise-identical trials); the pass with the lower max
         # is the serving path, the other is the kernel's tail
-        best_lats: list[float] | None = None
+        passes: list[list[float]] = []
         for p in range(2):
             lats: list[float] = []
             for i in range(60):
@@ -676,12 +684,18 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
                 )
                 lats.append((time.perf_counter() - t0) * 1000)
             lats.sort()
-            if best_lats is None or lats[-1] < best_lats[-1]:
-                best_lats = lats
-        lats = best_lats
+            passes.append(lats)
+        passes.sort(key=lambda ls: ls[-1])
+        lats, other = passes[0], passes[1]
         extra["produce_latency_ms_p50"] = round(lats[len(lats) // 2], 1)
         extra["produce_latency_ms_p95"] = round(lats[(len(lats) * 95) // 100], 1)
         extra["produce_latency_ms_max"] = round(lats[-1], 1)
+        # the DISCARDED pass's tail stays visible (ADVICE r11: best-of-2
+        # selection must not silently drop the other pass's numbers)
+        extra["produce_latency_ms_p95_pass2"] = round(
+            other[(len(other) * 95) // 100], 1
+        )
+        extra["produce_latency_ms_max_pass2"] = round(other[-1], 1)
         # unkeyed requests fan out over every partition (more files per
         # request) — report separately, like the reference's two modes
         ulats: list[float] = []
@@ -721,7 +735,7 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
         # re-pays warm-start + cold loads; only host noise differs.
         from polar_spark.consume import _SEG_CACHE
 
-        best: list[float] | None = None
+        poll_passes: list[list[float]] = []
         for attempt in range(2):
             _SEG_CACHE.clear()
             os.sync()
@@ -741,12 +755,17 @@ def _bench_ingest_consume(spark, timings: dict[str, float], extra: dict[str, flo
                 plats.append((time.perf_counter() - t0) * 1000)
             assert served > 0  # the loop never ran dry mid-measurement
             plats.sort()
-            if best is None or plats[(len(plats) * 95) // 100] < best[(len(best) * 95) // 100]:
-                best = plats
-        plats = best
+            poll_passes.append(plats)
+        poll_passes.sort(key=lambda ls: ls[(len(ls) * 95) // 100])
+        plats, pother = poll_passes[0], poll_passes[1]
         extra["poll_latency_ms_p50"] = round(plats[len(plats) // 2], 1)
         extra["poll_latency_ms_p95"] = round(plats[(len(plats) * 95) // 100], 1)
         extra["poll_latency_ms_max"] = round(plats[-1], 1)
+        # discarded pass's tail (ADVICE r11, same rationale as produce)
+        extra["poll_latency_ms_p95_pass2"] = round(
+            pother[(len(pother) * 95) // 100], 1
+        )
+        extra["poll_latency_ms_max_pass2"] = round(pother[-1], 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -905,6 +924,24 @@ def main() -> None:
         "extra": extra,
     }
     print("BENCH_DETAIL " + json.dumps(detail), flush=True)
+    # ...and to a committed artifact file (VERDICT r11 ask #1): the
+    # driver's stdout tail capture is ~2,000 chars, so the BENCH_DETAIL
+    # line gets decapitated in the official record — a 61-query map
+    # physically cannot ride the trailing JSON line. The file survives
+    # (the driver commits the worktree each round), and the summary
+    # line points at it, so the official artifact pair is
+    # self-contained: summary = anchors + headline + slowest-query
+    # attribution, file = everything.
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_LATEST.json",
+        )
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line above still has it
 
     # ...then a compact summary as the FINAL line (VERDICT r4 #1): the
     # driver keeps only the last 2,000 chars of output and parses the
@@ -937,6 +974,12 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
         "ingest_events",
         "consume_events",
     ]
+    # slowest-5 by absolute time: with the detail file, this is what
+    # lets the summary line ALONE answer "which query got slower" —
+    # any regression big enough to move the suite wall shows up here
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     summary = {
         "metric": "suite_seconds",
         "value": total,
@@ -945,6 +988,16 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
         "queries": {q: timings[q] for q in key_queries if q in timings},
         "extra": {
             "n_queries": len(timings),
+            "slowest": slowest,
+            # all three in-suite scan anchors (VERDICT r11 ask #1):
+            # "was the host quiet" is answerable from this line alone
+            "scan_start_sec": extra.get("scan_control_suite_start_sec"),
+            "scan_end_sec": extra.get("scan_control_suite_end_sec"),
+            "scan_pre_ingest_sec": extra.get("scan_control_pre_ingest_sec"),
+            "scan_end_ratio": extra.get("scan_control_suite_end_ratio"),
+            "scan_pre_ingest_ratio": extra.get(
+                "scan_control_pre_ingest_ratio"
+            ),
             "ingest_msgs_per_sec": extra.get("ingest_msgs_per_sec"),
             "ingest_unkeyed_msgs_per_sec": extra.get("ingest_unkeyed_msgs_per_sec"),
             "consume_msgs_per_sec": extra.get("consume_msgs_per_sec"),
@@ -964,12 +1017,17 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "scale100_ratio": extra.get("scale100_ratio"),
             "scale100_scan_ratio": extra.get("scale100_scan_ratio"),
             "mem_jvm_peak_rss_mb": extra.get("mem_ingest_jvm_peak_rss_mb"),
-            "detail": "full per-query JSON on the BENCH_DETAIL line above",
+            "detail": "BENCH_DETAIL_LATEST.json (committed)",
         },
     }
     line = json.dumps(summary)
     if len(line) > SUMMARY_MAX_CHARS:  # never outgrow the tail capture
         summary["queries"] = {}
+        line = json.dumps(summary)
+    if len(line) > SUMMARY_MAX_CHARS:  # shed the big maps before extras
+        summary["extra"]["slowest"] = {}
+        summary["extra"]["scale100_ratio"] = None
+        summary["extra"]["scale100_scan_ratio"] = None
         line = json.dumps(summary)
     if len(line) > SUMMARY_MAX_CHARS:
         # the fixed fields themselves outgrew the cap (ADVICE r5): shed

@@ -1068,7 +1068,10 @@ def _free_local_checkpoint(df: DataFrame) -> None:
             # reverting eager freeing to GC-time release — the 100×-CC
             # storage behavior) is observable in production runs
             _FREE_CKPT_WARNED = True
-            logging.getLogger(__name__).debug(
+            # WARNING, not DEBUG (ADVICE r11): this fires once and
+            # signals a real storage-behavior regression that default
+            # production logging configs must not filter out
+            logging.getLogger(__name__).warning(
                 "local-checkpoint eager free disabled: analyzed plan is "
                 "%s, not LogicalRDD (Spark internals changed?); blocks "
                 "release at GC time instead",

@@ -24,68 +24,64 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 ask #5): (a) the queries this
-    # round's changes touch — the NEW stored-index semdedup, the salted
-    # recall ground truth, the LSH sink whose greedy is now
-    # driver-bounded, and the consume flow behind the segment-cache
-    # steal-tombstone fix; then (b) the ~44 OLDEST-driver-evidence
-    # entries (last sampled r4-r7 — stateful trio, curation family,
-    # multimodal, breadth queries) so cumulative driver evidence
-    # refreshes oldest-first.
-    "semdedup_lsh_stored",  # NEW r11 — partition-local stored-index verify
-    "semdedup_recall_lsh_vs_exact",  # r11: salted pair generation
-    "semdedup_lsh_incremental",  # r11: sink greedy now driver-bounded
-    "consume_poll_window",  # r11: steal-tombstone in the segment cache
-    "consume_log_start_jump",  # r11: consume flow re-proof
-    # oldest driver evidence (r4)
-    "quantiles_order_prices",
-    "quota_downsample_per_source",
-    "retention_cohort_daily",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "split_train_eval_deterministic",
-    "sql_correlated_scalar_subquery",
-    "sql_not_in_null_aware",
-    "stateful_dedup_builtin",
-    "stateful_dedup_stream",
-    "stream_join_click_purchase",
-    "text_redact_numbers",
-    "window_function_breadth",
-    # oldest driver evidence (r5)
-    "debounce_repeated_events",
-    "event_rate_anomaly",
-    "impute_group_median",
-    "outlier_iqr_by_type",
-    "profile_table_stats",
-    "referential_integrity_audit",
-    "scd2_user_type_intervals",
-    "session_entry_exit_paths",
-    "top_event_transitions",
-    # oldest driver evidence (r6)
-    "binary_frame_roundtrip",
-    "bpe_pair_merge_counts",
-    "consume_seek_timestamp",
-    "customer_rfm_segments",
-    "customer_rfm_segments_approx",
-    "dup_span_detect",
-    "equidepth_hist_doc_lengths",
-    "equidepth_hist_doc_lengths_approx",
-    "knn_ivfpq_recall_law",
-    "knn_pq_recall_law",
-    "multimodal_audio_energy",
-    "ndjson_roundtrip",
-    "pivot_user_cohort_events",
-    "q13_order_count_dist",
-    "q4_priority_late_ship",
-    "sketch_cm_stream_vs_batch",
-    "stateful_offset_assign",
-    # oldest driver evidence (r7)
-    "argmax_top_event",
-    "chunk_documents_sliding",
-    "dedup_exact_canonical",
+    # Round-12 rotation (VERDICT r11 ask #2): (a) knn_ivf_twolevel_cells —
+    # the ONLY registry entry never driver-sampled (added late r11); (b)
+    # the 18 entries whose last driver evidence predates r8 — the
+    # multimodal trio, q12/q16/q20/q21, breadth/subquery/pagination
+    # entries, er_fuzzy, json_payload, and the 4 rows-only similarity
+    # entries (driver runs their weaker rows-only check; their hash-green
+    # law twins stay in the sweep); then (c) the queries this round's
+    # changes touch (stored-index append path, streaming sink auto-select,
+    # distributed greedy). Everything else follows in registration order.
+    "knn_ivf_twolevel_cells",  # never driver-sampled (added late r11)
+    # pre-r8 driver evidence (VERDICT r11 "stale 18")
+    "er_fuzzy_name_pairs",
+    "json_payload_extract",
+    "multimodal_blob_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "q12_late_lines_by_status",
+    "q16_supplier_cnt_by_part",
+    "q20_excess_qty_suppliers",
+    "q21_waiting_suppliers",
+    "pagination_offset_limit",
+    "scalar_function_breadth",
+    "sql_exists_subquery",
+    "knn_ivf_trained",  # rows-only by design
+    "knn_pq_adc",  # rows-only by design
+    "knn_ivfpq_stored",  # rows-only by design
+    "semdedup_incremental",  # rows-only by design
+    # r12-touched code paths
+    "semdedup_lsh_stored",  # r12: append/incremental ingest added
+    "semdedup_lsh_incremental",  # r12: distributed past-cap greedy
+    "semdedup_recall_lsh_vs_exact",
     "dedup_minhash_lsh",
-    "distinct_aggregates",
-    "doc_fingerprint_rolling",
+    "dedup_minhash_verified",
+    "dedup_keep_list",
+    # next-oldest driver evidence (r8) to keep the window rotating
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lang_id_heuristic",
+    "gopher_quality_filter",
+    "token_count_bpe_ish",
+    "bm25_topk_docs",
+    "sketch_cm_heavy_hitters",
+    "sketch_kmv_distinct_users",
+    "sketch_hll_distinct_users",
+    "drift_psi_length_buckets",
+    "dsir_importance_scores",
+    "lm_bigram_nll_score",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q22_dormant_customers",
+    "zorder_pruning_stats",
+    "bloom_semi_join_orders",
+    "asof_click_next_purchase",
+    "range_join_value_bands",
+    "session_windows_30m",
+    "window_sliding_1h_30m",
+    "window_tumbling_hourly",
 )
 
 

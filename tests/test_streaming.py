@@ -1640,3 +1640,130 @@ def test_streaming_semdedup_lsh_store_prunes_partitions(spark, tmp_path):
     )
     assert sd.apply_batch(b2, 1, "prune_law") is True
     assert 1000 in {r["vec_id"] for r in sd.dropped().collect()}
+
+
+def test_streaming_semdedup_lsh_legacy_store_migrates(spark, tmp_path):
+    """ADVICE r11 (medium): a stream resuming over a store written by
+    the pre-r11 FLAT bands layout (vec_id/band/bucket files, vectors in
+    a separate table, no band=/bpre= dirs) must not fail partition
+    discovery or miss cross-batch dups — the sink detects the legacy
+    layout, rebuilds the exploded store from the kept-vectors table
+    (the source of truth), and pins a format-version marker so the
+    check is one stat() thereafter."""
+    import json
+    import os
+    import shutil
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    def vec(seed: int) -> list[int]:
+        return [((seed * 7 + j * 13) % 11 - 5) * 1000 for j in range(64)]
+
+    idx, drops = str(tmp_path / "mig_idx"), str(tmp_path / "mig_drops")
+    sd = StreamingSemDedupLSH(
+        spark, idx, drops, dims=64, bands=8, planes_per_band=8,
+        tau_sq_pct=9025,
+    )
+    b1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, v array<bigint>"
+    )
+    assert sd.apply_batch(b1, 0, "mig_law") is True
+
+    # devolve the bands store to the legacy flat layout: one ep dir of
+    # bare (vec_id, band, bucket) files, vectors only in vectors/
+    legacy_rows = (
+        spark.read.parquet(sd.bands_path)
+        .select("vec_id", "band", "bucket")
+    )
+    legacy_pdf = legacy_rows.toPandas()
+    shutil.rmtree(sd.bands_path)
+    spark.createDataFrame(legacy_pdf).write.parquet(
+        os.path.join(sd.bands_path, "ep=legacy0")
+    )
+    os.remove(sd._format_marker)
+
+    # a fresh sink instance (the resumed stream) must migrate, then
+    # catch an exact copy of a kept id as an external dup
+    sd2 = StreamingSemDedupLSH(
+        spark, idx, drops, dims=64, bands=8, planes_per_band=8,
+        tau_sq_pct=9025,
+    )
+    kept_one = sd2.kept().limit(1).collect()[0]
+    b2 = spark.createDataFrame(
+        [(1000, list(kept_one["v"]))], "vec_id long, v array<bigint>"
+    )
+    assert sd2.apply_batch(b2, 1, "mig_law") is True
+    assert 1000 in {r["vec_id"] for r in sd2.dropped().collect()}
+    # marker pinned, legacy dir gone, every ep dir is partitioned
+    with open(sd2._format_marker) as f:
+        assert json.load(f)["bands_layout"] == sd2._FORMAT_VERSION
+    for ep in os.scandir(sd2.bands_path):
+        if ep.is_dir() and ep.name.startswith("ep="):
+            entries = list(os.scandir(ep.path))
+            # an all-dropped epoch writes only _SUCCESS/._SUCCESS.crc
+            # metadata; any DATA must live under band= directories
+            assert any(
+                e.name.startswith("band=") for e in entries
+            ) or all(
+                e.name.startswith(("_", ".")) for e in entries
+            ), ep.path
+
+
+def test_streaming_semdedup_lsh_legacy_without_vectors_fails(
+    spark, tmp_path
+):
+    """A legacy bands store with NO kept-vectors table to rebuild from
+    must fail with an explicit migration error, not silently disable
+    cross-batch dedup."""
+    import os
+
+    import pytest as _pytest
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    idx, drops = str(tmp_path / "nv_idx"), str(tmp_path / "nv_drops")
+    sd = StreamingSemDedupLSH(
+        spark, idx, drops, dims=64, bands=4, planes_per_band=4,
+    )
+    spark.createDataFrame(
+        [(1, 0, "0101")], "vec_id long, band int, bucket string"
+    ).write.parquet(os.path.join(sd.bands_path, "ep=legacy0"))
+    b = spark.createDataFrame(
+        [(7, [1000] * 64)], "vec_id long, v array<bigint>"
+    )
+    with _pytest.raises(RuntimeError, match="pre-r11 flat layout"):
+        sd.apply_batch(b, 0, "nv_law")
+
+
+def test_semdedup_sink_auto_crossover(spark, tmp_path):
+    """semdedup_sink_auto picks the physical plan by expected store
+    size (VERDICT r11 ask #5): IVF-cell below the measured crossover
+    (given a codebook), banded-LSH at/after it — with the LSH operating
+    point sized for the EXPECTED corpus, not the seed."""
+    from polar_spark.functions.similarity import lsh_operating_point
+    from polar_spark.streaming.dedup import (
+        SEMDEDUP_SINK_CROSSOVER_N,
+        StreamingSemDedup,
+        StreamingSemDedupLSH,
+        semdedup_sink_auto,
+    )
+
+    cents = [(0, [1000] * 64)]
+    small = semdedup_sink_auto(
+        spark, str(tmp_path / "a"), str(tmp_path / "ad"), 64,
+        expected_store_n=40_000, centroids=cents,
+    )
+    assert isinstance(small, StreamingSemDedup)
+    big = semdedup_sink_auto(
+        spark, str(tmp_path / "b"), str(tmp_path / "bd"), 64,
+        expected_store_n=10 * SEMDEDUP_SINK_CROSSOVER_N,
+    )
+    assert isinstance(big, StreamingSemDedupLSH)
+    b, r = lsh_operating_point(10 * SEMDEDUP_SINK_CROSSOVER_N, 0.95, 0.95)
+    assert (big.bands, big.planes_per_band) == (b, r)
+    # no codebook to cell-assign against → LSH regardless of size
+    nc = semdedup_sink_auto(
+        spark, str(tmp_path / "c"), str(tmp_path / "cd"), 64,
+        expected_store_n=40_000,
+    )
+    assert isinstance(nc, StreamingSemDedupLSH)

@@ -20,7 +20,8 @@ vectors the cell sink is FASTER (one numpy matmul against 2.5k-vector
 cells beats the LSH sink's multi-job fixed overhead) — the crossover
 is a store-size question, which is exactly what this tool measures.
 
-Usage: python tools/measure_semlsh_trigger.py
+Usage: python tools/measure_semlsh_trigger.py [factors...]
+       (merge-resumes into the report: completed factors are kept)
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        POLAR_TRIGGER_REPORT (default STREAM_TRIGGER_r10.json)
 """
@@ -64,9 +65,15 @@ def main() -> None:
     report = os.environ.get(
         "POLAR_TRIGGER_REPORT", os.path.join(REPO, "STREAM_TRIGGER_r10.json")
     )
+    factors = [int(a) for a in sys.argv[1:]] or FACTORS
     out: dict = {"tau": 0.95, "probe_batch": PROBE, "points": []}
+    if os.path.exists(report):  # merge-resume: keep completed factors
+        with open(report) as fh:
+            out = json.load(fh)
+        done = {pt["factor"] for pt in out.get("points", [])}
+        factors = [f for f in factors if f not in done]
 
-    for factor in FACTORS:
+    for factor in factors:
         corpus = tempfile.mkdtemp(prefix=f"semlsh_c{factor}_")
         work = tempfile.mkdtemp(prefix=f"semlsh_w{factor}_")
         try:
@@ -144,7 +151,10 @@ def main() -> None:
                 "cell_probe_drops": cd, "lsh_probe_drops": ld,
             }
             out["points"].append(pt)
+            out["points"].sort(key=lambda q: q["factor"])
             print(json.dumps(pt), flush=True)
+            with open(report, "w") as fh:  # checkpoint per factor
+                json.dump(out, fh, indent=1)
             qv.unpersist()
         finally:
             shutil.rmtree(corpus, ignore_errors=True)
@@ -152,14 +162,17 @@ def main() -> None:
 
     p = out["points"]
     if len(p) >= 2:
+        import math
+
+        # normalize by ACTUAL store-size decades spanned (the point
+        # list is no longer one decade per step once 2000x/4000x join)
+        decades = math.log10(p[-1]["store_n"] / p[0]["store_n"])
         out["cell_growth_per_decade"] = round(
-            (p[-1]["cell_probe_s"] / p[0]["cell_probe_s"])
-            ** (1 / (len(p) - 1)),
+            (p[-1]["cell_probe_s"] / p[0]["cell_probe_s"]) ** (1 / decades),
             2,
         )
         out["lsh_growth_per_decade"] = round(
-            (p[-1]["lsh_probe_s"] / p[0]["lsh_probe_s"])
-            ** (1 / (len(p) - 1)),
+            (p[-1]["lsh_probe_s"] / p[0]["lsh_probe_s"]) ** (1 / decades),
             2,
         )
     with open(report, "w") as fh:
