@@ -81,8 +81,13 @@ def main() -> None:
                 spark, corpus, factor=factor, tables=("embeddings",),
                 emb_mode="signs",
             )
+            # the derived corpus lands as ONE parquet file (the build
+            # explodes a single-partition source), so without this the
+            # store-seeding explode+write below runs as ONE task — at
+            # factor 2000 that is a multi-hour single-thread crawl
             qv = (
                 load_table(spark, corpus, "embeddings")
+                .repartition(32, "vec_id")
                 .select("vec_id", quantize("embedding").alias("v"))
                 .persist()
             )
