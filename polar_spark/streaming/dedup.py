@@ -549,10 +549,11 @@ class StreamingSemDedup:
 # Measured cell-vs-LSH per-trigger crossover (STREAM_TRIGGER_r11/r12):
 # below ~2M stored vectors the IVF-cell sink's one cogrouped numpy pass
 # beats the LSH sink's multi-job fixed overhead (4.0 s vs 15.9 s at a
-# 36k store); the cell sink's per-trigger cost then grows ~2.3x per
-# decade of store (fixed codebook ⇒ cells grow with the corpus) while
-# the prunable LSH store holds ~1.2x per decade, crossing near a 2M
-# store and diverging after (20.9 s vs 22.6 s at 2M).
+# 36k store); the cell sink's per-trigger cost then grows with the
+# corpus (fixed codebook ⇒ cells grow with the store) while the
+# prunable LSH store's stays near-flat, crossing near a 2M store
+# (21.0 s vs 22.6 s) and diverging after: 86.7 vs 48.4 s at 4M,
+# 93.9 vs 56.9 s at 8M (probe drops exact at every point).
 SEMDEDUP_SINK_CROSSOVER_N = 2_000_000
 
 
