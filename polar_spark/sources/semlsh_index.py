@@ -209,6 +209,57 @@ def append_semlsh_index(
     )
 
 
+def compact_semlsh_index(
+    spark: SparkSession, table: str, path: str
+) -> dict[str, int]:
+    """Re-roll an appended store into ~one file per bucket — ONE IO
+    pass over the already-exploded rows (no re-explode, no matmul: the
+    cost :func:`append_semlsh_index` avoids stays avoided). Each
+    append adds one file per (task, touched bucket); after many small
+    appends the bucketed read opens many files per bucket. The rewrite
+    reads bucket-aligned (no Exchange — the scan satisfies the write's
+    bucketing) into a NEW path, re-pins the operating-point
+    properties, then swaps the catalog name. The old path is the
+    caller's to delete once nothing reads it.
+
+    Same caller contract as the streaming sink's ``compact()``:
+    serialize against concurrent appends."""
+    p = semlsh_index_params(spark, table)
+    files_before = spark.table(table).inputFiles()
+    tmp = f"{table}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # force the BUCKETED scan for the rewrite: auto-bucketed-scan
+    # de-buckets this read (a bare write "doesn't benefit" from
+    # clustering in the optimizer's eyes, and an explicit repartition
+    # gets removed as redundant against the bucketed scan's reported
+    # partitioning) — leaving one write task per INPUT FILE, i.e. no
+    # compaction at all. With the bucketed scan on, one task owns each
+    # bucket's whole file set and emits exactly one output file.
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        (
+            spark.table(table)
+            .write.mode("overwrite")
+            .bucketBy(p["num_buckets"], "band", "bpre")
+            .sortBy("band", "bpre")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    props = ", ".join(
+        f"'polar.semlsh.{k}' = '{int(v)}'" for k, v in p.items()
+    )
+    spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({props})")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    files_after = spark.table(table).inputFiles()
+    return {"files_before": len(files_before), "files_after": len(files_after)}
+
+
 def _verify_group_fn(tau_sq_pct: int):
     """Per-(band,bpre)-group verifier: numpy pairwise dots per full
     bucket, exact integer threshold, emits drop ids (higher id of every

@@ -188,6 +188,49 @@ def test_append_equals_rebuild(spark, tmp_path, qv):
         spark.sql("DROP TABLE IF EXISTS semlsh_rebuilt")
 
 
+def test_compact_after_appends(spark, tmp_path, qv):
+    """compact_semlsh_index re-rolls per-append bucket files in one IO
+    pass (no re-explode): drops bit-identical before/after, files per
+    bucket reduced, operating-point properties re-pinned, and the
+    zero-Exchange verify plan intact on the compacted table."""
+    from polar_spark.sources.semlsh_index import (
+        append_semlsh_index,
+        compact_semlsh_index,
+        semlsh_index_params,
+    )
+
+    thirds = [qv.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+    _with_table(spark, tmp_path, "semlsh_cmp", thirds[0], 16, 4)
+    try:
+        append_semlsh_index(thirds[1], "semlsh_cmp")
+        append_semlsh_index(thirds[2], "semlsh_cmp")
+        before = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_cmp", 1600)
+        )
+        p_before = semlsh_index_params(spark, "semlsh_cmp")
+        stats = compact_semlsh_index(
+            spark, "semlsh_cmp", str(tmp_path / "semlsh_cmp_v2")
+        )
+        # one file per bucket exactly: the rewrite rides the forced
+        # bucketed scan, one task owning each bucket's whole file set
+        assert stats["files_after"] == p_before["num_buckets"]
+        assert stats["files_after"] < stats["files_before"]
+        assert semlsh_index_params(spark, "semlsh_cmp") == p_before
+        after = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_cmp", 1600)
+        )
+        assert after == before and len(after) > 0
+        plan = (
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_cmp", 1600)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert len(exchanges) == 1 and "drop_id" in exchanges[0], plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_cmp")
+        spark.sql("DROP TABLE IF EXISTS semlsh_cmp_compacting")
+
+
 def test_append_requires_pinned_params(spark, tmp_path, qv):
     """append_semlsh_index must refuse a table without the pinned
     operating point rather than explode with mismatched planes."""
