@@ -623,6 +623,111 @@ def lsh_band_buckets(
     return buckets(c)
 
 
+def lsh_band_bucket_ids(
+    vec_col: str | Column,
+    dims: int,
+    bands: int = LSH_BANDS,
+    planes_per_band: int = LSH_BAND_PLANES,
+) -> Column:
+    """Per-band sign-LSH bucket ids as INTEGERS: ``array<long>`` where
+    element ``t`` is band ``t``'s bucket id — the bit-string of
+    :func:`lsh_band_buckets` parsed MSB-first (identical value to
+    ``conv(bucket, 2, 10)``), from the SAME shared md5-derived
+    hyperplane family, so the two forms are interchangeable keys.
+
+    This is the stored-index form (sources/semlsh_index r13 packed
+    layout): an int64 bucket costs 8 bytes/row where the bit-string
+    cost ``planes_per_band`` chars + string overhead, and the bucket
+    prefix used for directory/group pruning becomes one shift
+    (``bucket >> (r - prefix_bits)``) instead of substring+conv."""
+    r = int(planes_per_band)
+    if bands < 1 or r < 1:
+        raise ValueError(
+            f"bands and planes_per_band must be >= 1, got ({bands}, {r})"
+        )
+    if r > 62:
+        raise ValueError(f"planes_per_band must fit an int64 bucket, got {r}")
+    W = np.array(
+        hyperplane_weights(dims, bands * r), dtype=np.int64
+    )  # (bands·r, d)
+    pw = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)  # MSB-first
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        proj = _mat(v) @ W.T  # (n, bands·r)
+        bits = (proj >= 0).astype(np.int64).reshape(-1, bands, r)
+        ids = bits @ pw  # (n, bands)
+        return pd.Series(list(ids))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return bucket_ids(c)
+
+
+# Packed-vector codec: a quantized int64 vector whose values fit the
+# declared width is stored as ONE fixed-size little-endian binary blob.
+# vs array<bigint> this is lossless and 4× smaller at width 2 before
+# parquet even sees it (8 B → 2 B per element, plus it sheds the
+# per-element repetition/definition levels a parquet LIST carries).
+# The quantize contract (floor(x·1e4)) keeps any |x| ≤ 3.27 embedding
+# inside int16; wider-range corpora pin width=4 in their store props.
+_PACK_DTYPES = {2: "<i2", 4: "<i4", 8: "<i8"}
+
+
+def pack_vec(col: str | Column, width: int = 2) -> Column:
+    """Quantized int64 vector → packed little-endian binary of the
+    given element ``width`` (bytes). Raises in the task (loud, not
+    lossy) if any component overflows the width — callers choose a
+    wider pack instead of silently corrupting dots."""
+    dt = _PACK_DTYPES[int(width)]
+    lim = (1 << (8 * int(width) - 1)) - 1
+
+    @pandas_udf("binary")
+    def pk(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = _mat(v)
+        if len(M) and int(np.abs(M).max()) > lim:
+            raise ValueError(
+                f"vector component exceeds pack width {width} "
+                f"(|x| > {lim}); write the store with a wider vbytes"
+            )
+        P = M.astype(dt)
+        return pd.Series([row.tobytes() for row in P])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return pk(c)
+
+
+def unpack_mat(s: pd.Series, width: int = 2) -> np.ndarray:
+    """Pandas-side inverse of :func:`pack_vec`: (n, dims) int64 matrix
+    from a Series of packed binary blobs (equal-length contract)."""
+    dt = _PACK_DTYPES[int(width)]
+    return np.stack(
+        [np.frombuffer(b, dtype=dt) for b in s.to_numpy()]
+    ).astype(np.int64, copy=False)
+
+
+def dot_packed(a: Column, b: Column, width: int = 2) -> Column:
+    """Exact integer dot of two :func:`pack_vec`-packed vectors — the
+    packed twin of :func:`dot` (same int64 arithmetic after unpack, so
+    results are bit-identical to the list form)."""
+    dt = _PACK_DTYPES[int(width)]
+
+    @pandas_udf(LongType())
+    def dp(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack([np.frombuffer(x, dtype=dt) for x in a.to_numpy()])
+        B = np.stack([np.frombuffer(x, dtype=dt) for x in b.to_numpy()])
+        return pd.Series(
+            (A.astype(np.int64) * B.astype(np.int64)).sum(axis=1)
+        )
+
+    return dp(a, b)
+
+
 def lsh_operating_point(
     n: int, tau: float, target_recall: float = 0.95
 ) -> tuple[int, int]:

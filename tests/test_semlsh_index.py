@@ -161,7 +161,7 @@ def test_append_equals_rebuild(spark, tmp_path, qv):
         p = semlsh_index_params(spark, "semlsh_appended")
         assert p == {
             "dims": 64, "bands": 16, "planes_per_band": 4,
-            "prefix_bits": 4, "num_buckets": 32,
+            "prefix_bits": 4, "num_buckets": 32, "vbytes": 2,
         }
         append_semlsh_index(half_b, "semlsh_appended")
         appended = _drops(
@@ -247,8 +247,12 @@ def test_append_requires_pinned_params(spark, tmp_path, qv):
 
 
 def test_store_rows_shape(spark, tmp_path, qv):
-    """Store contract: n·bands rows, bpre = leading prefix-bit int of
-    the bucket, n2 matches the quantized self-dot."""
+    """Store contract (r13 packed layout): n·bands rows, int64 bucket,
+    bpre = leading prefix-bit int of the bucket (one shift), vq the
+    lossless int16 pack of the quantized vector, n2 the exact
+    self-dot."""
+    import numpy as np
+
     t = _with_table(
         spark, tmp_path, "semlsh_shape", qv, 8, 6, prefix_bits=3
     )
@@ -256,13 +260,138 @@ def test_store_rows_shape(spark, tmp_path, qv):
         store = spark.table(t)
         n = qv.count()
         assert store.count() == n * 8
+        assert dict(store.dtypes)["vq"] == "binary"
+        assert dict(store.dtypes)["bucket"] == "bigint"
         bad = store.filter(
-            F.conv(F.substring("bucket", 1, 3), 2, 10).cast("int")
-            != F.col("bpre")
+            F.shiftright("bucket", 6 - 3).cast("int") != F.col("bpre")
         ).count()
         assert bad == 0
         assert store.filter(~F.col("bpre").between(0, 7)).count() == 0
         one = store.limit(1).collect()[0]
-        assert one["n2"] == sum(x * x for x in one["v"])
+        v = np.frombuffer(one["vq"], dtype="<i2").astype(int)
+        assert len(v) == 64
+        assert one["n2"] == int((v * v).sum())
+        # packed payload is 4x the raw cut: 2 bytes/dim vs 8
+        assert len(one["vq"]) == 64 * 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_legacy_array_layout_still_reads(spark, tmp_path, qv):
+    """Backward compat: a pre-r13 table (string buckets, array<bigint>
+    vectors, no vbytes prop) verifies to the SAME drop set as the
+    packed layout, and append into it keeps the legacy row shape."""
+    from polar_spark.sources.semlsh_index import (
+        append_semlsh_index,
+        semlsh_store_df,
+    )
+
+    rows = semlsh_store_df(
+        qv.filter(F.col("vec_id") % 2 == 0), 64, 16, 4, prefix_bits=4,
+        packed=False,
+    )
+    (
+        rows.write.mode("overwrite")
+        .bucketBy(32, "band", "bpre")
+        .sortBy("band", "bpre")
+        .option("path", str(tmp_path / "legacy"))
+        .format("parquet")
+        .saveAsTable("semlsh_legacy")
+    )
+    spark.sql(
+        "ALTER TABLE semlsh_legacy SET TBLPROPERTIES ("
+        "'polar.semlsh.dims'='64','polar.semlsh.bands'='16',"
+        "'polar.semlsh.planes_per_band'='4','polar.semlsh.prefix_bits'='4',"
+        "'polar.semlsh.num_buckets'='32')"
+    )
+    try:
+        append_semlsh_index(qv.filter(F.col("vec_id") % 2 == 1), "semlsh_legacy")
+        tbl = spark.table("semlsh_legacy")
+        assert dict(tbl.dtypes)["v"] == "array<bigint>"  # shape preserved
+        legacy = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_legacy", 1600)
+        )
+        shuffled = _drops(
+            semdedup_lsh_drop_ids(
+                qv, 64, bands=16, planes_per_band=4, tau_sq_pct=1600
+            )
+        )
+        assert legacy == shuffled and len(legacy) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_legacy")
+
+
+def test_pack_overflow_raises(spark):
+    """pack_vec must fail LOUDLY on a component beyond the pack width —
+    a silent wrap would corrupt every downstream dot."""
+    from polar_spark.functions.similarity import pack_vec
+
+    df = spark.createDataFrame(
+        [(0, [40000] * 4)], "vec_id long, v array<bigint>"
+    )
+    with pytest.raises(Exception, match="pack width"):
+        df.select(pack_vec("v", 2)).collect()
+    # the wide pack takes it
+    assert df.select(pack_vec("v", 4).alias("b")).first()["b"] is not None
+
+
+def test_compact_rejects_inplace_path(spark, tmp_path, qv):
+    """compact_semlsh_index must refuse the table's CURRENT location as
+    the rewrite target (overwrite would clobber its own input,
+    ADVICE r12)."""
+    from polar_spark.sources.semlsh_index import compact_semlsh_index
+
+    _with_table(spark, tmp_path, "semlsh_guard", qv.limit(50), 4, 4)
+    try:
+        with pytest.raises(ValueError, match="current location"):
+            compact_semlsh_index(
+                spark, "semlsh_guard", str(tmp_path / "semlsh_guard")
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_guard")
+
+
+def test_swap_recovery_mid_compact(spark, tmp_path, qv):
+    """The DROP→RENAME crash window: simulate a kill after DROP by
+    hand-constructing the half-swapped state (tmp table complete and
+    property-pinned, canonical name unbound). The next touch of the
+    store — params lookup or verify — must rename tmp back, and drops
+    must be bit-identical to pre-crash."""
+    from polar_spark.sources.semlsh_index import (
+        recover_semlsh_swap,
+        semlsh_index_params,
+    )
+
+    _with_table(spark, tmp_path, "semlsh_swap", qv, 16, 4)
+    try:
+        before = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_swap", 1600)
+        )
+        p = semlsh_index_params(spark, "semlsh_swap")
+        # the compact body up to (and including) DROP, minus the RENAME
+        spark.table("semlsh_swap").write.mode("overwrite").bucketBy(
+            32, "band", "bpre"
+        ).sortBy("band", "bpre").option(
+            "path", str(tmp_path / "swap_v2")
+        ).format("parquet").saveAsTable("semlsh_swap_compacting")
+        props = ", ".join(
+            f"'polar.semlsh.{k}' = '{int(v)}'" for k, v in p.items()
+        )
+        spark.sql(
+            f"ALTER TABLE semlsh_swap_compacting SET TBLPROPERTIES ({props})"
+        )
+        spark.sql("DROP TABLE semlsh_swap")
+        assert not spark.catalog.tableExists("semlsh_swap")
+        # any entry self-heals; params is the common one
+        assert semlsh_index_params(spark, "semlsh_swap") == p
+        assert spark.catalog.tableExists("semlsh_swap")
+        assert not spark.catalog.tableExists("semlsh_swap_compacting")
+        after = _drops(
+            semdedup_lsh_drop_ids_stored(spark, "semlsh_swap", 1600)
+        )
+        assert after == before and len(after) > 0
+        # and recovery is a no-op when nothing is half-swapped
+        assert recover_semlsh_swap(spark, "semlsh_swap") is False
+    finally:
+        spark.sql("DROP TABLE IF EXISTS semlsh_swap")
+        spark.sql("DROP TABLE IF EXISTS semlsh_swap_compacting")
