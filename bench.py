@@ -109,13 +109,16 @@ HEADLINE = [
     # and the web-scale simhash operating point (d=3, 20-table scheme)
     "sketch_hll_m1024_distinct_users",
     "dedup_simhash_radius3",
-    # r10: semantic dedup over banded sign-LSH cells — the variant whose
-    # cell count grows with the corpus (the k-means-cell form above is
-    # Σ|cell|²-quadratic at a fixed codebook; see DECADES_r10_semdedup)
-    "semdedup_lsh_prune",
-    # r11: the same dedup over the MATERIALIZED (band, bucket) store —
-    # partition-local verify, no vector payload in any query-time
-    # shuffle (sources/semlsh_index; DECADES_r11_semlsh_stored)
+    # r11: banded sign-LSH semantic dedup over the MATERIALIZED
+    # (band, bucket) store — partition-local verify, no vector payload
+    # in any query-time shuffle (sources/semlsh_index;
+    # DECADES_r11_semlsh_stored). Its query-time shuffle twin
+    # (semdedup_lsh_prune) left the headline in r13 (VERDICT r12 ask
+    # #3): it re-computes the same drop set the stored form produces —
+    # equivalence is pinned by the bit-identical law in
+    # tests/test_semlsh_index.py and the oracle-checked registry entry
+    # (both still run every round); timing the 4-second scaffolding
+    # twin in the suite added wall, not information.
     "semdedup_lsh_stored",
 ]
 
@@ -151,7 +154,9 @@ def _scan_control(spark, extra: dict, phase: str) -> None:
         best = min(best, time.perf_counter() - t0)
     extra[f"scan_control_{phase}_sec"] = round(best, 3)
     base = extra.get("scan_control_suite_start_sec")
-    if base:  # drift vs this run's own first anchor
+    if base and phase != "suite_start":
+        # drift vs this run's own first anchor (suite_start skips it:
+        # best/best is a constant 1.0 — noise in the artifact, ADVICE r12)
         extra[f"scan_control_{phase}_ratio"] = round(best / base, 2)
     if SCAN_CONTROL_NOMINAL_SEC > 0:  # optional calibrated cross-host ratio
         extra[f"scan_control_{phase}_vs_nominal"] = round(

@@ -623,7 +623,12 @@ class StreamingSemDedupLSH:
     no second vectors join. The price is LSH recall < 1 at the chosen
     operating point (functions/similarity.lsh_operating_point sizes
     it; SemDeDup's published τ = 0.95 sits in the cheap ρ ≈ 0.15
-    regime) plus bands× store amplification (the stored-index trade).
+    regime) plus the stored-index bands× ROW amplification — whose BYTE
+    cost r13 cut ~4×: band rows carry the vector as packed int16 binary
+    and the bucket as an int64 (the sources/semlsh_index packed layout;
+    VERDICT r12 ask #1 — the r12 array<bigint>-per-band-row form
+    measured 23-35× the corpus bytes and capped the trigger sweep at 8M
+    vectors on one host's disk).
 
     Dedup law — the same greedy-prefix as the cell form: processing
     vectors in id order, drop v iff cos(v, u) ≥ τ for some ALREADY-KEPT
@@ -651,6 +656,7 @@ class StreamingSemDedupLSH:
         greedy_pair_cap: int = GREEDY_PAIR_CAP,
         prefix_bits: int = 4,  # (band, bpre) pruning granularity
         broadcast_batch_rows: int = 500_000,
+        vbytes: int = 2,  # pack width of stored vectors (pack_vec)
     ):
         self.spark = spark
         self.index_path = index_path
@@ -663,31 +669,62 @@ class StreamingSemDedupLSH:
         self.tau_sq_pct = tau_sq_pct
         self.greedy_pair_cap = greedy_pair_cap
         self.prefix_bits = min(int(prefix_bits), int(planes_per_band))
-        # past this batch size the external-dup verify stops
-        # broadcasting the batch and falls back to shuffle joins
-        # (ADVICE r11: an unguarded broadcast of a large micro-batch
-        # can blow the driver/broadcast limit)
+        # the external-dup verify broadcasts two batch sides with very
+        # different volumes: bv (one packed vector per batch row) and
+        # bk (the band-key explosion — batch×bands rows). Each is
+        # gated on its OWN row count against this bound (ADVICE r12:
+        # gating both on the batch row count under-protected bk by a
+        # factor of bands); past the bound that side falls back to a
+        # shuffle join instead of an unbounded broadcast.
         self.broadcast_batch_rows = int(broadcast_batch_rows)
+        self.vbytes = int(vbytes)
         self._epochs = EpochLedger(index_path)
         self._format_marker = os.path.join(index_path, "_store_format.json")
 
-    # bands-store physical layout version. v2 (r11): (band, bpre)
-    # directory partitions with v/n2 co-located. v1 (r10, unmarked):
-    # flat per-epoch files of (vec_id, band, bucket) with vectors in a
-    # separate table. Mixed layouts under one store break Spark
-    # partition discovery, so the version is pinned in a marker file
-    # alongside the epoch ledger (ADVICE r11).
-    _FORMAT_VERSION = 2
+    # bands-store physical layout version. v3 (r13): (band, bpre)
+    # directory partitions of (bucket:int64, vec_id, vq:packed-binary,
+    # n2) — the sources/semlsh_index packed layout, ~4× the byte
+    # density of v2. v2 (r11): same partitioning with v array<bigint>
+    # and string buckets. v1 (r10, unmarked): flat per-epoch files of
+    # (vec_id, band, bucket) with vectors in a separate table. Mixed
+    # layouts under one store break Spark partition discovery and the
+    # packed join arithmetic, so the version (and pack width) is pinned
+    # in a marker file alongside the epoch ledger (ADVICE r11), and any
+    # pre-v3 data triggers ONE full rebuild from the kept-vectors table
+    # — rebuilding everything (not just the detected-legacy epochs)
+    # is what makes a MIXED store (flat v1 dirs next to partitioned v2
+    # dirs) come out duplicate-free (ADVICE r12).
+    _FORMAT_VERSION = 3
+
+    def pin_current_format(self) -> None:
+        """Pin the marker for a store KNOWN to be in the current
+        layout — the normal tail of :meth:`_ensure_format`, and the
+        entry point for bulk-seeding tools that write packed band rows
+        directly (tools/measure_semlsh_trigger.py) so the first
+        apply_batch doesn't re-derive what the seeder just wrote."""
+        os.makedirs(self.index_path, exist_ok=True)
+        tmp = self._format_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"bands_layout": self._FORMAT_VERSION, "vbytes": self.vbytes},
+                f,
+            )
+        os.replace(tmp, self._format_marker)
 
     def _ensure_format(self) -> None:
-        """Pin or reconcile the bands-store layout version. A store
-        written by the pre-r11 flat layout is rebuilt in place from the
-        kept-vectors table (the source of truth — bands rows are
-        derived data); a store from a NEWER format version fails
-        loudly instead of mis-reading."""
+        """Pin or reconcile the bands-store layout version. Any pre-v3
+        data — the r10 flat layout, the r11/r12 array-vector partitions,
+        or a mix — is rebuilt in place from the kept-vectors table (the
+        source of truth; bands rows are derived data). A store from a
+        NEWER format version, or one packed at a different width than
+        this sink, fails loudly instead of mis-reading. A truncated or
+        corrupted marker (e.g. a disk-full partial write) is treated as
+        unversioned so the reconcile path runs instead of crashing
+        every subsequent apply_batch (ADVICE r12)."""
         try:
             with open(self._format_marker) as f:
-                ver = int(json.load(f).get("bands_layout", 0))
+                m = json.load(f)
+            ver = int(m.get("bands_layout", 0))
             if ver > self._FORMAT_VERSION:
                 raise RuntimeError(
                     f"bands store at {self.bands_path} was written by "
@@ -696,36 +733,57 @@ class StreamingSemDedupLSH:
                     "rebuild the store"
                 )
             if ver == self._FORMAT_VERSION:
+                mv = int(m.get("vbytes", 2))
+                if mv != self.vbytes:
+                    raise RuntimeError(
+                        f"bands store at {self.bands_path} is packed at "
+                        f"vbytes={mv} but this sink was constructed with "
+                        f"vbytes={self.vbytes} — match the store's width"
+                    )
                 return
         except FileNotFoundError:
             pass
-        legacy = []
+        except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+            pass  # corrupt marker → reconcile as unversioned (below)
+        stale = False
         if os.path.isdir(self.bands_path):
-            for ep in os.scandir(self.bands_path):
-                if not (ep.is_dir() and ep.name.startswith("ep=")):
-                    continue
+            eps = [
+                e
+                for e in os.scandir(self.bands_path)
+                if e.is_dir() and e.name.startswith("ep=")
+            ]
+            flat = []
+            for ep in eps:
                 entries = list(os.scandir(ep.path))
                 if any(e.name.startswith("band=") for e in entries):
-                    continue  # already the partitioned layout
+                    continue  # partitioned; schema checked below
                 # "."/"_"-prefixed names are Hadoop metadata (_SUCCESS,
                 # ._SUCCESS.crc) — an all-dropped epoch writes only
-                # those; any real DATA outside band= dirs is legacy
+                # those; any real DATA outside band= dirs is v1-flat
                 if any(not e.name.startswith(("_", ".")) for e in entries):
-                    legacy.append(ep.path)
-        if legacy:
-            self._migrate_legacy_bands(legacy)
-        os.makedirs(self.index_path, exist_ok=True)
-        tmp = self._format_marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"bands_layout": self._FORMAT_VERSION}, f)
-        os.replace(tmp, self._format_marker)
+                    flat.append(ep.path)
+            if flat:
+                stale = True
+            elif eps:
+                try:
+                    cols = self.spark.read.parquet(self.bands_path).columns
+                    stale = "vq" not in cols  # v2 array-vector partitions
+                except Exception:
+                    stale = True  # unreadable/mixed → rebuild from truth
+        if stale:
+            self._rebuild_bands_store()
+        self.pin_current_format()
 
-    def _migrate_legacy_bands(self, legacy_dirs: list[str]) -> None:
-        """One-time rebuild of a pre-r11 flat bands store into the
+    def _rebuild_bands_store(self) -> None:
+        """One-time rebuild of a pre-v3 bands store into the packed
         (band, bpre)-partitioned layout, from the kept-vectors table
-        (which every version of this sink has maintained). Write the
-        rebuilt partition FIRST, delete the legacy dirs after — a crash
-        in between re-runs the (idempotent) rebuild on next start."""
+        (which every version of this sink has maintained). ALL existing
+        epoch dirs are replaced by one ``ep=migrated`` partition —
+        rebuilding the whole derived store (rather than only the
+        detected-legacy epochs) is what keeps a mixed v1/v2 store from
+        ending up with duplicate band rows (ADVICE r12). Write the
+        rebuilt partition FIRST, delete the old dirs after — a crash in
+        between re-runs the (idempotent) rebuild on next start."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -736,11 +794,18 @@ class StreamingSemDedupLSH:
             e.name.startswith("ep=") for e in os.scandir(self.vectors_path)
         ):
             raise RuntimeError(
-                f"bands store at {self.bands_path} uses the pre-r11 flat "
+                f"bands store at {self.bands_path} uses a pre-v3 flat "
                 "layout and no kept-vectors table exists to rebuild from "
                 f"({self.vectors_path}); migrate by re-ingesting the "
                 "corpus into a fresh index_path"
             )
+        old = [
+            ep.path
+            for ep in os.scandir(self.bands_path)
+            if ep.is_dir()
+            and ep.name.startswith("ep=")
+            and ep.name != "ep=migrated"
+        ]
         vecs = self.spark.read.parquet(self.vectors_path).select("vec_id", "v")
         rows = semlsh_store_df(
             vecs,
@@ -750,15 +815,17 @@ class StreamingSemDedupLSH:
             self.prefix_bits,
             id_col="vec_id",
             vec_col="v",
+            vbytes=self.vbytes,
         ).select(
-            "band", "bpre", "bucket", F.col("id").alias("vec_id"), "v", "n2"
+            "band", "bpre", "bucket", F.col("id").alias("vec_id"), "vq", "n2"
         )
         (
             rows.write.mode("overwrite")
+            .option("compression", "zstd")
             .partitionBy("band", "bpre")
             .parquet(os.path.join(self.bands_path, "ep=migrated"))
         )
-        for d in legacy_dirs:
+        for d in old:
             shutil.rmtree(d, ignore_errors=True)
 
     def _stored(self, path: str, exclude_tag: str) -> DataFrame | None:
@@ -796,7 +863,9 @@ class StreamingSemDedupLSH:
 
         from polar_spark.functions.similarity import (
             dot,
-            lsh_band_buckets,
+            dot_packed,
+            lsh_band_bucket_ids,
+            pack_vec,
             sq_norm,
         )
 
@@ -816,21 +885,23 @@ class StreamingSemDedupLSH:
                 F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
             )
             .withColumn("n2", sq_norm(F.col("v")))
+            .withColumn("vq", pack_vec(F.col("v"), self.vbytes))
             .persist()
         )
         keys = (
             batch.select(
                 "vec_id",
                 F.posexplode(
-                    lsh_band_buckets(
+                    lsh_band_bucket_ids(
                         "v", self.dims, self.bands, self.planes_per_band
                     )
                 ).alias("band", "bucket"),
             )
             .withColumn(
                 "bpre",
-                F.conv(F.substring("bucket", 1, self.prefix_bits), 2, 10)
-                .cast("int"),
+                F.shiftright(
+                    "bucket", self.planes_per_band - self.prefix_bits
+                ).cast("int"),
             )
             .persist()
         )
@@ -865,33 +936,44 @@ class StreamingSemDedupLSH:
                     c = (F.col("band") == b) & F.col("bpre").isin(ps)
                     pred = c if pred is None else (pred | c)
                 # two SEPARATE batch sides (ADVICE r11): ids-only band
-                # keys for the key match, and each vector ONCE keyed by
-                # vec_id joined after the match — broadcast volume is
-                # O(batch·bands·key_bytes + batch·vec_bytes), not the
-                # r11 form's O(batch·bands·vec_bytes) (vectors
-                # replicated once per band row). Past the row guard
-                # both joins fall back to shuffle joins instead of an
-                # unbounded broadcast.
+                # keys for the key match, and each vector ONCE (packed)
+                # keyed by vec_id joined after the match — broadcast
+                # volume is O(batch·bands·key_bytes + batch·packed_vec
+                # _bytes), not the r11 form's O(batch·bands·vec_bytes)
+                # (vectors replicated once per band row). Each side is
+                # gated on its OWN broadcast row count (ADVICE r12: bk
+                # is the band-key EXPLOSION, batch×bands rows — gating
+                # it on the batch row count under-protected by a factor
+                # of bands); past its bound a side falls back to a
+                # shuffle join instead of an unbounded broadcast.
                 bk = keys.select(
                     F.col("vec_id").alias("bid"), "band", "bpre", "bucket"
                 )
                 bv = batch.select(
                     F.col("vec_id").alias("bid"),
-                    F.col("v").alias("bvb"),
+                    F.col("vq").alias("bvq"),
                     F.col("n2").alias("nb2"),
                 )
-                if batch.count() <= self.broadcast_batch_rows:
-                    bk, bv = F.broadcast(bk), F.broadcast(bv)
+                batch_n = batch.count()
+                if batch_n <= self.broadcast_batch_rows:
+                    bv = F.broadcast(bv)
+                if batch_n * self.bands <= self.broadcast_batch_rows:
+                    bk = F.broadcast(bk)
                 ver = (
                     sk.filter(pred)
                     .select(
                         "band", "bpre", "bucket",
-                        F.col("v").alias("sva"),
+                        F.col("vq").alias("svq"),
                         F.col("n2").alias("na2"),
                     )
                     .join(bk, ["band", "bpre", "bucket"])
                     .join(bv, "bid")
-                    .withColumn("d", dot(F.col("sva"), F.col("bvb")))
+                    .withColumn(
+                        "d",
+                        dot_packed(
+                            F.col("svq"), F.col("bvq"), self.vbytes
+                        ),
+                    )
                     .filter(over_tau)
                 )
                 ext_ids = {
@@ -949,14 +1031,15 @@ class StreamingSemDedupLSH:
             keeps.select("vec_id", "v", "n2").write.mode("overwrite").parquet(
                 os.path.join(self.vectors_path, f"ep={tag}")
             )
-            # kept band rows carry their vectors and land in (band,
-            # bpre) directory partitions — the prunable stored index
-            # the external-dup read above depends on
+            # kept band rows carry their PACKED vectors and land in
+            # (band, bpre) directory partitions — the prunable stored
+            # index the external-dup read above depends on
             (
                 keys.join(drops_df, "vec_id", "left_anti")
-                .join(batch.select("vec_id", "v", "n2"), "vec_id")
-                .select("band", "bpre", "bucket", "vec_id", "v", "n2")
+                .join(batch.select("vec_id", "vq", "n2"), "vec_id")
+                .select("band", "bpre", "bucket", "vec_id", "vq", "n2")
                 .write.mode("overwrite")
+                .option("compression", "zstd")
                 .partitionBy("band", "bpre")
                 .parquet(os.path.join(self.bands_path, f"ep={tag}"))
             )

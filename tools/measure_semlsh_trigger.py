@@ -48,12 +48,12 @@ def main() -> None:
 
     from polar_spark.functions.similarity import (
         ivf_cell,
-        lsh_band_buckets,
         lsh_operating_point,
         quantize,
         sq_norm,
     )
     from polar_spark.session import get_spark
+    from polar_spark.sources.semlsh_index import semlsh_store_df
     from polar_spark.sources.tables import load_table
     from polar_spark.streaming.dedup import (
         StreamingSemDedup,
@@ -122,22 +122,30 @@ def main() -> None:
             ).write.mode("overwrite").parquet(
                 os.path.join(lsh_sink.vectors_path, "ep=seed")
             )
-            # r11 layout: band rows carry vectors and land in (band,
-            # bpre) directory partitions — the prunable stored index
-            seed.withColumn("n2", sq_norm(F.col("v"))).select(
-                "vec_id", "v", "n2",
-                F.posexplode(
-                    lsh_band_buckets("v", 64, bands, r)
-                ).alias("band", "bucket"),
-            ).withColumn(
-                "bpre",
-                F.conv(
-                    F.substring("bucket", 1, lsh_sink.prefix_bits), 2, 10
-                ).cast("int"),
+            # r13 packed layout: band rows carry int16-packed vectors
+            # and int64 buckets, landing in (band, bpre) directory
+            # partitions — the prunable stored index (exactly what
+            # apply_batch itself writes, via the same semlsh_store_df)
+            semlsh_store_df(
+                seed, 64, bands, r,
+                prefix_bits=lsh_sink.prefix_bits,
+                id_col="vec_id", vec_col="v",
+                vbytes=lsh_sink.vbytes,
             ).select(
-                "band", "bpre", "bucket", "vec_id", "v", "n2"
-            ).write.mode("overwrite").partitionBy("band", "bpre").parquet(
+                "band", "bpre", "bucket",
+                F.col("id").alias("vec_id"), "vq", "n2",
+            ).write.mode("overwrite").option(
+                "compression", "zstd"
+            ).partitionBy("band", "bpre").parquet(
                 os.path.join(lsh_sink.bands_path, "ep=seed")
+            )
+            # the seeded store IS the current layout — pin the marker
+            # so the probe's apply_batch doesn't re-derive it
+            lsh_sink.pin_current_format()
+            store_b = sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(lsh_sink.bands_path)
+                for fn in fns
             )
 
             t0 = time.perf_counter()
@@ -154,6 +162,9 @@ def main() -> None:
                 "lsh_probe_s": round(t_lsh, 3),
                 "lsh_bands": bands, "lsh_planes_per_band": r,
                 "cell_probe_drops": cd, "lsh_probe_drops": ld,
+                # on-disk bands-store bytes at seed time: the storage-
+                # amplification axis the r13 packed layout attacks
+                "lsh_bands_store_mb": round(store_b / 1048576, 1),
             }
             out["points"].append(pt)
             out["points"].sort(key=lambda q: q["factor"])
