@@ -884,6 +884,32 @@ def main() -> None:
     # analytic queries first: a clean JVM heap, a warm worker pool, and
     # no persisted ingest corpus competing for memory (VERDICT r2 #1)
     timings.update(_bench_queries(spark))
+
+    # quietness gate (VERDICT r12 ask #3): the suite_start anchor is a
+    # fixed bare scan whose healthy band on a quiet host is known
+    # (~0.34-0.35 s here; r12's contended official run read 0.673 and
+    # inflated the whole suite ~20%). If the anchor says the host was
+    # noisy when the suite started, ACT on it: re-anchor, rerun the
+    # query loop once, and keep the quieter pass — with both passes
+    # recorded (same best-of-2-with-visible-discard discipline as the
+    # latency loops). One rerun only: a host noisy across two full
+    # passes is reported as measured, anchors attached.
+    healthy = float(
+        os.environ.get("SPARK_GRAFT_SCAN_HEALTHY_SEC", "0.45") or 0.45
+    )
+    if extra["scan_control_suite_start_sec"] > healthy:
+        pass1_total = round(sum(timings.values()), 3)
+        extra["suite_pass1_total_sec"] = pass1_total
+        extra["suite_pass1_scan_start_sec"] = extra[
+            "scan_control_suite_start_sec"
+        ]
+        _scan_control(spark, extra, "suite_start")  # re-anchor
+        pass2 = _bench_queries(spark)
+        pass2_total = round(sum(pass2.values()), 3)
+        extra["suite_pass2_total_sec"] = pass2_total
+        if pass2_total < pass1_total:
+            timings.update(pass2)
+
     _memory_stats(spark, extra, "suite")
     _scan_control(spark, extra, "suite_end")
 
@@ -1003,6 +1029,10 @@ def summary_line(timings: dict, extra: dict, sf, total) -> str:
             "scan_pre_ingest_ratio": extra.get(
                 "scan_control_pre_ingest_ratio"
             ),
+            # quietness gate: present only when the suite_start anchor
+            # tripped and the query loop reran (kept = min of the two)
+            "suite_pass1_total": extra.get("suite_pass1_total_sec"),
+            "suite_pass2_total": extra.get("suite_pass2_total_sec"),
             "ingest_msgs_per_sec": extra.get("ingest_msgs_per_sec"),
             "ingest_unkeyed_msgs_per_sec": extra.get("ingest_unkeyed_msgs_per_sec"),
             "consume_msgs_per_sec": extra.get("consume_msgs_per_sec"),

@@ -24,64 +24,72 @@ QUERIES: dict[str, QuerySpec] = {}
 # them first so the next sample covers them; everything else follows in
 # registration order.
 SAMPLE_HEAD: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 ask #2): (a) knn_ivf_twolevel_cells —
-    # the ONLY registry entry never driver-sampled (added late r11); (b)
-    # the 18 entries whose last driver evidence predates r8 — the
-    # multimodal trio, q12/q16/q20/q21, breadth/subquery/pagination
-    # entries, er_fuzzy, json_payload, and the 4 rows-only similarity
-    # entries (driver runs their weaker rows-only check; their hash-green
-    # law twins stay in the sweep); then (c) the queries this round's
-    # changes touch (stored-index append path, streaming sink auto-select,
-    # distributed greedy). Everything else follows in registration order.
-    "knn_ivf_twolevel_cells",  # never driver-sampled (added late r11)
-    # pre-r8 driver evidence (VERDICT r11 "stale 18")
-    "er_fuzzy_name_pairs",
-    "json_payload_extract",
-    "multimodal_blob_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "q12_late_lines_by_status",
-    "q16_supplier_cnt_by_part",
-    "q20_excess_qty_suppliers",
-    "q21_waiting_suppliers",
-    "pagination_offset_limit",
-    "scalar_function_breadth",
-    "sql_exists_subquery",
-    "knn_ivf_trained",  # rows-only by design
-    "knn_pq_adc",  # rows-only by design
-    "knn_ivfpq_stored",  # rows-only by design
-    "semdedup_incremental",  # rows-only by design
-    # r12-touched code paths
-    "semdedup_lsh_stored",  # r12: append/incremental ingest added
-    "semdedup_lsh_incremental",  # r12: distributed past-cap greedy
+    # Round-13 rotation (VERDICT r12 ask #4), derived from
+    # FRESHNESS.json (tools/gen_freshness.py — the per-query evidence
+    # ledger is now computed from the CORRECTNESS_r*.json union, not
+    # prose): (a) gapfill_hourly_locf FIRST — the one entry whose last
+    # driver evidence is r7 (the r12 ledger's "nothing older than r8"
+    # claim missed it); (b) the 13 r8-evidence entries; (c) the queries
+    # this round's changes touch (the packed stored-LSH layout: batch
+    # table, streaming sink, incremental greedy); (d) the r9-evidence
+    # cohort fills the rest of the ~50-entry driver window.
+    "gapfill_hourly_locf",  # r7 evidence — stalest in the registry
+    # r8-evidence cohort
+    "array_function_breadth",
+    "bpe_encode_tokens",
+    "bpe_train_merges",
+    "dedup_strip_dup_chunks",
+    "full_outer_nation_activity",
+    "histogram_value_buckets",
+    "mixture_resample_by_source",
+    "novelty_first_seen_daily",
+    "pack_token_shards_sequential",
+    "pagerank_event_graph",
+    "rollup_time_multires",
+    "sketch_hll_stream_vs_batch",
+    "text_regexp_extract_stats",
+    # r13-touched code paths: packed stored-LSH (int16 binary vectors,
+    # int64 buckets) in the batch table + streaming sink
+    "semdedup_lsh_stored",
+    "semdedup_lsh_prune",
+    "semdedup_lsh_incremental",
     "semdedup_recall_lsh_vs_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_keep_list",
-    # next-oldest driver evidence (r8) to keep the window rotating
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id_heuristic",
-    "gopher_quality_filter",
-    "token_count_bpe_ish",
-    "bm25_topk_docs",
-    "sketch_cm_heavy_hitters",
-    "sketch_kmv_distinct_users",
-    "sketch_hll_distinct_users",
-    "drift_psi_length_buckets",
-    "dsir_importance_scores",
-    "lm_bigram_nll_score",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q22_dormant_customers",
-    "zorder_pruning_stats",
-    "bloom_semi_join_orders",
-    "asof_click_next_purchase",
-    "range_join_value_bands",
-    "session_windows_30m",
-    "window_sliding_1h_30m",
-    "window_tumbling_hourly",
+    "semdedup_incremental",  # rows-only by design
+    # r9-evidence cohort (next-stalest; fills the driver window)
+    "ann_recall_ivf_vs_exact",
+    "chunk_dup_ratio",
+    "contamination_ngram_overlap",
+    "decayed_event_rate",
+    "dedup_clusters_cc",
+    "dedup_incremental_index",
+    "dedup_recall_lsh_vs_exact",
+    "dedup_simhash_radius3",
+    "drift_psi_stream_vs_batch",
+    "dsir_resample_select",
+    "dsir_stream_vs_batch",
+    "embedding_coverage_by_source",
+    "embedding_outlier_centroid",
+    "kmeans_lloyd_quantized",
+    "knn_ivf_stored_cells",
+    "knn_label_vote",
+    "lm_stream_vs_batch",
+    "mixture_quality_buckets",
+    "orders_monthly_revenue_growth",
+    "pipeline_training_data_prep",
+    "priority_share_by_month",
+    "q6_forecast_revenue",
+    "q7_cross_nation_volume",
+    "q8_market_share",
+    "quality_linear_classifier",
+    "semdedup_embedding_prune",
+    "sketch_hll_m1024_distinct_users",
+    "sketch_kmv_merged_months",
+    "sql_recursive_order_chain",
+    "stats_moments_by_type",
+    "text_quality_stats",
+    "text_repetition_stats",
+    "text_word_diversity",
+    "weighted_sample_per_source",
 )
 
 

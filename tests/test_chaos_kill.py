@@ -200,6 +200,71 @@ def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
         )
 
 
+@pytest.mark.parametrize("when", ["before_drop", "after_drop"])
+def test_sigkill_mid_semlsh_compact_swap_recovers(tmp_path, when):
+    """Stored-LSH batch-table compact SIGKILLed around the catalog swap
+    (VERDICT r12 ask #2): ``before_drop`` leaves the rewrite complete
+    under <table>_compacting with the original still bound (the tmp is
+    dead weight the next compact overwrites); ``after_drop`` is the
+    r12-unrecoverable window — canonical name unbound, data alive only
+    under the tmp name. A fresh process (persistent hive catalog, so
+    the torn state survives the kill) must self-heal on first touch
+    (recover_semlsh_swap rides every verify/params/append/compact
+    entry), produce the bit-identical drop set, and complete a full
+    compact to one file per bucket."""
+    root = str(tmp_path)
+    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+
+    def run(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, child, root, *args],
+            capture_output=True, text=True, timeout=900, cwd=REPO,
+        )
+
+    assert run("prep").returncode == 0
+    crashed = run("compact", when)
+    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
+
+    done = run("finish")
+    assert done.returncode == 0, done.stderr[-2000:]
+    with open(os.path.join(root, "verdict.json")) as f:
+        v = json.load(f)
+    assert v["want"] > 0
+    assert v["diff_before_recovery_compact"] == 0, v
+    assert v["diff_after_recovery_compact"] == 0, v
+    assert v["files_after"] == 32  # one file per bucket post-compact
+
+
+def test_sigkill_mid_semlsh_append_store_stays_consistent(tmp_path):
+    """Stored-LSH batch-table append SIGKILLed MID-WRITE (a watcher
+    kills the process the moment the commit protocol's _temporary dir
+    appears): the table must stay readable — staged files are invisible
+    to the bucketed scan — and the caller's at-least-once retry of the
+    same append must land the store on the exact expected drop set
+    regardless of how much of the torn write committed (duplicate band
+    rows only duplicate candidate pairs; the drop set is distinct)."""
+    root = str(tmp_path)
+    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+
+    def run(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, child, root, *args],
+            capture_output=True, text=True, timeout=900, cwd=REPO,
+        )
+
+    assert run("prep").returncode == 0
+    crashed = run("append_kill")
+    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
+
+    done = run("finish", "with_extra")
+    assert done.returncode == 0, done.stderr[-2000:]
+    with open(os.path.join(root, "verdict.json")) as f:
+        v = json.load(f)
+    assert v["want"] > 0
+    assert v["diff_before_recovery_compact"] == 0, v
+    assert v["diff_after_recovery_compact"] == 0, v
+
+
 def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
     """Produce-path chaos (beyond the simulated dead-pid tests): a real
     producer PROCESS is SIGKILLed somewhere inside a batch's
