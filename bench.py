@@ -886,16 +886,18 @@ def main() -> None:
     timings.update(_bench_queries(spark))
 
     # quietness gate (VERDICT r12 ask #3): the suite_start anchor is a
-    # fixed bare scan whose healthy band on a quiet host is known
-    # (~0.34-0.35 s here; r12's contended official run read 0.673 and
-    # inflated the whole suite ~20%). If the anchor says the host was
-    # noisy when the suite started, ACT on it: re-anchor, rerun the
-    # query loop once, and keep the quieter pass — with both passes
-    # recorded (same best-of-2-with-visible-discard discipline as the
-    # latency loops). One rerun only: a host noisy across two full
-    # passes is reported as measured, anchors attached.
+    # fixed bare scan with a KNOWN healthy band on this host — quiet
+    # runs read ~0.47-0.58 at suite start (residual post-warmup JIT
+    # that decays to ~0.25-0.35 by suite end; the r12 evidence note),
+    # while r12's contended official run read 0.673 and inflated the
+    # whole suite ~20%. If the anchor says the host was noisy when the
+    # suite started, ACT on it: re-anchor, rerun the query loop once,
+    # and keep the quieter pass — with both passes recorded (same
+    # best-of-2-with-visible-discard discipline as the latency loops).
+    # One rerun only: a host noisy across two full passes is reported
+    # as measured, anchors attached.
     healthy = float(
-        os.environ.get("SPARK_GRAFT_SCAN_HEALTHY_SEC", "0.45") or 0.45
+        os.environ.get("SPARK_GRAFT_SCAN_HEALTHY_SEC", "0.6") or 0.6
     )
     if extra["scan_control_suite_start_sec"] > healthy:
         pass1_total = round(sum(timings.values()), 3)

@@ -728,6 +728,27 @@ def dot_packed(a: Column, b: Column, width: int = 2) -> Column:
     return dp(a, b)
 
 
+def dot_packed_list(a: Column, b: Column, width: int = 2) -> Column:
+    """Exact integer dot of an ``array<bigint>`` vector against a
+    :func:`pack_vec`-packed one — the mixed form the streaming LSH
+    verify uses (store side reads list vectors from the 1× kept-vectors
+    table; batch side rides the broadcast packed). Bit-identical to
+    :func:`dot` on the unpacked pair."""
+    dt = _PACK_DTYPES[int(width)]
+
+    @pandas_udf(LongType())
+    def dpl(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = _mat(a)
+        B = np.stack(
+            [np.frombuffer(x, dtype=dt) for x in b.to_numpy()]
+        ).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return dpl(a, b)
+
+
 def lsh_operating_point(
     n: int, tau: float, target_recall: float = 0.95
 ) -> tuple[int, int]:

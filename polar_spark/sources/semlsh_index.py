@@ -54,6 +54,22 @@ small by construction (a random pair collides in ≤ bands/n expected
 bands at the operating point) and is the price of never moving a
 vector at query time.
 
+Why the batch face keeps vectors CO-LOCATED (packed) while the
+streaming face (streaming/dedup.StreamingSemDedupLSH) moved to
+ids-only band rows + a 1× vectors table in r13: the two verifies have
+different access patterns. The streaming verify touches only the
+candidates MATCHED by one micro-batch — an id-join against the
+kept-vectors table costs O(candidates), so carrying vectors in band
+rows bought little and cost bands× bytes. The batch verify touches
+EVERY bucket group of the whole corpus at once; with ids-only rows its
+vectors would have to join onto n·bands rows grouped by (band, bpre) —
+and since the grouping key (band, bpre) and the join key (id) are
+different keys, no bucketing can co-locate both: the join or the
+groupBy must Exchange n·bands vector payloads at query time, which is
+exactly the shuffle wall this table exists to remove. Co-location is
+the only zero-Exchange layout for the full-corpus verify; the int16
+pack is the (lossless) version of the storage cut that preserves it.
+
 Pre-r13 tables (``v array<bigint>``, string buckets) stay readable:
 the verify branches on the store schema, and ``append_semlsh_index``
 emits whichever row shape the table already has.

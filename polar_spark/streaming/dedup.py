@@ -613,22 +613,30 @@ class StreamingSemDedupLSH:
     per-trigger pairwise work is O(batch · corpus / nlist): linear in
     stream AGE. Here candidates come from a banded bucket equi-join
     (functions/similarity.lsh_band_buckets): per-trigger pair work is
-    O(batch · bands + true dups), independent of store size — and
-    since r11 the store's IO term is pruned too: kept vectors are
-    stored EXPLODED by (band, bucket-prefix) directory partitions (the
-    sources/semlsh_index layout, vectors co-located with their band
-    rows), so a trigger reads only the (band, bpre) partitions its own
-    batch occupies and verifies store-vs-batch candidates against the
-    broadcast batch in place — no store shuffle, no store-wide scan,
-    no second vectors join. The price is LSH recall < 1 at the chosen
-    operating point (functions/similarity.lsh_operating_point sizes
-    it; SemDeDup's published τ = 0.95 sits in the cheap ρ ≈ 0.15
-    regime) plus the stored-index bands× ROW amplification — whose BYTE
-    cost r13 cut ~4×: band rows carry the vector as packed int16 binary
-    and the bucket as an int64 (the sources/semlsh_index packed layout;
-    VERDICT r12 ask #1 — the r12 array<bigint>-per-band-row form
-    measured 23-35× the corpus bytes and capped the trigger sweep at 8M
-    vectors on one host's disk).
+    O(batch · bands + true dups), independent of store size.
+
+    Store layout (v3, r13 — VERDICT r12 ask #1): band rows are
+    IDS-ONLY — ``(bucket:int64, vec_id)`` under (band, bucket-prefix)
+    directory partitions — and each kept VECTOR is stored exactly ONCE
+    in the kept-vectors table. The r11/r12 layout co-located a full
+    vector copy in every band row, a measured 23-35× byte amplification
+    of the corpus at real operating points (~30 GB at 8M vectors; it
+    capped the r12 trigger sweep at 8M on this host's disk) — and since
+    a realistic batch occupies nearly every (band, bpre) partition, the
+    per-trigger pruned read effectively re-scanned those bands× bytes
+    every trigger. Ids-only rows cut BOTH: store bytes fall to
+    ~bands·16 B/vector (≈ 1× the corpus bytes at dims 64) plus the 1×
+    vector payload, and the per-trigger read is the slim key store plus
+    ONE id-join against the kept-vectors table for just the MATCHED
+    candidates (deduped across bands before the fetch — a pair
+    colliding in k bands is verified once, not k times). The price is
+    that candidate verification pays an id-equi-join instead of
+    verifying fully in place — candidate volume is the LSH-bounded
+    O(batch·bands collisions + true dups), so the join's shuffle is
+    id-pairs + one vector per candidate, never a corpus shuffle. LSH
+    recall < 1 at the chosen operating point stands as before
+    (functions/similarity.lsh_operating_point sizes it; SemDeDup's
+    published τ = 0.95 sits in the cheap ρ ≈ 0.15 regime).
 
     Dedup law — the same greedy-prefix as the cell form: processing
     vectors in id order, drop v iff cos(v, u) ≥ τ for some ALREADY-KEPT
@@ -677,23 +685,28 @@ class StreamingSemDedupLSH:
         # factor of bands); past the bound that side falls back to a
         # shuffle join instead of an unbounded broadcast.
         self.broadcast_batch_rows = int(broadcast_batch_rows)
+        # pack width for the IN-FLIGHT batch-vector broadcast (pack_vec
+        # raises loudly on overflow — corpora beyond |x| ≤ 3.27 set 4).
+        # The on-disk stores never carry packed blobs: band rows are
+        # ids-only, kept vectors stay array<bigint> (dictionary-friendly
+        # and the `kept()` API's contract).
         self.vbytes = int(vbytes)
         self._epochs = EpochLedger(index_path)
         self._format_marker = os.path.join(index_path, "_store_format.json")
 
     # bands-store physical layout version. v3 (r13): (band, bpre)
-    # directory partitions of (bucket:int64, vec_id, vq:packed-binary,
-    # n2) — the sources/semlsh_index packed layout, ~4× the byte
-    # density of v2. v2 (r11): same partitioning with v array<bigint>
-    # and string buckets. v1 (r10, unmarked): flat per-epoch files of
-    # (vec_id, band, bucket) with vectors in a separate table. Mixed
-    # layouts under one store break Spark partition discovery and the
-    # packed join arithmetic, so the version (and pack width) is pinned
-    # in a marker file alongside the epoch ledger (ADVICE r11), and any
-    # pre-v3 data triggers ONE full rebuild from the kept-vectors table
-    # — rebuilding everything (not just the detected-legacy epochs)
-    # is what makes a MIXED store (flat v1 dirs next to partitioned v2
-    # dirs) come out duplicate-free (ADVICE r12).
+    # directory partitions of IDS-ONLY rows (bucket:int64, vec_id) —
+    # vectors live once in the kept-vectors table. v2 (r11): the same
+    # partitioning with v array<bigint> + n2 co-located and string
+    # buckets. v1 (r10, unmarked): flat per-epoch files of (vec_id,
+    # band, bucket). Mixed layouts under one store break Spark
+    # partition discovery and the join key types, so the version is
+    # pinned in a marker file alongside the epoch ledger (ADVICE r11),
+    # and any pre-v3 data triggers ONE full rebuild from the
+    # kept-vectors table — rebuilding everything (not just the
+    # detected-legacy epochs) is what makes a MIXED store (flat v1
+    # dirs next to partitioned v2 dirs) come out duplicate-free
+    # (ADVICE r12).
     _FORMAT_VERSION = 3
 
     def pin_current_format(self) -> None:
@@ -705,10 +718,7 @@ class StreamingSemDedupLSH:
         os.makedirs(self.index_path, exist_ok=True)
         tmp = self._format_marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"bands_layout": self._FORMAT_VERSION, "vbytes": self.vbytes},
-                f,
-            )
+            json.dump({"bands_layout": self._FORMAT_VERSION}, f)
         os.replace(tmp, self._format_marker)
 
     def _ensure_format(self) -> None:
@@ -733,13 +743,6 @@ class StreamingSemDedupLSH:
                     "rebuild the store"
                 )
             if ver == self._FORMAT_VERSION:
-                mv = int(m.get("vbytes", 2))
-                if mv != self.vbytes:
-                    raise RuntimeError(
-                        f"bands store at {self.bands_path} is packed at "
-                        f"vbytes={mv} but this sink was constructed with "
-                        f"vbytes={self.vbytes} — match the store's width"
-                    )
                 return
         except FileNotFoundError:
             pass
@@ -767,15 +770,41 @@ class StreamingSemDedupLSH:
             elif eps:
                 try:
                     cols = self.spark.read.parquet(self.bands_path).columns
-                    stale = "vq" not in cols  # v2 array-vector partitions
+                    # v2 co-located vectors (or any interim packed form)
+                    stale = bool({"v", "vq"} & set(cols))
                 except Exception:
                     stale = True  # unreadable/mixed → rebuild from truth
         if stale:
             self._rebuild_bands_store()
         self.pin_current_format()
 
+    def _band_key_rows(self, df: "DataFrame") -> "DataFrame":
+        """Ids-only band-key rows ``(band, bpre, bucket, vec_id)`` for
+        a (vec_id, v) frame — one narrow matmul pass, no shuffle."""
+        from pyspark.sql import functions as F
+
+        from polar_spark.functions.similarity import lsh_band_bucket_ids
+
+        return (
+            df.select(
+                "vec_id",
+                F.posexplode(
+                    lsh_band_bucket_ids(
+                        "v", self.dims, self.bands, self.planes_per_band
+                    )
+                ).alias("band", "bucket"),
+            )
+            .withColumn(
+                "bpre",
+                F.shiftright(
+                    "bucket", self.planes_per_band - self.prefix_bits
+                ).cast("int"),
+            )
+            .select("band", "bpre", "bucket", "vec_id")
+        )
+
     def _rebuild_bands_store(self) -> None:
-        """One-time rebuild of a pre-v3 bands store into the packed
+        """One-time rebuild of a pre-v3 bands store into the ids-only
         (band, bpre)-partitioned layout, from the kept-vectors table
         (which every version of this sink has maintained). ALL existing
         epoch dirs are replaced by one ``ep=migrated`` partition —
@@ -785,10 +814,6 @@ class StreamingSemDedupLSH:
         rebuilt partition FIRST, delete the old dirs after — a crash in
         between re-runs the (idempotent) rebuild on next start."""
         import shutil
-
-        from pyspark.sql import functions as F
-
-        from polar_spark.sources.semlsh_index import semlsh_store_df
 
         if not os.path.isdir(self.vectors_path) or not any(
             e.name.startswith("ep=") for e in os.scandir(self.vectors_path)
@@ -807,20 +832,9 @@ class StreamingSemDedupLSH:
             and ep.name != "ep=migrated"
         ]
         vecs = self.spark.read.parquet(self.vectors_path).select("vec_id", "v")
-        rows = semlsh_store_df(
-            vecs,
-            self.dims,
-            self.bands,
-            self.planes_per_band,
-            self.prefix_bits,
-            id_col="vec_id",
-            vec_col="v",
-            vbytes=self.vbytes,
-        ).select(
-            "band", "bpre", "bucket", F.col("id").alias("vec_id"), "vq", "n2"
-        )
         (
-            rows.write.mode("overwrite")
+            self._band_key_rows(vecs)
+            .write.mode("overwrite")
             .option("compression", "zstd")
             .partitionBy("band", "bpre")
             .parquet(os.path.join(self.bands_path, "ep=migrated"))
@@ -863,8 +877,7 @@ class StreamingSemDedupLSH:
 
         from polar_spark.functions.similarity import (
             dot,
-            dot_packed,
-            lsh_band_bucket_ids,
+            dot_packed_list,
             pack_vec,
             sq_norm,
         )
@@ -888,23 +901,7 @@ class StreamingSemDedupLSH:
             .withColumn("vq", pack_vec(F.col("v"), self.vbytes))
             .persist()
         )
-        keys = (
-            batch.select(
-                "vec_id",
-                F.posexplode(
-                    lsh_band_bucket_ids(
-                        "v", self.dims, self.bands, self.planes_per_band
-                    )
-                ).alias("band", "bucket"),
-            )
-            .withColumn(
-                "bpre",
-                F.shiftright(
-                    "bucket", self.planes_per_band - self.prefix_bits
-                ).cast("int"),
-            )
-            .persist()
-        )
+        keys = self._band_key_rows(batch).persist()
         d = F.col("d").cast("decimal(38,0)")
         over_tau = (F.col("d") > 0) & (
             d * d * F.lit(10000)
@@ -914,13 +911,16 @@ class StreamingSemDedupLSH:
         )
         try:
             # ---- external dups: batch vs the stored KEPT corpus.
-            # The store is EXPLODED by (band, bpre) directory partitions
-            # with vectors co-located (sources/semlsh_index layout), so
-            # this read prunes to the partitions the batch occupies,
-            # verifies against the BROADCAST batch in place, and never
-            # shuffles a stored vector or re-joins a vectors table —
-            # per-trigger store IO is O(batch's bucket neighborhoods),
-            # not O(store).
+            # The bands store is IDS-ONLY (band, bpre)-partitioned key
+            # rows, so the key match scans a slim store (the (band,
+            # bpre) predicate still prunes when a small/clustered batch
+            # occupies few partitions), and vectors enter the plan ONLY
+            # for matched candidates: the candidate id-pairs — deduped
+            # across bands first, so a pair colliding in k bands fetches
+            # and verifies once — join the kept-vectors table by id and
+            # the broadcast packed batch by id. Shuffle volume is
+            # id-pairs plus one vector per candidate (LSH-bounded),
+            # never a corpus of vectors.
             ext_ids: set[int] = set()
             sk = self._stored(self.bands_path, exclude_tag=tag)
             if sk is not None:
@@ -937,10 +937,7 @@ class StreamingSemDedupLSH:
                     pred = c if pred is None else (pred | c)
                 # two SEPARATE batch sides (ADVICE r11): ids-only band
                 # keys for the key match, and each vector ONCE (packed)
-                # keyed by vec_id joined after the match — broadcast
-                # volume is O(batch·bands·key_bytes + batch·packed_vec
-                # _bytes), not the r11 form's O(batch·bands·vec_bytes)
-                # (vectors replicated once per band row). Each side is
+                # keyed by vec_id joined after the match. Each side is
                 # gated on its OWN broadcast row count (ADVICE r12: bk
                 # is the band-key EXPLOSION, batch×bands rows — gating
                 # it on the batch row count under-protected by a factor
@@ -959,19 +956,28 @@ class StreamingSemDedupLSH:
                     bv = F.broadcast(bv)
                 if batch_n * self.bands <= self.broadcast_batch_rows:
                     bk = F.broadcast(bk)
-                ver = (
+                cand = (
                     sk.filter(pred)
-                    .select(
-                        "band", "bpre", "bucket",
-                        F.col("vq").alias("svq"),
-                        F.col("n2").alias("na2"),
-                    )
+                    .select("band", "bpre", "bucket",
+                            F.col("vec_id").alias("sid"))
                     .join(bk, ["band", "bpre", "bucket"])
+                    .select("sid", "bid")
+                    .distinct()
+                )
+                svec = self._stored(
+                    self.vectors_path, exclude_tag=tag
+                ).select(
+                    F.col("vec_id").alias("sid"),
+                    F.col("v").alias("sva"),
+                    F.col("n2").alias("na2"),
+                )
+                ver = (
+                    cand.join(svec, "sid")
                     .join(bv, "bid")
                     .withColumn(
                         "d",
-                        dot_packed(
-                            F.col("svq"), F.col("bvq"), self.vbytes
+                        dot_packed_list(
+                            F.col("sva"), F.col("bvq"), self.vbytes
                         ),
                     )
                     .filter(over_tau)
@@ -1031,13 +1037,12 @@ class StreamingSemDedupLSH:
             keeps.select("vec_id", "v", "n2").write.mode("overwrite").parquet(
                 os.path.join(self.vectors_path, f"ep={tag}")
             )
-            # kept band rows carry their PACKED vectors and land in
-            # (band, bpre) directory partitions — the prunable stored
-            # index the external-dup read above depends on
+            # kept band rows are IDS-ONLY and land in (band, bpre)
+            # directory partitions — the slim key store the external-dup
+            # match above scans (vectors live once, in the write above)
             (
                 keys.join(drops_df, "vec_id", "left_anti")
-                .join(batch.select("vec_id", "vq", "n2"), "vec_id")
-                .select("band", "bpre", "bucket", "vec_id", "vq", "n2")
+                .select("band", "bpre", "bucket", "vec_id")
                 .write.mode("overwrite")
                 .option("compression", "zstd")
                 .partitionBy("band", "bpre")

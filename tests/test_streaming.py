@@ -1627,10 +1627,11 @@ def test_streaming_semdedup_lsh_store_prunes_partitions(spark, tmp_path):
     )
     assert sd.apply_batch(b1, 0, "prune_law") is True
     sk = sd._stored(sd.bands_path, exclude_tag="zzz")
-    assert {"band", "bpre", "bucket", "vec_id", "vq", "n2"} <= set(sk.columns)
-    # r13 packed layout: int64 buckets, int16-packed vectors
+    # r13 ids-only layout: int64 buckets, NO vector payload in any
+    # band row (vectors live once in the kept-vectors table)
+    assert {"band", "bpre", "bucket", "vec_id"} <= set(sk.columns)
+    assert not ({"v", "vq", "n2"} & set(sk.columns))
     assert dict(sk.dtypes)["bucket"] == "bigint"
-    assert dict(sk.dtypes)["vq"] == "binary"
     pred = (F.col("band") == 3) & F.col("bpre").isin([0, 1, 2])
     plan = sk.filter(pred)._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
@@ -1752,11 +1753,12 @@ def _devolve_to_v2(spark, sd) -> None:
     os.remove(sd._format_marker)
 
 
-def test_streaming_semdedup_lsh_v2_store_migrates_to_packed(spark, tmp_path):
-    """A store written by the r11/r12 ARRAY-vector partitioned layout
-    (marker absent or pre-v3) is rebuilt into the packed layout from
-    the kept-vectors table on the next apply_batch, after which
-    cross-batch dups are still caught and every band row is packed."""
+def test_streaming_semdedup_lsh_v2_store_migrates_to_ids_only(spark, tmp_path):
+    """A store written by the r11/r12 co-located-vector partitioned
+    layout (marker absent or pre-v3) is rebuilt into the ids-only
+    layout from the kept-vectors table on the next apply_batch, after
+    which cross-batch dups are still caught and no band row carries a
+    vector payload."""
     import json
     import os
 
@@ -1777,9 +1779,9 @@ def test_streaming_semdedup_lsh_v2_store_migrates_to_packed(spark, tmp_path):
     assert 1000 in {r["vec_id"] for r in sd2.dropped().collect()}
     with open(sd2._format_marker) as f:
         m = json.load(f)
-    assert m["bands_layout"] == sd2._FORMAT_VERSION and m["vbytes"] == 2
+    assert m["bands_layout"] == sd2._FORMAT_VERSION
     store = spark.read.parquet(sd2.bands_path)
-    assert "vq" in store.columns and "v" not in store.columns
+    assert not ({"v", "vq", "n2"} & set(store.columns))
     # rebuild + the dup-free second epoch: no row inflation
     assert store.count() == n_band_rows
     assert not os.path.isdir(os.path.join(sd2.bands_path, "ep=old0"))
@@ -1849,27 +1851,6 @@ def test_streaming_semdedup_lsh_corrupt_marker_reconciles(spark, tmp_path):
     assert 1000 in {r["vec_id"] for r in sd2.dropped().collect()}
     with open(sd2._format_marker) as f:
         assert json.load(f)["bands_layout"] == sd2._FORMAT_VERSION
-
-
-def test_streaming_semdedup_lsh_vbytes_mismatch_fails(spark, tmp_path):
-    """A sink constructed at a different pack width than the store was
-    written at must fail loudly — silently unpacking int16 blobs as
-    int32 would corrupt every external-dup dot."""
-    import pytest as _pytest
-
-    from polar_spark.streaming.dedup import StreamingSemDedupLSH
-
-    sd = _mk_lsh_sink(spark, tmp_path, "vbw")
-    b1 = spark.createDataFrame(
-        [(i, _lsh_vec(i)) for i in range(10)], "vec_id long, v array<bigint>"
-    )
-    assert sd.apply_batch(b1, 0, "vbw_law") is True
-    wide = StreamingSemDedupLSH(
-        spark, str(tmp_path / "vbw_idx"), str(tmp_path / "vbw_drops"),
-        dims=64, bands=8, planes_per_band=8, tau_sq_pct=9025, vbytes=4,
-    )
-    with _pytest.raises(RuntimeError, match="vbytes"):
-        wide.apply_batch(b1, 1, "vbw_law")
 
 
 def test_streaming_semdedup_lsh_legacy_without_vectors_fails(

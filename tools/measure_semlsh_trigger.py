@@ -53,7 +53,6 @@ def main() -> None:
         sq_norm,
     )
     from polar_spark.session import get_spark
-    from polar_spark.sources.semlsh_index import semlsh_store_df
     from polar_spark.sources.tables import load_table
     from polar_spark.streaming.dedup import (
         StreamingSemDedup,
@@ -122,18 +121,12 @@ def main() -> None:
             ).write.mode("overwrite").parquet(
                 os.path.join(lsh_sink.vectors_path, "ep=seed")
             )
-            # r13 packed layout: band rows carry int16-packed vectors
-            # and int64 buckets, landing in (band, bpre) directory
-            # partitions — the prunable stored index (exactly what
-            # apply_batch itself writes, via the same semlsh_store_df)
-            semlsh_store_df(
-                seed, 64, bands, r,
-                prefix_bits=lsh_sink.prefix_bits,
-                id_col="vec_id", vec_col="v",
-                vbytes=lsh_sink.vbytes,
-            ).select(
-                "band", "bpre", "bucket",
-                F.col("id").alias("vec_id"), "vq", "n2",
+            # r13 ids-only layout: band rows are (bucket:int64, vec_id)
+            # under (band, bpre) directory partitions — exactly what
+            # apply_batch itself writes, via the sink's own helper;
+            # vectors live once in the kept-vectors store seeded above
+            lsh_sink._band_key_rows(
+                seed.select("vec_id", "v")
             ).write.mode("overwrite").option(
                 "compression", "zstd"
             ).partitionBy("band", "bpre").parquet(
@@ -142,10 +135,16 @@ def main() -> None:
             # the seeded store IS the current layout — pin the marker
             # so the probe's apply_batch doesn't re-derive it
             lsh_sink.pin_current_format()
-            store_b = sum(
-                os.path.getsize(os.path.join(dp, fn))
-                for dp, _, fns in os.walk(lsh_sink.bands_path)
-                for fn in fns
+
+            def _du(path: str) -> int:
+                return sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _, fns in os.walk(path)
+                    for fn in fns
+                )
+
+            bands_b, vecs_b = _du(lsh_sink.bands_path), _du(
+                lsh_sink.vectors_path
             )
 
             t0 = time.perf_counter()
@@ -162,9 +161,11 @@ def main() -> None:
                 "lsh_probe_s": round(t_lsh, 3),
                 "lsh_bands": bands, "lsh_planes_per_band": r,
                 "cell_probe_drops": cd, "lsh_probe_drops": ld,
-                # on-disk bands-store bytes at seed time: the storage-
-                # amplification axis the r13 packed layout attacks
-                "lsh_bands_store_mb": round(store_b / 1048576, 1),
+                # on-disk store bytes at seed time: the storage-
+                # amplification axis the r13 ids-only layout attacks
+                # (bands = key rows; vectors = the 1x corpus payload)
+                "lsh_bands_store_mb": round(bands_b / 1048576, 1),
+                "lsh_vectors_store_mb": round(vecs_b / 1048576, 1),
             }
             out["points"].append(pt)
             out["points"].sort(key=lambda q: q["factor"])
