@@ -121,10 +121,15 @@ def main() -> None:
         loc = os.path.join(root, "idx_v1")
 
         def watcher():
-            for _ in range(600):
+            # poll for as long as the test's subprocess timeout allows:
+            # on a contended host, params lookup + planning alone can
+            # take tens of seconds before the write job (and its
+            # _temporary staging dir) exists — a short watcher window
+            # lets the append complete unkilled and flakes the test.
+            for _ in range(80_000):
                 if os.path.isdir(os.path.join(loc, "_temporary")):
                     os.kill(os.getpid(), 9)
-                time.sleep(0.02)
+                time.sleep(0.01)
 
         threading.Thread(target=watcher, daemon=True).start()
         qv = _qv(spark)
