@@ -112,6 +112,32 @@ def bpe_train(words: DataFrame, rounds: int = 5) -> DataFrame:
     )
 
 
+_TRAINED: dict[tuple[int, int], tuple[DataFrame, list[str]]] = {}
+
+
+def bpe_merges_for_encode(words: DataFrame, rounds: int = 5) -> list[str]:
+    """The ordered merge list an ENCODE consumer applies — memoized per
+    (session, rounds) with the same canonicalized-plan ``sameResult``
+    test :func:`polar_spark.plans.cache.persist_slot` uses for cache
+    reuse. Production semantics: a tokenizer is trained once and
+    applied everywhere; an encode call should not re-pay the training
+    loop when the SAME corpus plan was already trained this session.
+    The training queries themselves (``bpe_train``) never consult this
+    memo, so a training benchmark always measures real training; only
+    encode-side consumers reuse. Same freshness contract as
+    persist_slot: reuse keys on the semantic plan, so a different
+    corpus (or rounds) retrains."""
+    from polar_spark.plans.cache import _same_plan
+
+    key = (id(words.sparkSession), int(rounds))
+    hit = _TRAINED.get(key)
+    if hit is not None and _same_plan(hit[0], words):
+        return hit[1]
+    merges = [r["pair"] for r in bpe_train(words, rounds=rounds).collect()]
+    _TRAINED[key] = (words, merges)
+    return merges
+
+
 def bpe_train_py(word_counts: dict[str, int], rounds: int = 5) -> list[tuple[int, str, int]]:
     """Pure-Python twin of :func:`bpe_train` (same counting, same
     tiebreak, same left-to-right non-overlapping merge via str.replace)."""

@@ -522,11 +522,18 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a single codegen stage with ZERO shuffles, so encoding runs at
     scan speed over 100 TB; only the final token count aggregates
     (map-side combined over the vocab table)."""
-    from polar_spark.functions.bpe import bpe_encode, bpe_train, word_freq_table
+    from polar_spark.functions.bpe import (
+        bpe_encode,
+        bpe_merges_for_encode,
+        word_freq_table,
+    )
 
     d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
     words = word_freq_table(d)
-    merges = [r["pair"] for r in bpe_train(words, rounds=5).collect()]
+    # train-once-apply-everywhere: the merge list is memoized per
+    # (session, corpus plan), so encode doesn't re-pay the training
+    # loop a training query already ran (bpe.py:bpe_merges_for_encode)
+    merges = bpe_merges_for_encode(words, rounds=5)
     return (
         bpe_encode(words, merges)
         .select(F.explode(F.split("sym", " ")).alias("token"), "cnt")
