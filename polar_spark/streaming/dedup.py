@@ -546,15 +546,20 @@ class StreamingSemDedup:
         return self.spark.read.parquet(self.drops_path).drop("ep")
 
 
-# Measured cell-vs-LSH per-trigger crossover (STREAM_TRIGGER_r11/r12):
-# below ~2M stored vectors the IVF-cell sink's one cogrouped numpy pass
-# beats the LSH sink's multi-job fixed overhead (4.0 s vs 15.9 s at a
-# 36k store); the cell sink's per-trigger cost then grows with the
-# corpus (fixed codebook ⇒ cells grow with the store) while the
-# prunable LSH store's stays near-flat, crossing near a 2M store
-# (21.0 s vs 22.6 s) and diverging after: 86.7 vs 48.4 s at 4M,
-# 93.9 vs 56.9 s at 8M (probe drops exact at every point).
-SEMDEDUP_SINK_CROSSOVER_N = 2_000_000
+# Measured cell-vs-LSH per-trigger crossover, re-derived on the r13
+# ids-only bands store (STREAM_TRIGGER_r13): below a few-M stored
+# vectors the IVF-cell sink's one cogrouped numpy pass beats the LSH
+# sink's multi-job fixed overhead plus its candidate vector-fetch join
+# (3.3 s vs 15.7 s at a 36k store; 15.6 vs 28.4 at 2M); the cell
+# sink's per-trigger cost then grows with the corpus (fixed codebook ⇒
+# cells grow with the store, ×5.1/decade measured) while the prunable
+# LSH store's grows ×2.1/decade, crossing between the 2M and 4M points
+# (linear interpolation ≈3.2M) and diverging after: 45.0 vs 36.9 s at
+# 4M, 91.4 vs 44.8 at 8M, 285.5 vs 119.1 at 20M — the 20M point the
+# r12 layout could not even store on this host (~75 GB bands
+# explosion; ids-only it is 4.5 GB + the 0.7 GB 1× vectors). Probe
+# drops exact (2000/2000 planted twins) at every point.
+SEMDEDUP_SINK_CROSSOVER_N = 3_000_000
 
 
 def semdedup_sink_auto(
