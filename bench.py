@@ -112,14 +112,15 @@ HEADLINE = [
     # r11: banded sign-LSH semantic dedup over the MATERIALIZED
     # (band, bucket) store — partition-local verify, no vector payload
     # in any query-time shuffle (sources/semlsh_index;
-    # DECADES_r11_semlsh_stored). Its query-time shuffle twin
-    # (semdedup_lsh_prune) left the headline in r13 (VERDICT r12 ask
-    # #3): it re-computes the same drop set the stored form produces —
-    # equivalence is pinned by the bit-identical law in
-    # tests/test_semlsh_index.py and the oracle-checked registry entry
-    # (both still run every round); timing the 4-second scaffolding
-    # twin in the suite added wall, not information.
+    # DECADES_r11_semlsh_stored) — plus its query-time shuffle twin
+    # (semdedup_lsh_prune). The twin briefly left the list mid-r13
+    # (VERDICT r12 ask #3 suggested folding it into the law test), but
+    # the driver's bench contract is "same queries, same methodology"
+    # across rounds — dropping a timed query shrinks suite_seconds
+    # without optimizing anything — so r13 keeps it timed and cuts its
+    # cost for real instead (shared-subtree persist; OPTIMIZATION_r13).
     "semdedup_lsh_stored",
+    "semdedup_lsh_prune",
 ]
 
 

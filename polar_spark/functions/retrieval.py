@@ -49,19 +49,22 @@ def corpus_term_stats(
     additive over disjoint doc sets, so partial tables from a split
     corpus sum (groupBy term) to the full corpus's table exactly.
 
-    Scale: df is a (doc, term)-distinct then term count — one
-    vocabulary-bounded shuffle after map-side distinct; the corpus row
-    aggregates the token stream with map-side combine. This is the
-    stats half of an inverted-index build (the postings half is the
-    corpus itself, re-sharded by term, which BM25 serving reads
-    term-filtered — see queries/text.py bm25_topk_docs)."""
-    tok = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(F.split(F.coalesce(text_col, F.lit("")), " ")).alias("term"),
-    )
+    Scale: df explodes the per-doc DISTINCT term set (array_distinct
+    runs inside the scan task — the (doc, term)-dedup costs no shuffle)
+    into one vocabulary-bounded map-side-combined count; the corpus row
+    is a 1-row aggregate over per-row token counts (size(split), no
+    explode, no per-doc shuffle). One corpus scan per branch, one
+    vocabulary-sized exchange + one 1-row exchange total (the r13
+    rework of the explode → distinct → groupBy form, which paid a full
+    token-stream shuffle for the distinct; guide §2.3/§2.4). Assumes
+    ``id_col`` values are unique per row (the table's PK), as every
+    caller's schema guarantees. This is the stats half of an
+    inverted-index build (the postings half is the corpus itself,
+    re-sharded by term, which BM25 serving reads term-filtered — see
+    queries/text.py bm25_topk_docs)."""
+    w = F.split(F.coalesce(text_col, F.lit("")), " ")
     per_term = (
-        tok.select("_doc", "term")
-        .distinct()
+        docs.select(F.explode(F.array_distinct(w)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .select(
@@ -72,8 +75,7 @@ def corpus_term_stats(
         )
     )
     corpus = (
-        tok.groupBy("_doc")
-        .agg(F.count(F.lit(1)).alias("_dl"))
+        docs.select(F.size(w).cast("long").alias("_dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tok"),
@@ -97,6 +99,14 @@ def merge_term_stats(partials: DataFrame) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_tok").alias("total_tok"),
     )
+
+
+def _tf_count(words, term: str):
+    """Occurrences of ``term`` in the ``words`` array as a long Column —
+    the per-row replacement for explode + conditional count. A proper
+    closure (not a default-arg lambda: PySpark treats a two-parameter
+    lambda as the (element, index) form)."""
+    return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
 
 
 def bm25_term_score(tf, df, n_docs, ndl):
@@ -123,38 +133,45 @@ def bm25_topk(
     reads df/N/avgdl from a maintained table instead). Returns
     (doc_id, tf1..tfn, score), top-k by (score desc, doc_id).
 
-    Scale: the `term IN (query)` filter cuts the posting stream to the
-    query's terms BEFORE any shuffle; dl is the only full-corpus
-    aggregate (map-side combined); N/avgdl and the dfs are 1-row
-    broadcasts; top-k is TakeOrdered — no global sort."""
-    tok = docs.select(
+    Scale (r13 array form, guide §2.3-2.4): tf per (doc, term-slot) and
+    dl are PER-ROW array expressions (size/filter over one split of the
+    text — tf_i = occurrences of term i, dl = token count), so the
+    explode, the two per-doc-keyed shuffles (tf groupBy + dl groupBy)
+    and the doc_id join of the posting form all disappear. What remains
+    is one corpus scan feeding a 1-row broadcast aggregate (N, total
+    tokens, per-term dfs — all map-side combined) plus one corpus scan
+    for the scored candidates (pre-filtered to docs containing a query
+    term); top-k is TakeOrdered — no global sort, zero corpus-sized
+    exchanges. The arithmetic (same bm25_term_score expression over
+    identical tf/df/N/ndl integers) is bit-identical to the posting
+    form; assumes ``id_col`` is the table's unique non-null PK, as
+    every caller's schema guarantees."""
+    w = F.split(F.coalesce(text_col, F.lit("")), " ")
+    per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.coalesce(text_col, F.lit("")), " ")).alias("term"),
+        *[
+            _tf_count(w, t).alias(f"tf{i + 1}") for i, t in enumerate(terms)
+        ],
+        F.size(w).cast("long").alias("dl"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corp = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
-    )
-    qtf = (
-        tok.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i + 1}")
-                for i, t in enumerate(terms)
-            ]
-        )
-    )
-    dfs = qtf.agg(
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tok"),
         *[
             F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
             for i in range(len(terms))
-        ]
+        ],
     )
+    any_tf = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i + 1}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
     base = (
-        qtf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(corp))
-        .crossJoin(F.broadcast(dfs))
+        # isNotNull mirrors the posting form's inner join on doc_id,
+        # which silently dropped null-id docs from the candidate set
+        per_doc.filter(F.col("doc_id").isNotNull())
+        .filter(any_tf)
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "ndl",
             F.col("dl").cast("double")
@@ -195,22 +212,22 @@ def bm25_topk_from_stats(
 
     Exactly matches queries/text.py bm25_topk_docs when ``stats`` =
     ``corpus_term_stats(docs)`` — same tf/dl computation, same
-    broadcast 1-row stats, same fixed-order scoring expression."""
-    tok = docs.select(
+    broadcast 1-row stats, same fixed-order scoring expression. Like
+    ``bm25_topk``, tf/dl are per-row array expressions (r13): the
+    per-query cost is one candidate scan plus the stats table's two
+    1-row pivots — zero corpus-sized exchanges."""
+    w = F.split(F.coalesce(text_col, F.lit("")), " ")
+    per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.coalesce(text_col, F.lit("")), " ")).alias("term"),
+        *[
+            _tf_count(w, t).alias(f"tf{i + 1}") for i, t in enumerate(terms)
+        ],
+        F.size(w).cast("long").alias("dl"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    qtf = (
-        tok.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i + 1}")
-                for i, t in enumerate(terms)
-            ]
-        )
-    )
+    any_tf = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i + 1}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
     # 1-row pivots of the stats table: per-term dfs (0 for a term the
     # corpus never saw) and the corpus row's N / total tokens
     dfs = stats.agg(
@@ -223,7 +240,8 @@ def bm25_topk_from_stats(
     )
     corp = stats.filter(F.col("term").isNull()).select("n_docs", "total_tok")
     base = (
-        qtf.join(dl, "doc_id")
+        per_doc.filter(F.col("doc_id").isNotNull())
+        .filter(any_tf)
         .crossJoin(F.broadcast(corp))
         .crossJoin(F.broadcast(dfs))
         .withColumn(

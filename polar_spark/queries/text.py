@@ -594,8 +594,20 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),
     )
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    # df: the (doc, term)-dedup runs INSIDE the scan task via
+    # array_distinct (docs carry unique doc_ids, so per-row dedup ≡ the
+    # global (doc_id, term) distinct), leaving one vocabulary-bounded
+    # map-side-combined count — the r13 rework of distinct → groupBy,
+    # which paid a full token-stream shuffle for the dedup (guide §2.3)
+    df_ = (
+        parallelize_small_scan(d)
+        .select(
+            F.explode(
+                F.array_distinct(F.split(F.coalesce("text", F.lit("")), " "))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     # N as a lazy 1-row broadcast cross join (the oracle's CROSS JOIN n):
     # an eager d.count() here would run a hidden full-scan job at plan-
