@@ -812,59 +812,40 @@ def semdedup_lsh_drop_ids(
     threshold test as the k-means path, so the drop set is always a
     subset of the exact all-pairs drop set.
 
-    Same shape as MinHash-LSH dedup (functions/dedup.py
-    ``verified_near_dups``): banded bucket join on ids only →
-    ``distinct`` candidate pairs → re-join the quantized vectors for
-    exact verification — vectors never ride through the band shuffle.
-    They DO ride through the verification shuffle (two 512-byte
-    payloads per candidate pair) — fine to tens of millions of
-    candidates, and the measured point where it stops being fine on one
-    host is recorded in DECADES_r10_semdedup.json (the 4M-vector
-    attempt). Past that, use the stored-index physical plan the ANN
-    path already implements (sources/ivf_index): materialize vectors
-    partitioned by (band, bucket) at ingest and verify pairs
-    partition-locally, so query-time shuffles carry ids only.
+    Physical shape (r13, guide §2.3/§8): one pass — explode each
+    vector to its ``bands`` (band, bucket) rows WITH the vector, hash
+    by (band, bucket), and verify every co-bucketed pair inside its
+    group with the stored index's numpy kernel
+    (sources/semlsh_index._verify_group_fn — the exact same integer
+    arithmetic, so drop sets stay bit-identical across the query-time
+    and stored forms, pytest law). The band shuffle carries bands× the
+    vector payload — LINEAR in n — where the pre-r13 pair-join form
+    shuffled two vector payloads per CANDIDATE (n^(1+ρ) pairs; at the
+    sf0.1 operating point that was 1.27M distinct pairs ≈ 1.3 GB of
+    verify-join traffic vs 32k band rows ≈ 16 MB here, and the
+    4M-vector wall in DECADES_r10_semdedup.json was exactly that
+    candidate-pair shuffle). Ingest-materializing the same layout once
+    (sources/semlsh_index) amortizes even the bands× pass across
+    queries — that stored form stays the production path.
 
     Returns distinct ids to DROP (higher id of every verified pair —
     the same keep-lowest policy as :func:`semdedup_drop_ids`)."""
+    # local import: sources/semlsh_index top-imports from this module
+    from polar_spark.sources.semlsh_index import _verify_group_fn
+
     t = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     k = t.select(
         "id",
+        "v",
+        sq_norm(F.col("v")).alias("n2"),
         F.posexplode(
             lsh_band_buckets("v", dims, bands, planes_per_band)
         ).alias("band", "bucket"),
     )
-    ka = k.select(F.col("id").alias("id_a"), "band", "bucket")
-    kb = k.select(F.col("id").alias("id_b"), "band", "bucket")
-    cands = (
-        ka.join(kb, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    verified = k.groupBy("band", "bucket").applyInPandas(
+        _verify_group_fn(tau_sq_pct, None), schema="drop_id long"
     )
-    feat = t.withColumn("n2", sq_norm(F.col("v")))
-    fa = feat.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na2"),
-    )
-    fb = feat.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb2"),
-    )
-    d = F.col("d").cast("decimal(38,0)")
-    lhs = d * d * F.lit(10000)
-    rhs = (
-        F.col("na2").cast("decimal(38,0)") * F.col("nb2") * F.lit(int(tau_sq_pct))
-    )
-    verified = (
-        cands.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("d", dot(F.col("va"), F.col("vb")))
-        .filter((F.col("d") > 0) & (lhs >= rhs))
-    )
-    return verified.select(F.col("id_b").alias("drop_id")).distinct()
+    return verified.distinct()
 
 
 def semdedup_drop_ids(
@@ -895,41 +876,30 @@ def semdedup_drop_ids(
     Returns the ids to DROP: for every over-threshold pair the larger id
     loses (deterministic keep-lowest policy), distinct.
 
-    Note: the self-join evaluates the assignment UDF once per side (two
-    narrow passes over the corpus). Persist the input, or — the real
-    100 TB path — read cells from an ingest-materialized IVF index
-    (sources/ivf_index) where assignment already happened once at write
-    time and this becomes a pure partition-local pair scan.
+    Physical shape (r13, guide §2.3/§4.2): ONE narrow assignment pass
+    (cell + n2 computed alongside the vector), hash by cell, and verify
+    every within-cell pair inside its group with the stored LSH index's
+    numpy kernel (sources/semlsh_index._verify_group_fn — same exact
+    integer arithmetic, bit-identical drops). The pre-r13 self-join on
+    ``cell`` evaluated the assignment UDF once per side and shuffled
+    two vector payloads per PAIR (O(Σ|cell|²) rows through the
+    exchange); this shuffles each vector exactly once and runs the
+    Σ|cell|² term as chunked numpy matmuls. An ingest-materialized IVF
+    index (sources/ivf_index) still amortizes even the single pass.
     """
-    t = (
-        vecs.select(id_col, vec_col)
-        .withColumn("cell", ivf_cell(vec_col, centroids))
-        .withColumn("n2", sq_norm(F.col(vec_col)))
+    # local import: sources/semlsh_index top-imports from this module
+    from polar_spark.sources.semlsh_index import _verify_group_fn
+
+    t = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell(vec_col, centroids).alias("bucket"),
+        sq_norm(F.col(vec_col)).alias("n2"),
     )
-    a = t.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        "cell",
-        F.col("n2").alias("na2"),
+    verified = t.groupBy("bucket").applyInPandas(
+        _verify_group_fn(tau_sq_pct, None), schema="drop_id long"
     )
-    b = t.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        "cell",
-        F.col("n2").alias("nb2"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    d = F.col("d").cast("decimal(38,0)")
-    lhs = d * d * F.lit(10000)
-    rhs = (
-        F.col("na2").cast("decimal(38,0)") * F.col("nb2") * F.lit(int(tau_sq_pct))
-    )
-    return (
-        pairs.withColumn("d", dot(F.col("va"), F.col("vb")))
-        .filter((F.col("d") > 0) & (lhs >= rhs))
-        .select(F.col("id_b").alias("drop_id"))
-        .distinct()
-    )
+    return verified.distinct()
 
 
 # ---------------------------------------------------------------------------

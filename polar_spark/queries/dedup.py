@@ -18,7 +18,7 @@ from polar_spark.functions.dedup import (
     verified_near_dups,
 )
 from polar_spark.queries.registry import query
-from polar_spark.sources.tables import load_table
+from polar_spark.sources.tables import load_table, parallelize_small_scan
 
 
 @query(
@@ -474,7 +474,14 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     blocked = p.withColumn("_noun", F.split("p_name", " ").getItem(1))
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # probe side split across cores: part scans as ONE row-group task
+    # locally, so the ~1M within-block pair generations + banded-DP
+    # levenshteins all ran on one core (measured 1.8 s of the query's
+    # 2.0 s at sf0.1). The build/broadcast side keeps the bare scan —
+    # no exchange under a 20k-row hash build. No-op at real scale
+    # (guide §2.5 input skew; see parallelize_small_scan).
+    a = parallelize_small_scan(blocked).alias("a")
+    b = blocked.alias("b")
     return (
         a.join(
             b,

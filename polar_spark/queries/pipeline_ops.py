@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from polar_spark.queries.registry import query
-from polar_spark.sources.tables import load_table
+from polar_spark.sources.tables import load_table, parallelize_small_scan
 
 # md5-nibble → [0, 16) — the engine-portable hash bucket (same construction
 # both sides; DuckDB has no conv(), hence strpos over the hex alphabet)
@@ -463,7 +463,12 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from polar_spark.functions.dsir import dsir_log_weights
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # split the single-row-group documents scan across cores: both the
+    # model pass and the per-row scoring pass are md5-per-gram CPU work
+    # that otherwise runs as ONE task (no-op at real scale)
+    d = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     return dsir_log_weights(d, F.col("lang") == "en", m=4096).select(
         "doc_id", "lang", "n_grams", "logw_nano"
     )
@@ -504,7 +509,9 @@ def dsir_resample_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from polar_spark.functions.dsir import dsir_log_weights, gumbel_key
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     sc = dsir_log_weights(d, F.col("lang") == "en", m=4096)
     return (
         sc.withColumn("sel_key_nano", gumbel_key("doc_id", F.col("logw_nano")))
