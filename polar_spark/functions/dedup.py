@@ -717,25 +717,44 @@ def exact_jaccard_for_pairs(
     """Exact Jaccard for an explicit candidate pair set (id_a, id_b)
     against an exploded (id, shingle) table — the verification tail of
     the LSH pipeline, shared by the one-shot and incremental paths.
-    Cost is O(|candidates| · shingles-per-doc), never corpus²."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cands.join(a, "id_a")
-        .join(
-            b,
-            (F.col("id_b") == F.col("_idb"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    Cost is O(|candidates| · shingles-per-doc), never corpus².
+
+    r13 kernel (guide §2.3 — shuffle fewer bytes): the former form
+    joined the exploded shingle STREAM per pair side ((id, shingle)-keyed
+    exchanges of the whole corpus's shingle rows, plus a separate full
+    per-doc size aggregation) and counted matches with a per-pair
+    aggregation. Now the shingle table is grouped ONCE into a per-doc
+    shingle array (one exchange, same per-doc reduction the old sizes
+    aggregation already paid) and each pair is scored in one JVM
+    expression: ``size(array_intersect(arr_a, arr_b))`` — the candidate
+    table stays the small join side, so no exchange ever carries a
+    pair-expanded shingle stream. (A candidate-ids semi-join before the
+    groupBy was measured and rejected: ``cands`` is a lazy subtree at
+    both call sites, and referencing it twice re-runs the band self-join
+    — slower than grouping the non-candidate majority.)
+    Per-pair output (n_inter, |a|, |b|, jaccard) is integer-identical to
+    the join-count form — requires what both producers guarantee:
+    distinct (id, shingle) rows (``shingle_table`` dedups per doc; the
+    incremental store's epochs partition docs). The zero-intersection
+    filter keeps the old inner-join semantics for any threshold."""
+    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("_arr"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("_arr").alias("_arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("_arr").alias("_arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_arr_a", "_arr_b")).alias("n_inter"),
+            F.size("_arr_a").alias("n_a"),
+            F.size("_arr_b").alias("n_b"),
+        )
+        .filter(F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
