@@ -902,6 +902,93 @@ def semdedup_drop_ids(
     return verified.distinct()
 
 
+def _cosine_pairs_fn(threshold: float):
+    """Per-bucket pair scorer: numpy pairwise exact int64 dots, cosine in
+    double, emits every (id_a < id_b) pair at ``cosine >= threshold``.
+
+    Bit-identical to the pair-join form it replaces: the dot is an exact
+    int64 sum (quantize contract — products < 2⁶³, casts to double exact
+    below 2⁵³), and ``dot / (sqrt(na2) * sqrt(nb2))`` is the same
+    correctly-rounded IEEE op sequence the JVM expression evaluated.
+    NaN cosines (zero-norm vectors) are KEPT, matching Spark SQL's
+    NaN-is-largest comparison semantics for ``cosine >= threshold``."""
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # local import: sources/semlsh_index top-imports from this module
+        from polar_spark.sources.semlsh_index import _CHUNK_CELLS
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.int64, copy=False)
+        rt = np.sqrt(pdf["n2"].to_numpy().astype(np.float64))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        chunk = max(1, _CHUNK_CELLS // m)
+        cols = np.arange(m)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, m, chunk):
+                e = min(s + chunk, m)
+                D = V[s:e] @ V.T  # exact int64 (quantize contract)
+                C = D.astype(np.float64) / (rt[s:e, None] * rt[None, :])
+                upper = cols > np.arange(s, e)[:, None]
+                mask = upper & ((C >= thr) | np.isnan(C))
+                ri, ci = np.nonzero(mask)
+                out_a.append(ids[ri + s])
+                out_b.append(ids[ci])
+                out_c.append(C[ri, ci])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return score
+
+
+def bucketed_cosine_pairs(
+    vecs: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Same-LSH-bucket near-duplicate pairs with their exact cosine.
+
+    Physical shape (r13 round, guide §2.3/§4.2): ONE narrow pass
+    computes (id, v, bucket, n2) — the bucket/norm Arrow UDFs run once,
+    not once per join side — then ``groupBy(bucket)`` ships each vector
+    through exactly one exchange and scores every within-bucket pair in
+    a chunked numpy kernel. The pre-rework self-join on ``bucket``
+    scanned the corpus twice, evaluated the assignment UDFs per side,
+    shuffled two vector payloads per PAIR, and re-ran the per-pair dot
+    UDF under the threshold filter (the guide §4.4 duplication).
+    Output (id_a < id_b, cosine) is bit-identical — see
+    :func:`_cosine_pairs_fn` for the exactness argument."""
+    t = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, dims=dims).alias("bucket"),
+        sq_norm(F.col(vec_col)).alias("n2"),
+    )
+    return t.groupBy("bucket").applyInPandas(
+        _cosine_pairs_fn(threshold),
+        schema="id_a long, id_b long, cosine double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ/ADC) — compressed-domain ANN
 # ---------------------------------------------------------------------------

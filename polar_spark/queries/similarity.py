@@ -488,43 +488,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter (only same-bucket pairs ever join — O(n·avg bucket), never
     O(n²)), then exact integer-dot cosine verification ≥ 0.35.
 
-    Norms are computed once per VECTOR before the join (sq_norm), not
-    once per pair — at 100 TB a hot bucket of b vectors does b² pair
+    Norms are computed once per VECTOR before the pair stage (sq_norm),
+    not once per pair — at 100 TB a hot bucket of b vectors does b² pair
     dots but only b norm passes. cosine = dot/(√na²·√nb²) in double:
     exact int64 sums + correctly-rounded IEEE sqrt/div, bit-identical
-    to the oracle's per-pair formula."""
+    to the oracle's per-pair formula.
+
+    Physical shape (r13 round, guide §2.3/§4.2): ONE narrow pass
+    (id, v, bucket, n2), one hash exchange on ``bucket``, and a chunked
+    numpy kernel scoring each bucket's pairs — replacing a self-join
+    that scanned the corpus and ran the bucket/norm UDFs once PER SIDE,
+    shuffled two 64-int payloads per pair, and evaluated the per-pair
+    dot UDF twice (once under the threshold filter, once in the output
+    projection — the guide §4.4 duplication)."""
+    from polar_spark.functions.similarity import bucketed_cosine_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        quantize("embedding").alias("v"),
-        lsh_bucket(quantize("embedding"), dims=64).alias("bucket"),
-    ).withColumn("n2", sq_norm(F.col("v")))
-    a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("n2").alias("na2"), "bucket",
-    )
-    bb = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("n2").alias("nb2"), "bucket",
-    )
-    pair_dot = F.col("_dot").cast("double")
-    return (
-        a.join(bb, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_dot", dot(F.col("va"), F.col("vb")))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                pair_dot
-                / (
-                    F.sqrt(F.col("na2").cast("double"))
-                    * F.sqrt(F.col("nb2").cast("double"))
-                )
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    return bucketed_cosine_pairs(qv, dims=64, threshold=0.35)
 
 
 @query(

@@ -897,12 +897,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NOT EXISTS) — which is the scale-correct form: correlated
     per-row subqueries over a 100 TB fact would rescan it per match.
 
-    Scale: one orderkey shuffle joins lineitem to 'F' orders (status
-    filter pushed); one (orderkey,suppkey) aggregation counts each
-    supplier's late lines per order; per-order supplier/late-supplier
-    counts are windows over that already-(order,supplier)-grained result;
-    supplier+nation broadcast; final agg is supplier-sized with a
-    deterministic top-100.
+    Scale: ONE orderkey exchange serves the whole per-order pipeline
+    (guide §2.4 — operations keyed the same way share an exchange): the
+    'F'-orders join is broadcast (status filter pushed), the fact is
+    hash-repartitioned by l_orderkey once, and both the
+    (orderkey,suppkey) aggregation and the per-order windows reuse that
+    partitioning (HashPartitioning(l_orderkey) satisfies the aggregate's
+    ClusteredDistribution(l_orderkey, l_suppkey) and the window's
+    ClusteredDistribution(l_orderkey)) — the pre-rework plan paid two
+    back-to-back fact-sized exchanges here. Supplier+nation broadcast;
+    final agg is supplier-sized with a deterministic top-100.
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -918,6 +922,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_late",
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         )
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("n_late_lines"))
     )
