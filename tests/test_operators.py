@@ -1392,6 +1392,26 @@ def test_bigram_lm_matches_python_reference(spark):
     assert got[4][1] / got[4][0] > got[5][1] / got[5][0]
 
 
+def test_bigram_pairs_short_doc_edge(spark):
+    """Docs with <2 tokens contribute NOTHING to bigram_pairs — the r13
+    index-sequence explode must not emit bogus rows for them (Spark's
+    sequence(1, 0) is DESCENDING; the size>=2 filter guards it). Covers
+    single-token, empty-string and NULL text, and the 2-token minimum."""
+    from polar_spark.functions.lm import bigram_pairs
+
+    docs = [
+        (0, "solo"),
+        (1, ""),
+        (2, None),
+        (3, "two words"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = bigram_pairs(df, "text", extra=["doc_id"]).collect()
+    assert [(r["doc_id"], r["w1"], r["w2"]) for r in rows] == [
+        (3, "two", "words")
+    ]
+
+
 def test_weighted_sample_matches_python_reference(spark, sf_dir):
     """The Efraimidis-Spirakis selection equals a NumPy/hashlib replica:
     same md5-uniform, same ln(u)/w key, same per-source top-10."""
