@@ -121,15 +121,21 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polar_spark.functions.dedup import _spread
 
     d = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    w = "split(text, ' ')"
+    # pre-split ONCE into a column (r13 round, guide §2.3/§4.1): with
+    # `split(text)` textually inlined, the transform lambda re-split the
+    # document per span index — O(words²) per doc (the shingles_expr
+    # PERF NOTE hazard); a bound array column makes each slice O(span).
+    # CollapseProject cannot re-inline: split is non-cheap and _w is
+    # referenced three times.
+    ws = d.select(F.expr("split(text, ' ')").alias("_w"))
     spans = F.expr(
-        f"case when size({w}) >= {_SPAN_WORDS} then"
-        f" array_distinct(transform(sequence(1, size({w}) - {_SPAN_WORDS - 1}),"
-        f"   i -> concat_ws(' ', slice({w}, i, {_SPAN_WORDS}))))"
+        f"case when size(_w) >= {_SPAN_WORDS} then"
+        f" array_distinct(transform(sequence(1, size(_w) - {_SPAN_WORDS - 1}),"
+        f"   i -> concat_ws(' ', slice(_w, i, {_SPAN_WORDS}))))"
         f" else array() end"
     )
     return (
-        d.select(F.explode(spans).alias("span"))
+        ws.select(F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
@@ -265,13 +271,18 @@ def chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text → '' on BOTH sides: Spark's size(split(NULL)) is -1 and
     # sequence(0, -1) counts DOWN (two phantom chunks) while the DuckDB
     # oracle emits no rows — coalescing first gives one ''-chunk doc in
-    # both engines
-    w = "split(text, ' ')"
+    # both engines.
+    # Pre-split ONCE into a column (r13 round, guide §2.3/§4.1): the
+    # inlined-split form re-tokenized the doc per chunk index inside the
+    # transform lambda — O(words²/chunk) per doc; the bound array column
+    # makes each slice O(chunk) and is not re-inlined by CollapseProject
+    # (split is non-cheap, referenced twice).
+    ws = d.select("doc_id", F.expr("split(text, ' ')").alias("_w"))
     chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(size({w}) / {_CHUNK_WORDS}.0) as int) - 1),"
-        f" i -> concat_ws(' ', slice({w}, i * {_CHUNK_WORDS} + 1, {_CHUNK_WORDS})))"
+        f"transform(sequence(0, cast(ceil(size(_w) / {_CHUNK_WORDS}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(_w, i * {_CHUNK_WORDS} + 1, {_CHUNK_WORDS})))"
     )
-    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    ch = ws.select("doc_id", F.explode(chunks).alias("chunk"))
     occ = ch.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("chunk")))
     dup = F.sum((F.col("n_occ") > 1).cast("bigint"))
     return occ.groupBy("doc_id").agg(
