@@ -494,10 +494,16 @@ def train_ivf_codebook(
     coarse codebook of ``nlist`` cells, as the ``centroids`` input of
     :func:`ivf_topk` / :func:`ivf_cell`.
 
-    Scale shape: each iteration is one narrow assignment pass (the
-    current codebook rides the UDF closure — no shuffle of the corpus)
-    plus one explode→(cell, dim)→avg aggregation whose output is
-    nlist·dims rows — driver traffic is O(codebook), never O(corpus).
+    Scale shape: each iteration is ONE narrow Arrow pass that assigns
+    cells (the same ``_d2_matrix``/argmin kernel :func:`ivf_cell`
+    evaluates, via the same :func:`_centroid_arrays` ordering) and
+    accumulates exact per-cell integer sums/counts per partition — only
+    O(parts·nlist·dims) partial rows reach the driver, never O(corpus).
+    (The former shape posexploded the corpus into corpus×dims (dim, x)
+    rows per iteration — guide §2.3/§4.2, r13 optimization round; the
+    partials merge by exact integer addition and the mean is
+    ``floor(double(sum)/double(count))``, the same IEEE op sequence the
+    old Spark aggregate evaluated, so codebooks are bit-identical.)
     Deterministic: init = the ``nlist`` lowest-id vectors, integer sums
     are exact and order-independent, means re-quantize with floor.
     Empty cells keep their previous centroid. The oracle-checked query
@@ -508,23 +514,55 @@ def train_ivf_codebook(
     init = base.orderBy("_id").limit(nlist).collect()
     cents = [(i, [int(x) for x in r["_v"]]) for i, r in enumerate(init)]
     for _ in range(iters):
-        assigned = base.withColumn("cell", ivf_cell("_v", cents))
-        means = (
-            assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("m")
-            )
-            .collect()
-        )
-        by_cell: dict[int, dict[int, int]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["m"])
+        cids, C = _centroid_arrays(cents)
+        neff = len(cids)
+
+        def _stats(it):
+            dims = C.shape[1]
+            S = np.zeros((neff, dims), dtype=np.int64)
+            N = np.zeros(neff, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _mat(pdf["_v"])
+                a = np.argmin(_d2_matrix(V, C), axis=1)
+                np.add.at(S, a, V)
+                N += np.bincount(a, minlength=neff)
+            nz = np.nonzero(N)[0]
+            if nz.size:
+                yield pd.DataFrame(
+                    {
+                        "i": nz.astype("int64"),
+                        "n": N[nz],
+                        "sums": [S[j].tolist() for j in nz],
+                    }
+                )
+
+        parts = base.select("_v").mapInPandas(
+            _stats, "i long, n long, sums array<long>"
+        ).collect()
+        totS: dict[int, list[int]] = {}
+        totN: dict[int, int] = {}
+        for r in parts:
+            cid = int(cids[int(r["i"])])
+            if cid in totS:
+                acc = totS[cid]
+                for d, x in enumerate(r["sums"]):
+                    acc[d] += int(x)
+                totN[cid] += int(r["n"])
+            else:
+                totS[cid] = [int(x) for x in r["sums"]]
+                totN[cid] = int(r["n"])
         cents = [
             (
                 cid,
-                [by_cell[cid][d] for d in range(len(old))]
-                if cid in by_cell
+                [
+                    # floor of IEEE double division — bit-identical to the
+                    # former F.floor(F.sum/F.count) Spark aggregate
+                    int(math.floor(float(s) / float(totN[cid])))
+                    for s in totS[cid]
+                ]
+                if cid in totN
                 else old,
             )
             for cid, old in cents
@@ -1015,11 +1053,18 @@ def train_pq_codebook(
     in ~3 TB and scans stay memory-bandwidth-bound.
 
     Scale shape mirrors :func:`train_ivf_codebook`: every iteration is
-    one narrow encode pass (codebook rides the UDF closure) + one
-    (dim, code) aggregation whose output is O(dims·ksub) rows to the
-    driver — never O(corpus). Deterministic: init = subvectors of the
-    ``ksub`` lowest-id vectors, exact integer sums, floor means, empty
-    codes keep their previous centroid."""
+    ONE narrow Arrow pass that assigns codes (via the same
+    :func:`_pq_codes_matrix` kernel the encoder uses) and accumulates
+    exact per-(subspace, code) integer sums/counts per partition — only
+    O(parts·nsub·ksub) partial rows reach the driver, never O(corpus).
+    (The former shape posexploded the corpus into corpus×dims (dim, x)
+    rows per iteration — guide §2.3/§4.2, r13 optimization round; the
+    partials merge by exact integer addition, so books are
+    bit-identical.) Deterministic: init = subvectors of the ``ksub``
+    lowest-id vectors, exact integer sums, floor means — the update is
+    ``floor(double(sum)/double(count))``, the same IEEE op sequence the
+    old Spark aggregate evaluated — empty codes keep their previous
+    centroid."""
     base = candidates.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     init = base.orderBy("_id").limit(ksub).collect()
     dims = len(init[0]["_v"])
@@ -1030,29 +1075,82 @@ def train_pq_codebook(
         [[int(x) for x in r["_v"][s * dsub : (s + 1) * dsub]] for r in init]
         for s in range(nsub)
     ]
+    keff = len(books[0])  # < ksub when the corpus has fewer vectors
     for _ in range(iters):
-        enc = base.withColumn("codes", pq_encode("_v", books))
-        means = (
-            enc.select("codes", F.posexplode("_v").alias("dim", "x"))
-            .withColumn("code", F.expr(f"codes[cast(dim / {dsub} as int)]"))
-            .groupBy("dim", "code")
-            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("m"))
-            .collect()
-        )
-        got: dict[tuple[int, int], int] = {
-            (int(r["dim"]), int(r["code"])): int(r["m"]) for r in means
-        }
+        B = [np.array(b, dtype=np.int64) for b in books]
+
+        def _stats(it):
+            S = np.zeros((nsub, keff, dsub), dtype=np.int64)
+            N = np.zeros((nsub, keff), dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _mat(pdf["_v"])
+                codes = _pq_codes_matrix(V, B)
+                for s in range(nsub):
+                    np.add.at(S[s], codes[:, s], V[:, s * dsub : (s + 1) * dsub])
+                    N[s] += np.bincount(codes[:, s], minlength=keff)
+            ss, cc = np.nonzero(N)
+            if ss.size:
+                yield pd.DataFrame(
+                    {
+                        "s": ss.astype("int64"),
+                        "c": cc.astype("int64"),
+                        "n": N[ss, cc],
+                        "sums": [S[s, c].tolist() for s, c in zip(ss, cc)],
+                    }
+                )
+
+        parts = base.select("_v").mapInPandas(
+            _stats, "s long, c long, n long, sums array<long>"
+        ).collect()
+        totS: dict[tuple[int, int], list[int]] = {}
+        totN: dict[tuple[int, int], int] = {}
+        for r in parts:
+            key = (int(r["s"]), int(r["c"]))
+            if key in totS:
+                acc = totS[key]
+                for d, x in enumerate(r["sums"]):
+                    acc[d] += int(x)
+                totN[key] += int(r["n"])
+            else:
+                totS[key] = [int(x) for x in r["sums"]]
+                totN[key] = int(r["n"])
         books = [
             [
                 [
-                    got.get((s * dsub + d, c), books[s][c][d])
+                    # floor of IEEE double division — bit-identical to the
+                    # former F.floor(F.sum/F.count) Spark aggregate
+                    int(math.floor(float(totS[(s, c)][d]) / float(totN[(s, c)])))
+                    if (s, c) in totN
+                    else books[s][c][d]
                     for d in range(dsub)
                 ]
-                for c in range(ksub)
+                for c in range(keff)
             ]
             for s in range(nsub)
         ]
     return books
+
+
+def _pq_codes_matrix(V: np.ndarray, B: list[np.ndarray]) -> np.ndarray:
+    """PQ code assignment for a batch: (n, nsub) int32 codes, one small
+    matmul per subspace; ties → lowest code (argmin takes the first
+    minimum over code-ordered distances). Shared verbatim by
+    :func:`pq_encode` and the training kernel in
+    :func:`train_pq_codebook` so encode and training assign IDENTICALLY."""
+    nsub = len(B)
+    dsub = B[0].shape[1]
+    codes = np.empty((len(V), nsub), dtype=np.int32)
+    for s, Bs in enumerate(B):
+        Vs = V[:, s * dsub : (s + 1) * dsub]
+        d2 = (
+            (Vs * Vs).sum(axis=1)[:, None]
+            + (Bs * Bs).sum(axis=1)[None, :]
+            - 2 * (Vs @ Bs.T)
+        )
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
 
 
 def pq_encode(vec_col: str | Column, books: list[list[list[int]]]) -> Column:
@@ -1061,24 +1159,12 @@ def pq_encode(vec_col: str | Column, books: list[list[list[int]]]) -> Column:
     nsub small matmuls per batch; ties → lowest code (argmin takes the
     first minimum over code-ordered distances)."""
     B = [np.array(b, dtype=np.int64) for b in books]
-    nsub = len(B)
-    dsub = B[0].shape[1]
 
     @pandas_udf(ArrayType(IntegerType()))
     def enc(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        V = _mat(v)
-        codes = np.empty((len(V), nsub), dtype=np.int32)
-        for s, Bs in enumerate(B):
-            Vs = V[:, s * dsub : (s + 1) * dsub]
-            d2 = (
-                (Vs * Vs).sum(axis=1)[:, None]
-                + (Bs * Bs).sum(axis=1)[None, :]
-                - 2 * (Vs @ Bs.T)
-            )
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_pq_codes_matrix(_mat(v), B)))
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return enc(c)

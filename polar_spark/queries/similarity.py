@@ -1062,15 +1062,31 @@ def kmeans_lloyd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd mechanics exactly).
 
     Scale (the 100 TB shape for one Lloyd pass): the ASSIGNMENT is a
-    zero-shuffle codegen map — the k×d centroid model folds into the
-    expression as literals (the KMV-threshold-map discipline), so the
-    corpus streams through `F.aggregate` over 8 centroid structs with
-    no join, no window, no expansion; the UPDATE shuffles only O(k·d)
-    per-dimension partial sums after map-side combine (posexplode rows
-    never cross the wire raw); the two driver-side actions are bounded
-    (top-8 TakeOrdered init, the 8×64 sum table). Iterations are fixed
-    so the plan stays static and oracle-expressible.
+    zero-shuffle narrow pass — the k×d centroid model rides each task as
+    an Arrow-kernel closure (the same ``_d2_matrix``/first-min-argmin
+    kernel every ANN operator uses; exact int64 squared-L2, ties →
+    lowest cl, identical to the oracle's ``ORDER BY d, cl``), so the
+    corpus streams with no join, no window, no expansion; the UPDATE
+    and the final per-cluster stats each move only O(parts·k·d) /
+    O(parts·k) integer partials — corpus×dims rows never exist at all
+    (r13 optimization round: the former interpreted ``F.aggregate`` fold
+    re-evaluated a 64-term zip_with TWICE per centroid per row, and the
+    update posexploded the corpus — guide §4.1/§4.2); the two
+    driver-side actions are bounded (top-8 TakeOrdered init, the k×64
+    partial-sum table). Iterations are fixed so the plan stays static
+    and oracle-expressible.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from polar_spark.functions.similarity import (
+        _centroid_arrays,
+        _d2_matrix,
+        _mat,
+    )
+
     K, D = 8, 64
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.select(
@@ -1083,61 +1099,86 @@ def kmeans_lloyd_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     init_rows = qv.orderBy("hv", "vec_id").limit(K).select("v").collect()
     cents = [(cl, [int(x) for x in r["v"]]) for cl, r in enumerate(init_rows)]
 
-    def assign(cent_list):
-        # the k×d centroid model folds into ONE SQL string (a single
-        # parse): the former Column-builder form issued ~1000 py4j
-        # roundtrips per call (8 structs × 64 literals + lambda trees),
-        # ~2 s of pure driver time per invocation — the simhash r8
-        # lesson. Semantics identical: strict < with ascending-cl
-        # iteration == ORDER BY d, cl.
-        structs = ", ".join(
-            f"named_struct('cl', {cl}, 'c',"
-            f" CAST(array({', '.join(str(x) for x in c)}) AS ARRAY<BIGINT>))"
-            for cl, c in cent_list
-        )
-        best = F.expr(
-            f"aggregate(array({structs}),"
-            " named_struct('d', CAST(4611686018427387904 AS BIGINT), 'cl', -1),"
-            " (acc, cent) -> IF("
-            "   aggregate(zip_with(v, cent.c, (a, b) -> (a - b) * (a - b)),"
-            "             CAST(0 AS BIGINT), (s, x) -> s + x) < acc.d,"
-            "   named_struct('d',"
-            "     aggregate(zip_with(v, cent.c, (a, b) -> (a - b) * (a - b)),"
-            "               CAST(0 AS BIGINT), (s, x) -> s + x),"
-            "     'cl', cent.cl),"
-            "   acc))"
-        )
-        return qv.withColumn("_b", best).select(
-            "vec_id",
-            "v",
-            F.col("_b.cl").alias("cl"),
-            F.col("_b.d").alias("d"),
-        )
+    # --- iteration 1: per-cell integer sums/counts in ONE Arrow pass ---
+    cids1, C1 = _centroid_arrays(cents)
+    k1 = len(cids1)
 
-    a1 = assign(cents)
-    sums = (
-        a1.select("cl", F.posexplode("v").alias("j", "x"))
-        .groupBy("cl", "j")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    import math
+    def _stats(it):
+        S = np.zeros((k1, D), dtype=np.int64)
+        N = np.zeros(k1, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _mat(pdf["v"])
+            a = np.argmin(_d2_matrix(V, C1), axis=1)
+            np.add.at(S, a, V)
+            N += np.bincount(a, minlength=k1)
+        nz = np.nonzero(N)[0]
+        if nz.size:
+            yield pd.DataFrame(
+                {
+                    "i": nz.astype("int64"),
+                    "n": N[nz],
+                    "sums": [S[j].tolist() for j in nz],
+                }
+            )
 
-    by_cl: dict[int, dict[int, int]] = {}
+    parts = qv.select("v").mapInPandas(
+        _stats, "i long, n long, sums array<long>"
+    ).collect()
+    by_cl: dict[int, list[int]] = {}
     n_cl: dict[int, int] = {}
-    for r in sums:
-        by_cl.setdefault(r["cl"], {})[r["j"]] = r["s"]
-        n_cl[r["cl"]] = r["n"]
+    for r in parts:
+        cl = int(cids1[int(r["i"])])
+        if cl in by_cl:
+            acc = by_cl[cl]
+            for j, x in enumerate(r["sums"]):
+                acc[j] += int(x)
+            n_cl[cl] += int(r["n"])
+        else:
+            by_cl[cl] = [int(x) for x in r["sums"]]
+            n_cl[cl] = int(r["n"])
     # floor of IEEE double division — identical in Spark/DuckDB/Python
     # (house precedent: embedding_outlier_centroid's oracle)
     cents2 = [
         (cl, [int(math.floor(by_cl[cl][j] / n_cl[cl])) for j in range(D)])
         for cl in sorted(by_cl)
     ]
-    a2 = assign(cents2)
-    return a2.groupBy(F.col("cl").cast("int").alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum("d").cast("bigint").alias("ssd"),
+
+    # --- iteration 2 (the returned, LAZY plan): assign + per-cluster
+    # (count, Σd) partials per partition, then a k-row aggregation ---
+    cids2, C2 = _centroid_arrays(cents2)
+    k2 = len(cids2)
+
+    def _final(it):
+        n = np.zeros(k2, dtype=np.int64)
+        sd = np.zeros(k2, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _mat(pdf["v"])
+            d2 = _d2_matrix(V, C2)
+            a = np.argmin(d2, axis=1)
+            n += np.bincount(a, minlength=k2)
+            np.add.at(sd, a, d2[np.arange(len(a)), a])
+        nz = np.nonzero(n)[0]
+        if nz.size:
+            yield pd.DataFrame(
+                {
+                    "cl": cids2[nz],
+                    "n": n[nz],
+                    "sd": sd[nz],
+                }
+            )
+
+    return (
+        qv.select("v")
+        .mapInPandas(_final, "cl long, n long, sd long")
+        .groupBy(F.col("cl").cast("int").alias("cluster"))
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.sum("sd").cast("bigint").alias("ssd"),
+        )
     )
 
 

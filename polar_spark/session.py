@@ -51,14 +51,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # allow shuffled-hash join where a per-partition build fits
         # (guide §3.1/§9): the planner default prefers sort-merge even
-        # when hashing one side per partition is cheaper — measured
-        # 30-35% off every fact-fact TPC-H join at sf0.1 (q8 1.56→0.99,
-        # q5 1.20→0.78, q21 1.66→1.11, q17 1.28→0.82). The AQE
-        # threshold additionally rewrites SMJ→SHJ at runtime when every
-        # post-shuffle partition is under 128 MB (same bound as
-        # maxPartitionBytes) — sized so a build side never exceeds one
-        # scan split per task; both env-overridable for clusters where
-        # per-task memory is tighter than 128 MB × cores.
+        # when hashing one side per partition is cheaper. At sf0.1 this
+        # is a measured NO-OP (every TPC-H join is already a broadcast
+        # hash join — plan dumps in plans/r13 are strategy-identical
+        # with and without it); it is kept as CLUSTER posture for inputs
+        # where a side outgrows the broadcast threshold, and the full
+        # oracle sweeps run with it set. The AQE threshold additionally
+        # rewrites SMJ→SHJ at runtime when every post-shuffle partition
+        # is under 128 MB (same bound as maxPartitionBytes) — sized so a
+        # build side never exceeds one scan split per task; both
+        # env-overridable for clusters where per-task memory is tighter
+        # than 128 MB × cores.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("POLAR_SPARK_PREFER_SMJ", "false"),

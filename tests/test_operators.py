@@ -1823,3 +1823,95 @@ def test_write_ivf_index_two_level_same_layout(spark, sf_dir, tmp_path):
         == 0
     )
     assert a.count() == b.count()
+
+
+def test_lloyd_trainers_match_posexplode_reference(spark, sf_dir):
+    """r13 optimization round: the Lloyd statistics kernel (one
+    mapInPandas pass of per-partition integer partials) must produce
+    BIT-IDENTICAL codebooks to the former corpus×dims posexplode →
+    groupBy → floor(sum/count) aggregation it replaced — across a forced
+    multi-partition input so the cross-partition partial merge is
+    exercised."""
+    from pyspark.sql import functions as F
+
+    from polar_spark.functions.similarity import (
+        ivf_cell,
+        pq_encode,
+        quantize,
+        train_ivf_codebook,
+        train_pq_codebook,
+    )
+    from polar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # 7 partitions: vectors of one cell/code split across partitions
+    qv = e.select("vec_id", quantize("embedding").alias("v")).repartition(7)
+    base = qv.select(F.col("vec_id").alias("_id"), F.col("v").alias("_v"))
+
+    def ref_ivf(nlist, iters):
+        init = base.orderBy("_id").limit(nlist).collect()
+        cents = [(i, [int(x) for x in r["_v"]]) for i, r in enumerate(init)]
+        for _ in range(iters):
+            assigned = base.withColumn("cell", ivf_cell("_v", cents))
+            means = (
+                assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(
+                    F.floor(F.sum("x") / F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias("m")
+                )
+                .collect()
+            )
+            by_cell = {}
+            for r in means:
+                by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["m"])
+            cents = [
+                (
+                    cid,
+                    [by_cell[cid][d] for d in range(len(old))]
+                    if cid in by_cell
+                    else old,
+                )
+                for cid, old in cents
+            ]
+        return cents
+
+    def ref_pq(nsub, ksub, iters):
+        init = base.orderBy("_id").limit(ksub).collect()
+        dims = len(init[0]["_v"])
+        dsub = dims // nsub
+        books = [
+            [[int(x) for x in r["_v"][s * dsub : (s + 1) * dsub]] for r in init]
+            for s in range(nsub)
+        ]
+        for _ in range(iters):
+            enc = base.withColumn("codes", pq_encode("_v", books))
+            means = (
+                enc.select("codes", F.posexplode("_v").alias("dim", "x"))
+                .withColumn("code", F.expr(f"codes[cast(dim / {dsub} as int)]"))
+                .groupBy("dim", "code")
+                .agg(
+                    F.floor(F.sum("x") / F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias("m")
+                )
+                .collect()
+            )
+            got = {(int(r["dim"]), int(r["code"])): int(r["m"]) for r in means}
+            books = [
+                [
+                    [
+                        got.get((s * dsub + d, c), books[s][c][d])
+                        for d in range(dsub)
+                    ]
+                    for c in range(len(books[s]))
+                ]
+                for s in range(nsub)
+            ]
+        return books
+
+    assert train_ivf_codebook(qv, "v", "vec_id", nlist=32, iters=2) == ref_ivf(
+        32, 2
+    )
+    assert train_pq_codebook(qv, "v", "vec_id", iters=2) == ref_pq(8, 16, 2)
