@@ -78,6 +78,21 @@ def dot(a: Column, b: Column) -> Column:
     return _dot_pd(a, b)
 
 
+@pandas_udf(LongType())
+def _sqdist_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    D = _mat(a) - _mat(b)
+    return pd.Series((D * D).sum(axis=1))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 distance of two quantized vectors —
+    same Arrow-batch discipline as :func:`dot` (int64 subtract, square,
+    sum; order-independent, engine-reproducible)."""
+    return _sqdist_pd(a, b)
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """JVM expression form of the quantized dot (interpreted HOF fold).
 

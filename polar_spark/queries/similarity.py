@@ -913,26 +913,79 @@ def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (L2², quantized-exact) from their label's centroid — the standard
     mislabeled/garbage-embedding sweep before training.
 
-    Scale shape: one (n·dims)-row explode → per-(label, dim) integer
-    centroid (map-side combine; output is labels·dims rows) → broadcast
-    centroid join → per-vector distance agg → TakeOrdered top-20 (no
-    global sort; Spark's orderBy+limit does a per-partition top-k
-    merge). Centroid = floor(sum/count) with the division in double:
-    both engines floor the same correctly-rounded quotient of exact
-    int64s, so results are bit-identical."""
+    Scale shape (r13 optimization round — the same per-partition
+    integer-partials kernel as the Lloyd trainers, change #13; the
+    former form posexploded the corpus into corpus×dims rows TWICE and
+    pushed one copy through a broadcast join + re-aggregation): one
+    narrow Arrow pass accumulates exact per-label integer sums/counts
+    per partition (O(parts·labels·dims) partial rows — never
+    corpus-sized), a labels·dims-bounded aggregation floors the
+    centroids, and the per-vector distance is one Arrow squared-L2
+    kernel after a broadcast join of the labels-sized centroid-array
+    table → TakeOrdered top-20 (no global sort). Fully lazy — no
+    construction-time job. Centroid = floor(sum/count) with the
+    division in double: both engines floor the same correctly-rounded
+    quotient of exact int64s, so results are bit-identical (null-label
+    vectors drop at the join, null-vector rows contribute nothing —
+    both exactly as the old join/explode semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from polar_spark.functions.similarity import _mat, sq_dist
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select("vec_id", "label", quantize("embedding").alias("v"))
-    x = q.select(
-        "vec_id", "label", F.posexplode("v").alias("dim0", "x")
-    ).withColumn("dim", F.col("dim0") + 1).drop("dim0")
-    cent = x.groupBy("label", "dim").agg(
-        F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).alias("cx")
+
+    def _stats(it):
+        sums: dict = {}
+        counts: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mask = pdf["v"].notna()
+            for label, grp in pdf[mask].groupby("label", dropna=False):
+                V = _mat(grp["v"])
+                key = label
+                if key in sums:
+                    sums[key] += V.sum(axis=0)
+                    counts[key] += len(V)
+                else:
+                    sums[key] = V.sum(axis=0).astype("int64")
+                    counts[key] = len(V)
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "label": list(sums),
+                    "n": np.array([counts[k] for k in sums], dtype="int64"),
+                    "sums": [s.tolist() for s in sums.values()],
+                }
+            )
+
+    label_t = q.schema["label"].dataType.simpleString()
+    partials = q.select("label", "v").mapInPandas(
+        _stats, f"label {label_t}, n long, sums array<long>"
     )
-    diff = F.col("x") - F.col("cx")
+    cent = (
+        partials.select(
+            "label", "n", F.posexplode("sums").alias("dim0", "s")
+        )
+        .groupBy("label", "dim0")
+        .agg(
+            # floor(double(Σs) / double(Σn)) — the identical IEEE op
+            # sequence the old per-(label, dim) Spark aggregate evaluated
+            F.floor(F.sum("s").cast("double") / F.sum("n")).alias("cx")
+        )
+    )
+    cents_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "cx"))),
+            lambda st: st["cx"],
+        ).alias("cv")
+    )
     d2 = (
-        x.join(F.broadcast(cent), ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum(diff * diff).cast("bigint").alias("dist2"))
+        q.filter(F.col("v").isNotNull())
+        .join(F.broadcast(cents_arr), "label")
+        .select("vec_id", "label", sq_dist("v", "cv").alias("dist2"))
     )
     return d2.orderBy(F.col("dist2").desc(), "vec_id").limit(20)
 
