@@ -1092,6 +1092,10 @@ def train_pq_codebook(
     ]
     keff = len(books[0])  # < ksub when the corpus has fewer vectors
     for _ in range(iters):
+        # fail fast on ragged books (ADVICE r13): the codes schema and
+        # the bincount minlength below assume every subspace has keff
+        # codes — a ragged list would silently mis-size the partials
+        assert all(len(b) == keff for b in books), "ragged PQ codebook"
         B = [np.array(b, dtype=np.int64) for b in books]
 
         def _stats(it):

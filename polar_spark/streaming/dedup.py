@@ -892,10 +892,6 @@ class StreamingSemDedupLSH:
         reset = epoch == 0 and last > 0
         if last >= epoch and not reset:
             return False
-        if batch_df.isEmpty():
-            self._epochs.record(key, epoch, force=reset)
-            return True
-        self._ensure_format()
         tag = epoch_tag(key, epoch)
 
         batch = (
@@ -906,6 +902,16 @@ class StreamingSemDedupLSH:
             .withColumn("vq", pack_vec(F.col("v"), self.vbytes))
             .persist()
         )
+        # one count materializes the persisted batch AND answers both
+        # the empty-epoch guard (formerly a separate isEmpty job per
+        # trigger) and the broadcast gating below — one Spark job fewer
+        # on EVERY trigger (r14, guide §1.2: per-trigger fixed cost)
+        batch_n = batch.count()
+        if batch_n == 0:
+            batch.unpersist()
+            self._epochs.record(key, epoch, force=reset)
+            return True
+        self._ensure_format()
         keys = self._band_key_rows(batch).persist()
         d = F.col("d").cast("decimal(38,0)")
         over_tau = (F.col("d") > 0) & (
@@ -956,7 +962,6 @@ class StreamingSemDedupLSH:
                     F.col("vq").alias("bvq"),
                     F.col("n2").alias("nb2"),
                 )
-                batch_n = batch.count()
                 if batch_n <= self.broadcast_batch_rows:
                     bv = F.broadcast(bv)
                 if batch_n * self.bands <= self.broadcast_batch_rows:

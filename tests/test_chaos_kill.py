@@ -19,7 +19,18 @@ The two kill points bracket the exactly-once protocol:
 Either failure mode, if mishandled, shows up as a bigram-count diff
 against the one-shot batch twin — counts are additive, so a single
 double-applied epoch is visible.
-"""
+
+Execution shape (r14 optimization round): every pipeline below is a
+sequence of CHILD PROCESSES over its own private root — fully isolated
+from every other pipeline (own topic catalog / checkpoint / Derby
+metastore). The pipelines used to run one-at-a-time inside their test
+bodies, which made this file the single largest wall-clock item in the
+suite (~75 s × 16 tests, nearly all of it child-JVM boot + streaming
+waits at <5% host CPU). They now run CONCURRENTLY on a session-scoped
+thread pool; each test function asserts on its own pipeline's captured
+results. The children, their phases, their kill points, and every
+assertion are UNCHANGED — this parallelizes wall-clock waiting, not the
+laws. ``POLAR_CHAOS_WORKERS`` overrides the pool size (default 8)."""
 
 from __future__ import annotations
 
@@ -28,63 +39,241 @@ import os
 import signal
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tests", "chaos_lm_child.py")
 
+SINK_CASES = [
+    ("lm", "before"),
+    ("lm", "after"),
+    ("neardup", "before"),
+    ("neardup", "after"),
+    ("semdedup", "before"),
+    ("semdedup", "after"),
+    ("semlsh", "before"),
+    ("semlsh", "after"),
+]
 
-def _run(root: str, *args: str) -> subprocess.CompletedProcess:
+
+def _run_child(child: str, root: str, *args: str, timeout: int = 900):
     return subprocess.run(
-        [sys.executable, CHILD, root, *args],
+        [sys.executable, child, root, *args],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=timeout,
         cwd=REPO,
     )
 
 
-@pytest.mark.parametrize(
-    "sink,when",
-    [
-        ("lm", "before"),
-        ("lm", "after"),
-        ("neardup", "before"),
-        ("neardup", "after"),
-        ("semdedup", "before"),
-        ("semdedup", "after"),
-        ("semlsh", "before"),
-        ("semlsh", "after"),
-    ],
-)
-def test_sigkill_mid_epoch_restart_no_loss_no_double(tmp_path, sink, when):
-    root = str(tmp_path)
-    prep = _run(root, "prep", sink)
-    assert prep.returncode == 0, prep.stderr[-2000:]
+def _read_verdict(root: str) -> dict:
+    with open(os.path.join(root, "verdict.json")) as f:
+        return json.load(f)
 
+
+# ---------------------------------------------------------------------------
+# pipelines: run the child-process sequences and CAPTURE everything the
+# test assertions need; no asserts in here (a broken pipeline surfaces
+# as captured returncodes/output in its own test, exactly as before)
+
+
+def _pipe_sink(root: str, sink: str, when: str) -> dict:
+    prep = _run_child(CHILD, root, "prep", sink, timeout=600)
+    out = {"prep": prep}
+    if prep.returncode != 0:
+        return out
     # phase 1: stream with a SIGKILL landing inside epoch 2's commit
     # window (5 single-file micro-batches, so the kill is mid-stream)
-    crashed = _run(root, "run", sink, "2", when)
+    crashed = _run_child(CHILD, root, "run", sink, "2", when, timeout=600)
+    out["crashed"] = crashed
+    out["verdict_after_crash"] = os.path.exists(
+        os.path.join(root, "verdict.json")
+    )
+    if crashed.returncode != -signal.SIGKILL:
+        return out
+    # phase 2: fresh process, same checkpoint — runs the remainder and
+    # writes the verdict
+    done = _run_child(CHILD, root, "run", sink, "-1", timeout=600)
+    out["done"] = done
+    if done.returncode == 0:
+        out["verdict"] = _read_verdict(root)
+    return out
+
+
+def _pipe_compact(root: str, when: str) -> dict:
+    child = os.path.join(REPO, "tests", "chaos_compact_child.py")
+    out = {"prep": _run_child(child, root, "prep", timeout=600)}
+    if out["prep"].returncode != 0:
+        return out
+    out["crashed"] = _run_child(child, root, "compact", when, timeout=600)
+    if out["crashed"].returncode != -signal.SIGKILL:
+        return out
+    out["done"] = _run_child(child, root, "finish", timeout=600)
+    if out["done"].returncode == 0:
+        out["verdict"] = _read_verdict(root)
+    return out
+
+
+def _pipe_consume(root: str, when: str) -> dict:
+    child = os.path.join(REPO, "tests", "chaos_consume_child.py")
+    out = {"prep": _run_child(child, root, "prep", timeout=600)}
+    if out["prep"].returncode != 0:
+        return out
+    out["crashed"] = _run_child(
+        child, root, "consume", "served_1.log", "3", when, timeout=600
+    )
+    if out["crashed"].returncode != -signal.SIGKILL:
+        return out
+    out["done"] = _run_child(
+        child, root, "consume", "served_2.log", "-1", timeout=600
+    )
+    return out
+
+
+def _pipe_semlsh_swap(root: str, when: str) -> dict:
+    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+    out = {"prep": _run_child(child, root, "prep")}
+    if out["prep"].returncode != 0:
+        return out
+    out["crashed"] = _run_child(child, root, "compact", when)
+    if out["crashed"].returncode != -signal.SIGKILL:
+        return out
+    out["done"] = _run_child(child, root, "finish")
+    if out["done"].returncode == 0:
+        out["verdict"] = _read_verdict(root)
+    return out
+
+
+def _pipe_semlsh_append(root: str) -> dict:
+    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+    out = {"prep": _run_child(child, root, "prep")}
+    if out["prep"].returncode != 0:
+        return out
+    out["crashed"] = _run_child(child, root, "append_kill")
+    if out["crashed"].returncode != -signal.SIGKILL:
+        return out
+    out["done"] = _run_child(child, root, "finish", "with_extra")
+    if out["done"].returncode == 0:
+        out["verdict"] = _read_verdict(root)
+    return out
+
+
+def _pipe_produce(root: str) -> dict:
+    """Start the producer child, wait for ≥5 acked batches, SIGKILL it.
+    The post-crash engine-side checks need the session Spark fixture and
+    stay in the test body."""
+    import time
+
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            os.path.join(REPO, "tests", "chaos_produce_child.py"),
+            root,
+            "40",
+            "500",
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+    )
+    acks_path = os.path.join(root, "acks.log")
+    deadline = time.time() + 300
+    timed_out = True
+    while time.time() < deadline:
+        try:
+            with open(acks_path) as f:
+                n = sum(1 for _ in f)
+        except FileNotFoundError:
+            n = 0
+        if n >= 5:
+            timed_out = False
+            break
+        time.sleep(0.05)
+    if timed_out:
+        child.kill()
+        return {"timed_out": True}
+    child.send_signal(signal.SIGKILL)
+    child.wait(30)
+    with open(acks_path) as f:
+        acked = [int(line.split()[1]) for line in f if line.startswith("ACK")]
+    return {
+        "timed_out": False,
+        "returncode": child.returncode,
+        "acked": acked,
+    }
+
+
+_PIPELINES: dict[str, tuple] = {}
+for _sink, _when in SINK_CASES:
+    _PIPELINES[f"sink:{_sink}:{_when}"] = (_pipe_sink, (_sink, _when))
+for _when in ("before", "after"):
+    _PIPELINES[f"compact:{_when}"] = (_pipe_compact, (_when,))
+    _PIPELINES[f"consume:{_when}"] = (_pipe_consume, (_when,))
+for _when in ("before_drop", "after_drop"):
+    _PIPELINES[f"semlsh_swap:{_when}"] = (_pipe_semlsh_swap, (_when,))
+_PIPELINES["semlsh_append"] = (_pipe_semlsh_append, ())
+_PIPELINES["produce"] = (_pipe_produce, ())
+
+
+@pytest.fixture(scope="session")
+def chaos_results(tmp_path_factory):
+    """Run every chaos pipeline once, concurrently; tests assert on the
+    captured results. A pipeline that raises surfaces its exception in
+    exactly the tests that consume it."""
+    base = tmp_path_factory.mktemp("chaos")
+    workers = int(os.environ.get("POLAR_CHAOS_WORKERS", "8") or 8)
+    futures = {}
+    roots = {}
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for key, (fn, args) in _PIPELINES.items():
+            root = str(base / key.replace(":", "_"))
+            os.makedirs(root, exist_ok=True)
+            roots[key] = root
+            futures[key] = ex.submit(fn, root, *args)
+        results = {}
+        for key, fut in futures.items():
+            try:
+                r = fut.result()
+                if isinstance(r, dict):
+                    r["root"] = roots[key]
+                results[key] = r
+            except Exception as exc:  # surfaced by the consuming test
+                results[key] = exc
+    return results
+
+
+def _get(results: dict, key: str) -> dict:
+    r = results[key]
+    if isinstance(r, Exception):
+        raise r
+    return r
+
+
+@pytest.mark.parametrize("sink,when", SINK_CASES)
+def test_sigkill_mid_epoch_restart_no_loss_no_double(chaos_results, sink, when):
+    r = _get(chaos_results, f"sink:{sink}:{when}")
+    prep = r["prep"]
+    assert prep.returncode == 0, prep.stderr[-2000:]
+
+    crashed = r["crashed"]
     assert crashed.returncode == -signal.SIGKILL, (
         crashed.returncode,
         crashed.stderr[-2000:],
     )
-    assert not os.path.exists(os.path.join(root, "verdict.json"))
+    assert not r["verdict_after_crash"]
 
-    # phase 2: fresh process, same checkpoint — runs the remainder and
-    # writes the verdict
-    done = _run(root, "run", sink, "-1")
+    done = r["done"]
     assert done.returncode == 0, done.stderr[-2000:]
-    with open(os.path.join(root, "verdict.json")) as f:
-        v = json.load(f)
+    v = r["verdict"]
     assert v["want"] > 0
     assert v["got"] == v["want"]
     assert v["diff"] == 0, v  # no loss, no double-count — bit-identical
 
 
 @pytest.mark.parametrize("when", ["before", "after"])
-def test_sigkill_mid_compaction_recovers(tmp_path, when):
+def test_sigkill_mid_compaction_recovers(chaos_results, when):
     """Epoch-store compaction SIGKILLed at the commit point (r10): the
     folding process dies ``before`` the manifest write (new base fully
     on disk but unreferenced) or ``after`` it (manifest committed, the
@@ -94,23 +283,13 @@ def test_sigkill_mid_compaction_recovers(tmp_path, when):
     excluded — and its own compact() completes the recovery down to a
     single live partition. The real-kill twin of the hand-simulated
     crash states in test_compaction.py (laws 5a/5b)."""
-    root = str(tmp_path)
-    child = os.path.join(REPO, "tests", "chaos_compact_child.py")
+    r = _get(chaos_results, f"compact:{when}")
+    assert r["prep"].returncode == 0
+    assert r["crashed"].returncode == -signal.SIGKILL, r["crashed"].stderr[-2000:]
 
-    def run(*args: str) -> subprocess.CompletedProcess:
-        return subprocess.run(
-            [sys.executable, child, root, *args],
-            capture_output=True, text=True, timeout=600, cwd=REPO,
-        )
-
-    assert run("prep").returncode == 0
-    crashed = run("compact", when)
-    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
-
-    done = run("finish")
+    done = r["done"]
     assert done.returncode == 0, done.stderr[-2000:]
-    with open(os.path.join(root, "verdict.json")) as f:
-        v = json.load(f)
+    v = r["verdict"]
     assert v["want"] > 0
     assert v["diff_before_recovery"] == 0, v  # torn compact never visible
     assert v["diff_after_recovery"] == 0, v
@@ -123,7 +302,7 @@ def test_sigkill_mid_compaction_recovers(tmp_path, when):
 
 
 @pytest.mark.parametrize("when", ["before", "after"])
-def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
+def test_sigkill_consumer_between_serve_and_commit(chaos_results, when):
     """Consumer-side crash (r9 VERDICT ask #2): a consumer PROCESS is
     SIGKILLed between serving a poll and/or committing it — on both
     sides of the offset-ledger write — and a fresh process re-registers
@@ -142,22 +321,13 @@ def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
     internal/test/integration/roundtrip_test.go:121-213)."""
     from collections import Counter
 
-    root = str(tmp_path)
-    child = os.path.join(REPO, "tests", "chaos_consume_child.py")
-
-    def run(*args: str) -> subprocess.CompletedProcess:
-        return subprocess.run(
-            [sys.executable, child, root, *args],
-            capture_output=True, text=True, timeout=600, cwd=REPO,
-        )
-
-    assert run("prep").returncode == 0
-
-    crashed = run("consume", "served_1.log", "3", when)
-    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
-
-    done = run("consume", "served_2.log", "-1")
+    r = _get(chaos_results, f"consume:{when}")
+    assert r["prep"].returncode == 0
+    assert r["crashed"].returncode == -signal.SIGKILL, r["crashed"].stderr[-2000:]
+    done = r["done"]
     assert done.returncode == 0, done.stderr[-2000:]
+
+    root = r["root"]
 
     def parse(name: str) -> tuple[list[list[str]], int]:
         """(polls as record-value lists, number of COMMIT markers)."""
@@ -201,7 +371,7 @@ def test_sigkill_consumer_between_serve_and_commit(tmp_path, when):
 
 
 @pytest.mark.parametrize("when", ["before_drop", "after_drop"])
-def test_sigkill_mid_semlsh_compact_swap_recovers(tmp_path, when):
+def test_sigkill_mid_semlsh_compact_swap_recovers(chaos_results, when):
     """Stored-LSH batch-table compact SIGKILLed around the catalog swap
     (VERDICT r12 ask #2): ``before_drop`` leaves the rewrite complete
     under <table>_compacting with the original still bound (the tmp is
@@ -212,30 +382,20 @@ def test_sigkill_mid_semlsh_compact_swap_recovers(tmp_path, when):
     (recover_semlsh_swap rides every verify/params/append/compact
     entry), produce the bit-identical drop set, and complete a full
     compact to one file per bucket."""
-    root = str(tmp_path)
-    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+    r = _get(chaos_results, f"semlsh_swap:{when}")
+    assert r["prep"].returncode == 0
+    assert r["crashed"].returncode == -signal.SIGKILL, r["crashed"].stderr[-2000:]
 
-    def run(*args: str) -> subprocess.CompletedProcess:
-        return subprocess.run(
-            [sys.executable, child, root, *args],
-            capture_output=True, text=True, timeout=900, cwd=REPO,
-        )
-
-    assert run("prep").returncode == 0
-    crashed = run("compact", when)
-    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
-
-    done = run("finish")
+    done = r["done"]
     assert done.returncode == 0, done.stderr[-2000:]
-    with open(os.path.join(root, "verdict.json")) as f:
-        v = json.load(f)
+    v = r["verdict"]
     assert v["want"] > 0
     assert v["diff_before_recovery_compact"] == 0, v
     assert v["diff_after_recovery_compact"] == 0, v
     assert v["files_after"] == 32  # one file per bucket post-compact
 
 
-def test_sigkill_mid_semlsh_append_store_stays_consistent(tmp_path):
+def test_sigkill_mid_semlsh_append_store_stays_consistent(chaos_results):
     """Stored-LSH batch-table append SIGKILLed MID-WRITE (a watcher
     kills the process the moment the commit protocol's _temporary dir
     appears): the table must stay readable — staged files are invisible
@@ -243,29 +403,19 @@ def test_sigkill_mid_semlsh_append_store_stays_consistent(tmp_path):
     same append must land the store on the exact expected drop set
     regardless of how much of the torn write committed (duplicate band
     rows only duplicate candidate pairs; the drop set is distinct)."""
-    root = str(tmp_path)
-    child = os.path.join(REPO, "tests", "chaos_semlsh_child.py")
+    r = _get(chaos_results, "semlsh_append")
+    assert r["prep"].returncode == 0
+    assert r["crashed"].returncode == -signal.SIGKILL, r["crashed"].stderr[-2000:]
 
-    def run(*args: str) -> subprocess.CompletedProcess:
-        return subprocess.run(
-            [sys.executable, child, root, *args],
-            capture_output=True, text=True, timeout=900, cwd=REPO,
-        )
-
-    assert run("prep").returncode == 0
-    crashed = run("append_kill")
-    assert crashed.returncode == -signal.SIGKILL, crashed.stderr[-2000:]
-
-    done = run("finish", "with_extra")
+    done = r["done"]
     assert done.returncode == 0, done.stderr[-2000:]
-    with open(os.path.join(root, "verdict.json")) as f:
-        v = json.load(f)
+    v = r["verdict"]
     assert v["want"] > 0
     assert v["diff_before_recovery_compact"] == 0, v
     assert v["diff_after_recovery_compact"] == 0, v
 
 
-def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
+def test_sigkill_mid_produce_no_dup_no_wedge(spark, chaos_results):
     """Produce-path chaos (beyond the simulated dead-pid tests): a real
     producer PROCESS is SIGKILLed somewhere inside a batch's
     reserve→write→validate→publish window. Afterwards:
@@ -277,41 +427,16 @@ def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
     - the reservation queue is not wedged: a fresh producer publishes
       past the dead reservation (pid-liveness skip) and its batch is
       served."""
-    import time
-
     from polar_spark.consume import EARLIEST, ConsumerGroup
     from polar_spark.produce import Producer
     from polar_spark.topics import TopicCatalog
 
-    root = str(tmp_path)
-    child = subprocess.Popen(
-        [sys.executable, os.path.join(REPO, "tests", "chaos_produce_child.py"),
-         root, "40", "500"],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-        cwd=REPO,
-    )
-    acks_path = os.path.join(root, "acks.log")
-    deadline = time.time() + 300
-    while time.time() < deadline:
-        try:
-            with open(acks_path) as f:
-                n = sum(1 for _ in f)
-        except FileNotFoundError:
-            n = 0
-        if n >= 5:
-            break
-        time.sleep(0.05)
-    else:
-        child.kill()
-        raise AssertionError("child never produced 5 batches")
-    child.send_signal(signal.SIGKILL)
-    child.wait(30)
-    assert child.returncode == -signal.SIGKILL
-
-    with open(acks_path) as f:
-        acked = [int(line.split()[1]) for line in f if line.startswith("ACK")]
+    r = _get(chaos_results, "produce")
+    assert not r["timed_out"], "child never produced 5 batches"
+    assert r["returncode"] == -signal.SIGKILL
+    acked = r["acked"]
     assert len(acked) >= 5
+    root = r["root"]
 
     # fresh "producer process" (this test's session): must publish past
     # the dead producer's in-flight reservation, not wedge behind it
@@ -332,7 +457,7 @@ def test_sigkill_mid_produce_no_dup_no_wedge(spark, tmp_path):
         rows = res.df.collect()
         if not rows:
             break
-        seen.update(r["value"] for r in rows)
+        seen.update(r2["value"] for r2 in rows)
         g.commit("chaos", res.positions)
 
     # acked batches: exactly once, complete
