@@ -974,6 +974,23 @@ def test_pq_adc_recall_and_rerank_exactness(spark, sf_dir):
     qv.unpersist()
 
 
+def test_ann_train_memo_repeat_invocation_identical(spark, sf_dir):
+    """Focused pin for the r14 session-scoped trainer memos
+    (queries/similarity._PQ_TRAIN_MEMO / _IVF_TRAIN_MEMO /
+    _IVFPQ_MEMO): a repeat invocation of the memoized queries — the
+    path that now REUSES the trained codebook/index instead of
+    retraining — must return the exact same row multiset as the first
+    (training is deterministic, so memo-hit and memo-miss paths are
+    interchangeable by construction; this pins it)."""
+    from polar_spark.queries import QUERIES
+
+    for name in ("knn_pq_adc", "knn_ivfpq_stored", "knn_ivf_trained"):
+        fn = QUERIES[name].fn
+        first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert first == second and len(first) > 0, name
+
+
 def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
     from polar_spark.functions.similarity import (
         PQ_KSUB,

@@ -1651,6 +1651,48 @@ def test_streaming_semdedup_lsh_store_prunes_partitions(spark, tmp_path):
     assert 1000 in {r["vec_id"] for r in sd.dropped().collect()}
 
 
+def test_streaming_semdedup_lsh_empty_epoch_advances_ledger(spark, tmp_path):
+    """Focused pin for the r14 apply_batch rework (the isEmpty probe
+    folded into the persisted batch count): an EMPTY micro-batch must
+    still return True, advance the epoch ledger (so a replay of that
+    epoch is recognized as already applied), and leave both store sides
+    untouched; a later non-empty epoch must keep deduping against the
+    pre-gap store."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polar_spark.streaming.dedup import StreamingSemDedupLSH
+
+    def vec(theta_deg: float) -> list[int]:
+        t = math.radians(theta_deg)
+        v = [math.cos(t), math.sin(t)] + [0.0] * 62
+        return [int(math.floor(x * 10000)) for x in v]
+
+    sd = StreamingSemDedupLSH(
+        spark, str(tmp_path / "idx"), str(tmp_path / "drops"),
+        dims=64, bands=16, planes_per_band=4, tau_sq_pct=9025,
+    )
+    cp = str(tmp_path / "cp")
+    b1 = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(45.0))], "vec_id long, v array<bigint>"
+    )
+    assert sd.apply_batch(b1, 0, cp) is True
+    kept_before = sorted(r["vec_id"] for r in sd.kept().collect())
+    assert kept_before == [0, 1]
+
+    empty = b1.filter(F.lit(False))
+    assert sd.apply_batch(empty, 1, cp) is True  # empty epoch: applied
+    assert sd.apply_batch(empty, 1, cp) is False  # ledger advanced: replay no-ops
+    assert sorted(r["vec_id"] for r in sd.kept().collect()) == kept_before
+    assert sd.dropped().count() == 0  # stores untouched by the empty epoch
+
+    # a later epoch still dedups against the pre-gap store
+    b3 = spark.createDataFrame([(10, vec(0.2))], "vec_id long, v array<bigint>")
+    assert sd.apply_batch(b3, 2, cp) is True
+    assert sorted(r["vec_id"] for r in sd.dropped().collect()) == [10]
+
+
 def test_streaming_semdedup_lsh_legacy_store_migrates(spark, tmp_path):
     """ADVICE r11 (medium): a stream resuming over a store written by
     the pre-r11 FLAT bands layout (vec_id/band/bucket files, vectors in
