@@ -223,7 +223,12 @@ def chaos_results(tmp_path_factory):
     captured results. A pipeline that raises surfaces its exception in
     exactly the tests that consume it."""
     base = tmp_path_factory.mktemp("chaos")
-    workers = int(os.environ.get("POLAR_CHAOS_WORKERS", "8") or 8)
+    # default scales with the host: 8 pipelines in flight on a 32-core
+    # box (measured sweet spot — 16 workers was no faster, the longest
+    # pipeline's sequential child chain is the floor), down to 2 on a
+    # small CI host so concurrent child JVMs never thrash it
+    default = min(8, max(2, (os.cpu_count() or 8) // 4))
+    workers = int(os.environ.get("POLAR_CHAOS_WORKERS", str(default)) or default)
     futures = {}
     roots = {}
     with ThreadPoolExecutor(max_workers=workers) as ex:
