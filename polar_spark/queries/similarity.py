@@ -473,7 +473,68 @@ def knn_ivfpq_recall_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_law(got, exact)
 
 
-@query("semdedup_incremental")  # no oracle: greedy-prefix dedup is sequential
+# DuckDB oracle for the IVF-cell incremental greedy (r14): the same
+# id-stratified recursion that oracle-checked the banded-LSH twin in
+# r13 ports to cells because the per-cell cogroup greedy IS global
+# greedy-prefix over the same-cell verified-pair graph — cells
+# PARTITION the corpus (one cell per vector), so drop decisions never
+# cross cells, and the two-batch split respects id order (batch 0 is
+# ids ≤ mid, batch 1 ids > mid; a stored kept partner is therefore
+# always a lower id). Cell assignment replays ivf_cell exactly:
+# nearest of the first-NLIST (=16) vectors' centroids by exact integer
+# squared distance, ties → lowest centroid id. The threshold test is
+# the exact integer form; the sink evaluates it in float64 (quantized
+# dots < 2^53 are exact; the d² product is within half-ulp of the
+# integer value at these magnitudes) — agreement is verified
+# empirically at sf0.001/sf0.01/sf0.1, the exact corpora the driver
+# checks, by the committed oracle sweeps.
+_SEMDEDUP_INC_ORACLE = f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, {_QV} AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 16
+), cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT c.vec_id, ct.cid,
+      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        ORDER BY list_sum(list_transform(range(1, 65),
+                  i -> (c.v[i] - ct.cv[i]) * (c.v[i] - ct.cv[i]))), ct.cid
+      ) AS rn
+    FROM c CROSS JOIN cents ct
+  ) WHERE rn = 1
+), nn AS (
+  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM c
+), vp AS MATERIALIZED (
+  -- MATERIALIZED: the recursion references vp once per iteration (see
+  -- the banded-LSH twin's oracle for the measured why)
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN nn a ON a.vec_id = ca.vec_id JOIN nn b ON b.vec_id = cb.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) > 0
+    AND 10000 * (CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS HUGEINT)
+         * CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT))
+        >= 1600 * (CAST(a.n2 AS HUGEINT) * b.n2)
+), dids AS (
+  SELECT DISTINCT id FROM (SELECT id_a AS id FROM vp UNION SELECT id_b FROM vp)
+), ordered AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM dids
+), greedy(rn, kept_ids) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.rn,
+    CASE WHEN EXISTS (SELECT 1 FROM vp p
+                      WHERE p.id_b = o.id AND list_contains(g.kept_ids, p.id_a))
+         THEN g.kept_ids
+         ELSE list_append(g.kept_ids, CAST(o.id AS BIGINT)) END
+  FROM greedy g JOIN ordered o ON o.rn = g.rn + 1
+)
+SELECT id AS vec_id FROM dids
+WHERE NOT list_contains((SELECT kept_ids FROM greedy ORDER BY rn DESC LIMIT 1), id)
+"""
+
+
+@query("semdedup_incremental", oracle=_SEMDEDUP_INC_ORACLE)
 def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL semantic dedup at ingest (streaming/dedup.
     StreamingSemDedup): embeddings arrive in two batches; each batch is
@@ -482,10 +543,13 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier-in-batch keeps, survivors append to the store. Greedy-prefix
     law (drop v iff cos(v, kept u) ≥ τ, ids ascending) — the incremental
     form of SemDeDup's keep-first policy; per-batch cost is
-    cell-density-bound, never corpus². Rows-only driver check (greedy
-    sequential scan has no ANSI-SQL form); exact equivalence to a
-    python greedy reference + replay idempotency are pytest-proven in
-    tests/test_streaming.py. Returns the dropped vec_ids."""
+    cell-density-bound, never corpus². ORACLE-CHECKED since r14 (was
+    rows-only): the r13 recursive-CTE greedy oracle of the banded-LSH
+    twin ports directly because per-cell greedy ≡ global greedy-prefix
+    over the same-cell pair graph (see _SEMDEDUP_INC_ORACLE's note);
+    exact equivalence to a python greedy reference + replay idempotency
+    remain pytest-proven in tests/test_streaming.py. Returns the
+    dropped vec_ids."""
     import hashlib as _hashlib
     import tempfile
 
